@@ -1,0 +1,105 @@
+"""Standoff-annotation -> token-level BIO labels (CoNLL rows).
+
+Re-implements the per-document computation of
+``/root/reference/code/BERT_NER/utils_preprocess/anntoconll.py``:
+``text_to_conll`` (:132-202), ``relabel`` (:205-251) and
+``eliminate_overlaps`` (:306-326). At Spark granularity this is an interval
+join between token spans and annotation spans that stays row-local because
+both sides live in one document's arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Optional, Sequence
+
+from .offsets import map_tokens_to_offsets
+from .sentencize import Standoff
+from .sotok import TokenizerGuardError, tokenize
+
+
+class ConllRow(NamedTuple):
+    sent_idx: int
+    tok_idx: int
+    token: str
+    tag: str
+    start: int
+    end: int
+
+
+def eliminate_overlaps(spans: Sequence[Standoff]) -> List[Standoff]:
+    # anntoconll.py:306-326 — pairwise, longer span wins; equal-length
+    # overlapping spans eliminate each other.
+    drop: Dict[Standoff, bool] = {}
+    for a in spans:
+        for b in spans:
+            if a is b:
+                continue
+            if b.start >= a.end or b.end <= a.start:
+                continue
+            if a.end - a.start > b.end - b.start:
+                drop[b] = True
+            else:
+                drop[a] = True
+    return [s for s in spans if s not in drop]
+
+
+def _relabel(rows: List[Optional[list]], spans: Sequence[Standoff]) -> None:
+    # anntoconll.py:205-243 — first covered char wins; B- on label change.
+    offset_label: Dict[int, Standoff] = {}
+    for tb in spans:
+        for i in range(tb.start, tb.end):
+            offset_label[i] = tb
+
+    prev_label: Optional[str] = None
+    for row in rows:
+        if not row:
+            prev_label = None
+            continue
+        tag, start, end, token = row
+        label = None
+        for o in range(start, end):
+            if o in offset_label:
+                label = offset_label[o].type
+                break
+        if label is not None:
+            tag = ("I-" if label == prev_label else "B-") + label
+        prev_label = label
+        row[0] = tag
+
+
+def text_to_conll_rows(final_text: str, spans: Sequence[Standoff]) -> List[ConllRow]:
+    """Tokenize a post's final text line-wise and BIO-label sentinel spans.
+
+    Mirrors ``text_to_conll`` with ``--nosplit`` (the default,
+    anntoconll.py:54-56,136-137): each line of the text file is one sentence;
+    char offsets accumulate across lines including the newline chars.
+
+    Raises TokenizerGuardError if any sentence trips the deterministic
+    tokenizer guard; the caller drops the whole document (the reference skips
+    the file, anntoconll.py:265-269).
+    """
+    sentences = final_text.splitlines(keepends=True)
+    rows: List[Optional[list]] = []
+    offset = 0
+    for s in sentences:
+        tokens = tokenize(s)
+        for tok, pos in map_tokens_to_offsets(s, tokens, offset):
+            if not tok.isspace():
+                rows.append(["O", pos, pos + len(tok), tok])
+        rows.append(None)
+        offset += len(s)
+
+    _relabel(rows, eliminate_overlaps(spans))
+
+    out: List[ConllRow] = []
+    sent_idx = 0
+    tok_idx = 0
+    for row in rows:
+        if row is None:
+            if tok_idx:
+                sent_idx += 1
+                tok_idx = 0
+            continue
+        out.append(ConllRow(sent_idx, tok_idx, row[3], row[0], row[1], row[2]))
+        tok_idx += 1
+    return out
