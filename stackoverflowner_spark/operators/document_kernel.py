@@ -1,0 +1,176 @@
+"""Distributed document kernel: pages -> extracted -> sentences -> mentions.
+
+This is the engine's hot path. Everything per-document is row-local, so the
+whole chain is *narrow* — pages are read, one ``mapInPandas`` runs the text
+kernel, and downstream token/mention tables are derived with narrow
+``posexplode``s. The first shuffle in the flagship pipeline happens only at
+triple aggregation. At 100 TB that matters more than anything else: no
+sentence-regroup shuffle exists because tokens never leave their sentence row
+until they are exploded for purely columnar consumers.
+
+Stage mirror of the reference trace (SURVEY.md §3.1):
+  extract   = Extract_Text_From_XML + tokenize_and_annotae_post_body
+  sentences = convert_standoff_to_conll (stokenizer + map_text_to_char + relabel)
+  mentions  = gazetteer/model tagger + chunk extraction
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, List
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernel.bio import text_to_conll_rows
+from ..kernel.conlleval import extract_chunks
+from ..kernel.htmltext import ExtractionError, extract_text
+from ..kernel.sentencize import Standoff, sentencize
+from ..kernel.sotok import TokenizerGuardError
+
+EXTRACTED_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("lang", T.StringType(), True),
+    T.StructField("final_text", T.StringType(), True),
+    T.StructField("anns", T.ArrayType(T.StructType([
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])), True),
+    T.StructField("ok", T.BooleanType(), False),
+    T.StructField("err", T.StringType(), True),
+])
+
+SENTENCES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("sent_idx", T.IntegerType(), False),
+    T.StructField("tokens", T.ArrayType(T.StringType()), False),
+    T.StructField("md_tags", T.ArrayType(T.StringType()), False),
+    T.StructField("starts", T.ArrayType(T.IntegerType()), False),
+    T.StructField("ends", T.ArrayType(T.IntegerType()), False),
+])
+
+
+def extract_stage(pages: DataFrame, lang_filter: str | None = "en") -> DataFrame:
+    """pages -> extracted. Column-pruned scan: only (url, html, text, lang)
+    are read; the lang filter is pushed to the parquet scan before the UDF."""
+    if lang_filter:
+        pages = pages.filter(F.col("lang") == lang_filter)
+    cols = pages.select("url", "html", "text", "lang")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, html, text, lang in zip(pdf["url"], pdf["html"], pdf["text"], pdf["lang"]):
+                try:
+                    if html is not None:
+                        body = bytes(html).decode("utf-8", "replace")
+                        extracted = extract_text(body)
+                    elif text is not None:
+                        extracted = text
+                    else:
+                        raise ExtractionError("row has neither html nor text")
+                    final, anns = sentencize(extracted, url.rsplit("/", 1)[-1])
+                    out.append((url, lang, final,
+                                [(a.start, a.end, a.type, a.text) for a in anns],
+                                True, None))
+                except ExtractionError as e:
+                    out.append((url, lang, None, None, False, f"extract:{e}"))
+            yield pd.DataFrame(out, columns=["url", "lang", "final_text", "anns", "ok", "err"])
+
+    return cols.mapInPandas(run, schema=EXTRACTED_SCHEMA)
+
+
+def sentences_stage(extracted: DataFrame) -> DataFrame:
+    """extracted -> one row per sentence with aligned token/tag/offset arrays.
+
+    Tokenizer-guard failures drop the whole document (the reference skips the
+    file, anntoconll.py:265-269) and surface as rows with sent_idx == -1 so
+    lineage can count them; callers filter ``sent_idx >= 0``.
+    """
+    rows = extracted.filter(F.col("ok")).select("url", "final_text", "anns")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, final_text, anns in zip(pdf["url"], pdf["final_text"], pdf["anns"]):
+                spans = [Standoff(int(a["start"]), int(a["end"]), a["type"], a["text"])
+                         for a in anns]
+                try:
+                    conll = text_to_conll_rows(final_text, spans)
+                except TokenizerGuardError:
+                    out.append((url, -1, [], [], [], []))
+                    continue
+                by_sent: dict = {}
+                for r in conll:
+                    by_sent.setdefault(r.sent_idx, []).append(r)
+                for sent_idx, rs in by_sent.items():
+                    out.append((
+                        url, sent_idx,
+                        [r.token for r in rs],
+                        [r.tag for r in rs],
+                        [r.start for r in rs],
+                        [r.end for r in rs],
+                    ))
+            yield pd.DataFrame(
+                out, columns=["url", "sent_idx", "tokens", "md_tags", "starts", "ends"])
+
+    return rows.mapInPandas(run, schema=SENTENCES_SCHEMA)
+
+
+def tokens_long(sentences: DataFrame) -> DataFrame:
+    """Narrow explode to the token-level long table
+    ``(url, sent_idx, tok_idx, token, md_tag, start, end)``."""
+    z = sentences.filter(F.col("sent_idx") >= 0).select(
+        "url", "sent_idx",
+        F.posexplode(F.arrays_zip("tokens", "md_tags", "starts", "ends"))
+        .alias("tok_idx", "z"),
+    )
+    return z.select(
+        "url", "sent_idx", "tok_idx",
+        F.col("z.tokens").alias("token"),
+        F.col("z.md_tags").alias("md_tag"),
+        F.col("z.starts").alias("start"),
+        F.col("z.ends").alias("end"),
+    )
+
+
+MENTIONS_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("sent_idx", T.IntegerType(), False),
+    T.StructField("tok_start", T.IntegerType(), False),
+    T.StructField("tok_end", T.IntegerType(), False),
+    T.StructField("surface", T.StringType(), False),
+    T.StructField("surface_norm", T.StringType(), False),
+    T.StructField("tag_type", T.StringType(), False),
+])
+
+
+def mentions_stage(sentences: DataFrame, tagger) -> DataFrame:
+    """sentences -> mention spans using a row-local tagger.
+
+    ``tagger`` is any ``Tagger`` from operators.tagger (gazetteer default,
+    model-pluggable per SURVEY.md §7 step 5). Row-local => narrow; the tagger
+    object is shipped once per executor in the UDF closure.
+    """
+    rows = sentences.filter(F.col("sent_idx") >= 0)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, sent_idx, tokens, md_tags in zip(
+                    pdf["url"], pdf["sent_idx"], pdf["tokens"], pdf["md_tags"]):
+                tokens = list(tokens)
+                tags = tagger.tag(tokens, list(md_tags))
+                for typ, a, b in extract_chunks(tags):
+                    surface = " ".join(tokens[a:b])
+                    out.append((url, int(sent_idx), a, b, surface,
+                                surface.lower(), typ))
+            yield pd.DataFrame(out, columns=[
+                "url", "sent_idx", "tok_start", "tok_end", "surface",
+                "surface_norm", "tag_type"])
+
+    return rows.mapInPandas(run, schema=MENTIONS_SCHEMA)

@@ -1,0 +1,104 @@
+"""Row-local BIO taggers (model-pluggable mention stage).
+
+Interface per SURVEY.md §7 step 5: ``Tagger.tag(tokens, md_tags) -> tags``.
+The default deterministic implementation is a gazetteer + rules tagger
+(longest-match against the broadcast software-entity dictionary, sentinel
+md-labels passed through, CTC-style rule overrides). A transformer-based
+tagger implementing the reference's M5-M7 wordpiece/inference path plugs into
+the same interface when checkpoint weights are available (torch/transformers
+are not in this sandbox; the plug point is ``ModelTagger``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from ..kernel.ctc import is_number_token, is_url_token
+from ..sources.dictionary import gazetteer_map
+
+_SENTINEL_TYPES = {"Code_Block", "Output_Block", "Keyboard_IP"}
+
+
+class Tagger:
+    def tag(self, tokens: Sequence[str], md_tags: Sequence[str]) -> List[str]:
+        raise NotImplementedError
+
+
+class GazetteerTagger(Tagger):
+    """Deterministic gazetteer tagger: greedy longest alias match (up to
+    ``max_ngram`` tokens) against ``alias_norm -> (canonical_id, type)``;
+    markdown sentinel tags win over dictionary hits; IS_URL tokens become
+    Website mentions unless already covered."""
+
+    def __init__(self, alias_map: Optional[Dict[str, Tuple[str, str]]] = None,
+                 max_ngram: int = 3, tag_urls: bool = True):
+        self.alias_map = alias_map if alias_map is not None else gazetteer_map()
+        self.max_ngram = max_ngram
+        self.tag_urls = tag_urls
+
+    def tag(self, tokens: Sequence[str], md_tags: Sequence[str]) -> List[str]:
+        n = len(tokens)
+        tags = ["O"] * n
+        # 1. sentinel markdown labels pass through (they are gold by
+        #    construction — the reference treats them the same way)
+        for i, md in enumerate(md_tags):
+            if md != "O" and md.split("-", 1)[-1] in _SENTINEL_TYPES:
+                tags[i] = md
+        # 2. greedy longest-match gazetteer
+        i = 0
+        while i < n:
+            if tags[i] != "O":
+                i += 1
+                continue
+            matched = 0
+            mtype = None
+            for ln in range(min(self.max_ngram, n - i), 0, -1):
+                if any(tags[j] != "O" for j in range(i, i + ln)):
+                    continue
+                key = " ".join(tokens[i:i + ln]).lower()
+                hit = self.alias_map.get(key)
+                if hit:
+                    matched = ln
+                    mtype = hit[1]
+                    break
+            if matched:
+                tags[i] = "B-" + mtype
+                for j in range(i + 1, i + matched):
+                    tags[j] = "I-" + mtype
+                i += matched
+            else:
+                i += 1
+        # 3. rule overlay
+        if self.tag_urls:
+            for i, tok in enumerate(tokens):
+                if tags[i] == "O" and len(tok) > 4 and not is_number_token(tok) \
+                        and is_url_token(tok) and tok.lower().startswith(("http", "www.")):
+                    tags[i] = "B-Website"
+        return tags
+
+
+class ModelTagger(Tagger):
+    """Plug point for the BERT segmenter+NER path (reference M5-M7:
+    utils_ner.py wordpiece featurization, softner_*_predict_from_file.py
+    batched inference). Requires torch + transformers + checkpoint weights,
+    none of which ship with the reference repo (code/Readme.md:4-8); loading
+    is lazy and per-executor when available."""
+
+    def __init__(self, checkpoint_dir: str, max_seq_length: int = 128):
+        self.checkpoint_dir = checkpoint_dir
+        self.max_seq_length = max_seq_length
+        self._model = None
+
+    def _load(self):  # pragma: no cover - needs external weights
+        try:
+            import torch  # noqa: F401
+            from transformers import AutoModelForTokenClassification, AutoTokenizer  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "ModelTagger needs torch+transformers and reference checkpoint "
+                f"weights (external downloads): {e}")
+
+    def tag(self, tokens: Sequence[str], md_tags: Sequence[str]) -> List[str]:  # pragma: no cover
+        if self._model is None:
+            self._load()
+        raise NotImplementedError

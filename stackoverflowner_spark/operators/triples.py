@@ -1,0 +1,59 @@
+"""Triple materialization, partitioned by subject hash.
+
+North-rule sink (SURVEY.md §2.8 / S8): linked mentions ->
+``triples(subj, pred, obj, url, part_hash)`` with
+``part_hash = pmod(xxhash64(subj), n_buckets)``. Writing is partitioned by
+``part_hash`` so downstream subject lookups prune partitions and the write
+itself spreads head subjects deterministically.
+
+Predicates:
+  instance_of   canonical -> entity type        (deduplicated)
+  mentioned_in  canonical -> url                (per page)
+  alias_of      surface form -> canonical       (deduplicated)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triples_from_linked(linked: DataFrame, components: DataFrame | None = None,
+                        n_buckets: int = 64) -> DataFrame:
+    subj = F.col("canonical_id")
+    if components is not None:
+        linked = linked.join(F.broadcast(components), "canonical_id", "left")
+        subj = F.coalesce(F.col("component"), F.col("canonical_id"))
+    base = linked.select(
+        subj.alias("subj"),
+        F.col("entity_type"),
+        F.col("surface_norm"),
+        F.col("url"),
+    )
+
+    # Evidence-level triples: every row keeps its source url, deduplicated on
+    # (subj, pred, obj, url). This keeps the stage idempotent per url-bucket,
+    # which is what makes bucket-granular resume safe (plans/pipeline.py);
+    # logical triples are `distinct_triples` below.
+    instance_of = base.select(
+        "subj", F.lit("instance_of").alias("pred"),
+        F.col("entity_type").alias("obj"), "url")
+    mentioned_in = base.select(
+        "subj", F.lit("mentioned_in").alias("pred"),
+        F.col("url").alias("obj"), "url")
+    alias_of = base.select(
+        F.col("surface_norm").alias("subj"),
+        F.lit("alias_of").alias("pred"),
+        F.col("subj").alias("obj"), "url")
+    triples = instance_of.unionByName(mentioned_in).unionByName(alias_of).distinct()
+    return triples.withColumn(
+        "part_hash", F.pmod(F.xxhash64("subj"), F.lit(n_buckets)).cast("int"))
+
+
+def distinct_triples(triples: DataFrame) -> DataFrame:
+    """Logical (subj, pred, obj) view over the evidence-level table."""
+    return triples.select("subj", "pred", "obj").distinct()
+
+
+def write_triples(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
+    triples.write.mode(mode).partitionBy("part_hash").parquet(path)
