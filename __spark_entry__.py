@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline (SURVEY.md §3.1
+Spark restatement) over deterministic synthetic Common-Crawl-style pages and
+returns the triples DataFrame. ``queries()``/``oracle_sql()`` cover the
+SURVEY.md §2 operator inventory plus the training-data operator suite
+(dedup / similarity / text analysis); each SQL-expressible operator has a
+DuckDB oracle with identically-aliased columns.
 """
 
 from __future__ import annotations
@@ -12,27 +13,544 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------- #
+# flagship
+# --------------------------------------------------------------------------- #
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthetic pages -> extract -> sentences -> mentions ->
+    link -> triples, fused narrow DAG (only the triple dedup shuffles)."""
+    from stackoverflowner_spark.plans.pipeline import KGPipeline
+    from stackoverflowner_spark.sources.pages import synth_pages
+
+    import tempfile
+
+    pages = synth_pages(spark, 300)
+    pipe = KGPipeline(spark, tempfile.mkdtemp(prefix="sokg_entry_"))
+    return pipe.run_fused(pages)
+
+
+# --------------------------------------------------------------------------- #
+# queries (spark side)
+# --------------------------------------------------------------------------- #
+
+
+def _words(df: DataFrame, col: str = "text") -> DataFrame:
+    return df.select(F.explode(F.split(F.col(col), " ")).alias("word")).filter(
+        F.col("word") != "")
+
+
+def q_vocab_mapping(spark, sf):
+    # A1+A2: create_dico + create_mapping (utils_so.py:53-76)
+    docs = _t(spark, sf, "documents")
+    dico = _words(docs).groupBy("word").agg(F.count("*").alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    return dico.withColumn("word_id", F.row_number().over(w).cast("long"))
+
+
+def q_vocab_pruned(spark, sf):
+    # A3: lowercase word vocab, keep freq >= 3 (loader_so.py:319-336)
+    docs = _t(spark, sf, "documents").withColumn("text", F.lower(F.col("text")))
+    return (_words(docs).groupBy("word").agg(F.count("*").alias("freq"))
+            .filter(F.col("freq") >= 3))
+
+
+def q_char_vocab(spark, sf):
+    # A4: char frequency (loader_so.py:339-349)
+    docs = _t(spark, sf, "documents")
+    chars = docs.select(F.explode(F.split("text", "")).alias("ch")).filter(
+        F.col("ch") != "")
+    return chars.groupBy("ch").agg(F.count("*").alias("freq"))
+
+
+def q_tag_vocab(spark, sf):
+    # A5: tag vocabulary analog over events
+    return (_t(spark, sf, "events").groupBy("event_type")
+            .agg(F.count("*").alias("freq")))
+
+
+def q_entity_rank(spark, sf):
+    # A6: Sort_Entity_by_Count analog: ranked event types (utils_so.py:409-457)
+    ev = _t(spark, sf, "events").groupBy("event_type").agg(F.count("*").alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("event_type"))
+    return ev.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= 5)
+
+
+def q_cap_feature(spark, sf):
+    # J6: cap feature classes (loader_so.py:365-380)
+    from stackoverflowner_spark.operators.vocab import cap_feature_col
+    part = _t(spark, sf, "part")
+    cust = _t(spark, sf, "customer")
+    words = (
+        _words(part.select(F.col("p_name").alias("text")))
+        .union(cust.select(F.col("c_name").alias("word")))
+        .union(part.select(F.upper("p_brand").alias("word")))
+        .distinct()
+    )
+    return words.withColumn("cap_class", cap_feature_col("word").cast("long"))
+
+
+_CTC_DICT = [("data", 1), ("table", 1), ("key", 0), ("the", 0), ("spark", 1), ("query", 1)]
+
+
+def q_ctc_dict_join(spark, sf):
+    # J5: broadcast dictionary lookup with default 0 (loader_so.py:443-454)
+    docs = _t(spark, sf, "documents")
+    dict_df = spark.createDataFrame(_CTC_DICT, ["word", "pred"])
+    words = _words(docs).distinct()
+    return (words.join(F.broadcast(dict_df), "word", "left")
+            .select("word", F.coalesce("pred", F.lit(0)).cast("long").alias("ctc_pred")))
+
+
+def q_semi_join(spark, sf):
+    # J7 analog: left-semi (customers that have orders)
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name")
+
+
+def q_union_distinct(spark, sf):
+    # set op: union().distinct() vocab (prediction_ctc.py:58-96)
+    docs = _words(_t(spark, sf, "documents"))
+    parts = _words(_t(spark, sf, "part").select(F.col("p_name").alias("text")))
+    return docs.union(parts).distinct()
+
+
+def q_window_top3(spark, sf):
+    # window/row_number: first 3 events per user
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= 3).select("user_id", "event_id", "rn"))
+
+
+def q_lag_gap(spark, sf):
+    # window/lag: inter-event gap per user in microseconds
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session TZ pinned to UTC so the LTZ cast is exact
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = us - F.lag(us).over(w)
+    return (ev.withColumn("gap_us", gap).filter(F.col("gap_us").isNotNull())
+            .select("user_id", "event_id", "gap_us"))
+
+
+def q_exact_dedup(spark, sf):
+    from stackoverflowner_spark.operators.dedup import exact_dedup
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+def q_minhash(spark, sf):
+    from stackoverflowner_spark.operators.dedup import minhash_signatures
+    return minhash_signatures(_t(spark, sf, "documents"), n=3, k=4).withColumn(
+        "seed", F.col("seed").cast("long"))
+
+
+def q_jaccard_pairs(spark, sf):
+    from stackoverflowner_spark.operators.dedup import ngram_jaccard_pairs
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    ids = docs.select("doc_id")
+    pairs = (ids.select(F.col("doc_id").alias("id_a"))
+             .crossJoin(ids.select(F.col("doc_id").alias("id_b")))
+             .filter(F.col("id_a") < F.col("id_b")))
+    return ngram_jaccard_pairs(docs, pairs, threshold=0.05)
+
+
+def q_fingerprint(spark, sf):
+    from stackoverflowner_spark.operators.textstats import with_fingerprint
+    return with_fingerprint(_t(spark, sf, "documents")).select("doc_id", "fingerprint")
+
+
+def q_token_count(spark, sf):
+    from stackoverflowner_spark.operators.textstats import with_token_counts
+    return with_token_counts(_t(spark, sf, "documents")).select(
+        "doc_id", F.col("ws_tokens").cast("long").alias("ws_tokens"), "bpe_pieces")
+
+
+def q_quality(spark, sf):
+    from stackoverflowner_spark.operators.textstats import with_quality_score
+    return with_quality_score(_t(spark, sf, "documents")).select(
+        "doc_id", "n_words", "alpha_ratio", "punct_ratio", "stopword_hits", "quality")
+
+
+def q_lang_id(spark, sf):
+    from stackoverflowner_spark.operators.textstats import with_lang_id
+    return with_lang_id(_t(spark, sf, "documents")).select(
+        "doc_id",
+        F.col("hits_en").cast("long").alias("hits_en"),
+        F.col("hits_es").cast("long").alias("hits_es"),
+        F.col("hits_fr").cast("long").alias("hits_fr"),
+        F.col("hits_de").cast("long").alias("hits_de"),
+        "lang_pred")
+
+
+def q_embedding_topk(spark, sf):
+    from stackoverflowner_spark.operators.similarity import cosine_topk
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    out = cosine_topk(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_tpch_q1(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_nation_revenue(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    nation = _t(spark, sf, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+def q_conll_chunk_agg(spark, sf):
+    # A10: distributed conlleval chunk counting over a derived tag stream
+    from stackoverflowner_spark.operators.evalops import chunk_counts, spans_table
+    ev = _t(spark, sf, "events").withColumn(
+        "tag",
+        F.when(F.col("event_type") == "signup", F.lit("B-Sess"))
+        .when(F.col("event_type") == "click", F.lit("I-Sess"))
+        .otherwise(F.lit("O")),
+    )
+    sents = (
+        ev.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("ts", "event_id", "tag"))).alias("evs"))
+        .select(
+            F.col("user_id").cast("string").alias("url"),
+            F.lit(0).alias("sent_idx"),
+            F.expr("transform(evs, e -> e.tag)").alias("gold_tags"),
+            F.expr("transform(evs, e -> e.tag)").alias("pred_tags"),
+        )
+    )
+    spans = spans_table(sents)
+    return (chunk_counts(spans).select("entity_type", F.col("truth").alias("n_chunks")))
+
+
+# ---- rows-only operators (non-SQL-expressible or engine-specific hashing) -- #
+
+
+def q_simhash(spark, sf):
+    from stackoverflowner_spark.operators.dedup import simhash
+    return simhash(_t(spark, sf, "documents").filter(F.col("doc_id") < 200))
+
+
+def q_lsh_pairs(spark, sf):
+    from stackoverflowner_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+    sig = minhash_signatures(_t(spark, sf, "documents"), n=3, k=8)
+    return lsh_candidate_pairs(sig, rows_per_band=2)
+
+
+def q_lsh_ann(spark, sf):
+    from stackoverflowner_spark.operators.similarity import lsh_ann_topk
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    return lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=8)
+
+
+def q_ivf_assign(spark, sf):
+    from stackoverflowner_spark.operators.similarity import ivf_assignments
+    return ivf_assignments(_t(spark, sf, "embeddings"), dim=64).select(
+        "vec_id", "centroid")
+
+
+def q_kg_triples(spark, sf):
+    from stackoverflowner_spark.plans.pipeline import KGPipeline
+    from stackoverflowner_spark.sources.pages import synth_pages
+    import tempfile
+    n_docs = _t(spark, sf, "documents").count()
+    pages = synth_pages(spark, max(int(n_docs), 100))
+    pipe = KGPipeline(spark, tempfile.mkdtemp(prefix="sokg_q_"))
+    return pipe.run_fused(pages)
+
+
+def q_kg_mentions(spark, sf):
+    from stackoverflowner_spark.operators.document_kernel import (
+        extract_stage, mentions_stage, sentences_stage)
+    from stackoverflowner_spark.operators.tagger import GazetteerTagger
+    from stackoverflowner_spark.sources.pages import synth_pages
+    pages = synth_pages(spark, 200)
+    return mentions_stage(sentences_stage(extract_stage(pages)), GazetteerTagger())
+
+
+def q_multimodal_features(spark, sf):
+    from stackoverflowner_spark.operators.multimodal import extract_features, synth_media
+    return extract_features(synth_media(spark, 200))
+
+
+def q_components(spark, sf):
+    from stackoverflowner_spark.operators.components import connected_components
+    # two rings + one chain, deterministic
+    edges = [(f"n{i}", f"n{(i + 1) % 6}") for i in range(6)]
+    edges += [(f"m{i}", f"m{i + 1}") for i in range(4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return connected_components(df)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "vocab_mapping": q_vocab_mapping,
+        "vocab_pruned": q_vocab_pruned,
+        "char_vocab": q_char_vocab,
+        "tag_vocab": q_tag_vocab,
+        "entity_rank": q_entity_rank,
+        "cap_feature": q_cap_feature,
+        "ctc_dict_join": q_ctc_dict_join,
+        "semi_join": q_semi_join,
+        "union_distinct": q_union_distinct,
+        "window_top3": q_window_top3,
+        "lag_gap": q_lag_gap,
+        "exact_dedup": q_exact_dedup,
+        "minhash": q_minhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "fingerprint": q_fingerprint,
+        "token_count": q_token_count,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "embedding_topk": q_embedding_topk,
+        "tpch_q1": q_tpch_q1,
+        "nation_revenue": q_nation_revenue,
+        "conll_chunk_agg": q_conll_chunk_agg,
+        # rows-only (custom hashing / iterative / pipeline ops)
+        "simhash": q_simhash,
+        "lsh_pairs": q_lsh_pairs,
+        "lsh_ann": q_lsh_ann,
+        "ivf_assign": q_ivf_assign,
+        "kg_triples": q_kg_triples,
+        "kg_mentions": q_kg_mentions,
+        "multimodal_features": q_multimodal_features,
+        "components": q_components,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------- #
+# oracles (DuckDB)
+# --------------------------------------------------------------------------- #
+
+_WORDS_CTE = (
+    "with words as (select unnest(string_split(text, ' ')) as word from documents)"
+    " , w as (select word from words where word <> '')"
+)
+
+_STOP = {
+    "en": "'the','a','an','and','of','to','in','is','was','it','for','on','with','that','this'",
+    "es": "'el','la','los','las','de','que','y','en','un','una','es','por','con','para','se'",
+    "fr": "'le','la','les','de','des','et','en','un','une','est','que','pour','dans','sur','avec'",
+    "de": "'der','die','das','und','in','von','zu','mit','ist','des','den','ein','eine','auf','für'",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    hits = {
+        lang: (
+            f"(select count(distinct x) from unnest(string_split(lower(text), ' ')) "
+            f"as t(x) where x in ({words}))"
+        )
+        for lang, words in _STOP.items()
+    }
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in _STOP) + ")"
+    lang_case = (
+        "case when " + best + " = 0 then 'unk' "
+        + " ".join(
+            f"when hits_{lang} = {best} then '{lang}'"
+            for lang in sorted(_STOP)
+        )
+        + " else 'unk' end"
+    )
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return {
+        "vocab_mapping": _WORDS_CTE + """
+            select word, count(*) as freq,
+                   row_number() over (order by count(*) desc, word asc) as word_id
+            from w group by word""",
+        "vocab_pruned": """
+            with words as (select unnest(string_split(lower(text), ' ')) as word
+                           from documents),
+                 w as (select word from words where word <> '')
+            select word, count(*) as freq from w group by word having count(*) >= 3""",
+        "char_vocab": """
+            with chars as (select unnest(string_split(text, '')) as ch from documents)
+            select ch, count(*) as freq from chars where ch <> '' group by ch""",
+        "tag_vocab": "select event_type, count(*) as freq from events group by event_type",
+        "entity_rank": """
+            with c as (select event_type, count(*) as freq from events group by event_type),
+                 r as (select event_type, freq,
+                              row_number() over (order by freq desc, event_type asc) as rank
+                       from c)
+            select * from r where rank <= 5""",
+        "cap_feature": """
+            with pw as (select unnest(string_split(p_name, ' ')) as word from part),
+                 allw as (
+                   select word from pw where word <> ''
+                   union all select c_name from customer
+                   union all select upper(p_brand) from part),
+                 d as (select distinct word from allw)
+            select word,
+                   case when word = lower(word) then 0
+                        when word = upper(word) then 1
+                        when substring(word, 1, 1) = upper(substring(word, 1, 1)) then 2
+                        else 3 end as cap_class
+            from d""",
+        "ctc_dict_join": _WORDS_CTE + """
+            , d as (select distinct word from w)
+            select d.word, coalesce(dict.pred, 0) as ctc_pred
+            from d left join (values """ + ", ".join(
+                f"('{w}', {p})" for w, p in _CTC_DICT) + """) as dict(word, pred)
+            on d.word = dict.word""",
+        "semi_join": """
+            select c_custkey, c_name from customer
+            where exists (select 1 from orders where o_custkey = c_custkey)""",
+        "union_distinct": """
+            with a as (select unnest(string_split(text, ' ')) as word from documents),
+                 b as (select unnest(string_split(p_name, ' ')) as word from part)
+            select distinct word from (select word from a union all select word from b)
+            where word <> ''""",
+        "window_top3": """
+            with r as (select user_id, event_id,
+                              row_number() over (partition by user_id
+                                                 order by ts, event_id) as rn
+                       from events)
+            select user_id, event_id, rn from r where rn <= 3""",
+        "lag_gap": """
+            with r as (select user_id, event_id, epoch_us(ts)
+                              - lag(epoch_us(ts)) over (partition by user_id
+                                                        order by ts, event_id) as gap_us
+                       from events)
+            select user_id, event_id, gap_us from r where gap_us is not null""",
+        "exact_dedup": f"""
+            select md5({norm}) as content_hash, min(doc_id) as keep_id,
+                   count(*) as dup_count
+            from documents group by 1""",
+        "minhash": f"""
+            with words as (select doc_id,
+                     list_filter(string_split({norm}, ' '), x -> x <> '') as ws
+                   from documents),
+                 shingles as (select doc_id, array_to_string(ws[i:i+2], ' ') as shingle
+                   from words, unnest(generate_series(1, greatest(len(ws)-2, 1))) as t(i))
+            select doc_id, seed, min(md5(shingle || ':' || seed)) as minhash
+            from shingles, unnest(generate_series(0, 3)) as s(seed)
+            group by doc_id, seed""",
+        "jaccard_pairs": f"""
+            with d as (select doc_id, {norm} as nt from documents where doc_id < 40),
+                 words as (select doc_id,
+                     list_filter(string_split(nt, ' '), x -> x <> '') as ws from d),
+                 sh as (select distinct doc_id, array_to_string(ws[i:i+2], ' ') as shingle
+                   from words, unnest(generate_series(1, greatest(len(ws)-2, 1))) as t(i)),
+                 sizes as (select doc_id, count(*) as n from sh group by doc_id),
+                 inter as (select a.doc_id as id_a, b.doc_id as id_b,
+                                  count(*) as n_inter
+                           from sh a join sh b using (shingle)
+                           where a.doc_id < b.doc_id group by 1, 2)
+            select id_a, id_b,
+                   round(n_inter / (sa.n + sb.n - n_inter), 6) as jaccard
+            from inter
+            join sizes sa on sa.doc_id = id_a
+            join sizes sb on sb.doc_id = id_b
+            where n_inter / (sa.n + sb.n - n_inter) >= 0.05""",
+        "fingerprint": f"select doc_id, md5({norm}) as fingerprint from documents",
+        "token_count": r"""
+            select doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) as ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) as bpe_pieces
+            from documents""",
+        "quality": f"""
+            select doc_id,
+              len(list_filter(string_split(text, ' '), x -> x <> '')) as n_words,
+              round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    / greatest(length(text), 1), 6) as alpha_ratio,
+              round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                    / greatest(length(text), 1), 6) as punct_ratio,
+              {hits['en']} as stopword_hits,
+              round(least(len(list_filter(string_split(text, ' '), x -> x <> '')) / 100.0, 1.0) * 0.4
+                    + (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       / greatest(length(text), 1)) * 0.4
+                    + least({hits['en']} / 10.0, 1.0) * 0.2, 6) as quality
+            from documents""",
+        "lang_id": f"""
+            with h as (select doc_id,
+                  {hits['en']} as hits_en, {hits['es']} as hits_es,
+                  {hits['fr']} as hits_fr, {hits['de']} as hits_de
+                from documents)
+            select doc_id, hits_en, hits_es, hits_fr, hits_de,
+                   {lang_case} as lang_pred
+            from h""",
+        "embedding_topk": """
+            with scored as (
+              select q.vec_id as q_id, c.vec_id,
+                round(list_dot_product(q.embedding, c.embedding)
+                  / (greatest(sqrt(list_dot_product(q.embedding, q.embedding)), 1e-12)
+                   * greatest(sqrt(list_dot_product(c.embedding, c.embedding)), 1e-12)),
+                  6) as cosine
+              from embeddings c, (select * from embeddings where vec_id < 5) q),
+            ranked as (
+              select *, row_number() over (partition by q_id
+                                           order by cosine desc, vec_id asc) as rank
+              from scored)
+            select q_id, vec_id, cosine, rank from ranked where rank <= 5""",
+        "tpch_q1": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) as sum_qty,
+                   round(sum(l_extendedprice), 2) as sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+                   round(avg(l_quantity), 4) as avg_qty,
+                   round(avg(l_discount), 4) as avg_disc,
+                   count(*) as count_order
+            from lineitem
+            where l_shipdate <= timestamp '1998-09-02 00:00:00'
+            group by l_returnflag, l_linestatus""",
+        "nation_revenue": """
+            select n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+                   count(*) as n_items
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            join nation on c_nationkey = n_nationkey
+            group by n_name""",
+        "conll_chunk_agg": """
+            with tagged as (
+              select user_id, event_id, ts,
+                case event_type when 'signup' then 'B-Sess'
+                                when 'click' then 'I-Sess' else 'O' end as tag
+              from events),
+            w as (select *, lag(tag) over (partition by user_id
+                                           order by ts, event_id) as prev
+                  from tagged)
+            select 'Sess' as entity_type,
+                   count(*) filter (where tag = 'B-Sess'
+                     or (tag = 'I-Sess' and (prev is null or prev = 'O'))) as n_chunks
+            from w""",
+    }

@@ -1,0 +1,131 @@
+"""Deduplication operators for training-data pipelines.
+
+* exact_dedup        — hash-groupBy on a content fingerprint (one shuffle).
+* minhash signatures — k independent min-hashes over word shingles. Hash =
+  md5(shingle || ":" || seed), minimized lexicographically; md5 is identical
+  in every engine, which makes the operator oracle-checkable in DuckDB and
+  reproducible across resume boundaries (no JVM-specific hash).
+* LSH banding        — signatures -> (band, band_hash) buckets -> candidate
+  pairs via self-join on bucket. The self-join is the only quadratic-ish
+  step and it only touches colliding buckets.
+* simhash            — 64-bit sign-aggregated word-hash fingerprint,
+  computed with xxhash64 per word (JVM-side).
+* n-gram Jaccard     — verification step on candidate pairs.
+
+Scale notes: signatures are fixed-width per doc (k strings), so the shuffle
+volume of banding is O(docs * k), independent of doc length. Pair
+verification joins only within buckets; with b bands / r rows the collision
+probability follows the standard S-curve, so the expensive Jaccard UDF runs
+on a vanishing fraction of pairs at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(text_col="text"):
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+                ) -> DataFrame:
+    """Keep the minimum id per identical normalized text; return survivors
+    with group size."""
+    h = F.md5(normalized_text(text_col))
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3) -> DataFrame:
+    """Explode n-word shingles of the normalized text."""
+    toks = F.filter(F.split(normalized_text(text_col), " "), lambda x: x != "")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3, k: int = 8
+                       ) -> DataFrame:
+    """(doc, seed, min md5(shingle:seed)) -> one row per doc per hash seed."""
+    shingles = word_shingles(df, id_col, text_col, n)
+    seeded = shingles.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+    return (
+        seeded.withColumn(
+            "h", F.md5(F.concat_ws(":", F.col("shingle"), F.col("seed"))))
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        rows_per_band: int = 2) -> DataFrame:
+    """Band the signature rows and self-join on (band, band_hash)."""
+    banded = (
+        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash"))))
+             .alias("band_hash"))
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.7) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard similarity."""
+    sh = word_shingles(df, id_col, text_col, n).distinct()
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (
+        pairs.join(a, "id_a").join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") /
+                    (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """Sign-aggregated word-hash fingerprint (JVM xxhash64 per word)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(normalized_text(text_col), " "),
+                           lambda x: x != "")).alias("word"),
+    ).withColumn("h", F.xxhash64("word"))
+    bit_cols = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_cols)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"b{b}") > 0,
+                           F.lit(1).cast("long") * (2 ** b if b < 63 else -(2 ** 63))
+                           ).otherwise(0)
+    return agg.select(F.col(id_col), sim.alias("simhash"))

@@ -1,0 +1,95 @@
+"""Distributed evaluation: conlleval chunk metrics + triple P/R.
+
+Spark restatement of the reference scorer (conlleval_py.py:146-341, A10/A11):
+per-sentence span extraction is row-local (kernel.conlleval.extract_chunks in
+a pandas UDF over tag arrays); counting is a distributed groupBy; the final
+per-type P/R/F1 is a tiny driver-side collect.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernel.conlleval import calc_metrics, extract_chunks
+
+_SPANS_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("sent_idx", T.IntegerType()),
+    T.StructField("entity_type", T.StringType()),
+    T.StructField("tok_start", T.IntegerType()),
+    T.StructField("tok_end", T.IntegerType()),
+    T.StructField("side", T.StringType()),
+])
+
+
+def spans_table(tagged_sentences: DataFrame, gold_col: str = "gold_tags",
+                pred_col: str = "pred_tags") -> DataFrame:
+    """(url, sent_idx, gold_tags array, pred_tags array) -> exploded spans."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, sent_idx, gold, pred in zip(
+                    pdf["url"], pdf["sent_idx"], pdf[gold_col], pdf[pred_col]):
+                for typ, a, b in extract_chunks(list(gold)):
+                    out.append((url, int(sent_idx), typ, a, b, "gold"))
+                for typ, a, b in extract_chunks(list(pred)):
+                    out.append((url, int(sent_idx), typ, a, b, "pred"))
+            yield pd.DataFrame(out, columns=[
+                "url", "sent_idx", "entity_type", "tok_start", "tok_end", "side"])
+
+    return tagged_sentences.mapInPandas(run, schema=_SPANS_SCHEMA)
+
+
+def chunk_counts(spans: DataFrame) -> DataFrame:
+    """Per-type guessed / truth / correct counts (distributed)."""
+    gold = spans.filter(F.col("side") == "gold").drop("side")
+    pred = spans.filter(F.col("side") == "pred").drop("side")
+    truth = gold.groupBy("entity_type").agg(F.count("*").alias("truth"))
+    guessed = pred.groupBy("entity_type").agg(F.count("*").alias("guessed"))
+    correct = (
+        gold.join(pred, ["url", "sent_idx", "entity_type", "tok_start", "tok_end"])
+        .groupBy("entity_type").agg(F.count("*").alias("correct"))
+    )
+    return (
+        truth.join(guessed, "entity_type", "full")
+        .join(correct, "entity_type", "full")
+        .fillna(0, subset=["truth", "guessed", "correct"])
+    )
+
+
+def conll_report(counts: DataFrame) -> dict:
+    rows = counts.collect()
+    report = {}
+    tp = sum(r["correct"] for r in rows)
+    p = sum(r["guessed"] for r in rows)
+    t = sum(r["truth"] for r in rows)
+    pr, rc, f1 = calc_metrics(tp, p, t)
+    report["__overall__"] = {"precision": pr, "recall": rc, "f1": f1,
+                             "tp": tp, "guessed": p, "truth": t}
+    for r in rows:
+        pr, rc, f1 = calc_metrics(r["correct"], r["guessed"], r["truth"])
+        report[r["entity_type"]] = {
+            "precision": pr, "recall": rc, "f1": f1,
+            "tp": r["correct"], "guessed": r["guessed"], "truth": r["truth"]}
+    return report
+
+
+def triple_pr(candidate: DataFrame, reference: DataFrame) -> dict:
+    """P/R of candidate (subj,pred,obj) triples vs a reference set
+    (the north-rule quality gate)."""
+    c = candidate.select("subj", "pred", "obj").distinct()
+    r = reference.select("subj", "pred", "obj").distinct()
+    n_c = c.count()
+    n_r = r.count()
+    n_i = c.join(r, ["subj", "pred", "obj"], "left_semi").count()
+    precision = n_i / n_c if n_c else 0.0
+    recall = n_i / n_r if n_r else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"precision": precision, "recall": recall, "f1": f1,
+            "candidate": n_c, "reference": n_r, "intersection": n_i}
