@@ -1,0 +1,174 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries + flagship KG pipeline + scaling run.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "triples": ..., "triples_per_sec": ..., "scaling": {...}}
+
+Scaling evidence (north rule, sandbox protocol per BASELINE.md): the same
+flagship job on the same deterministic input at local[8] and local[32];
+efficiency = (t_8 / t_32) / (32/8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _fresh_spark(cores: int):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        time.sleep(1)
+
+    from stackoverflowner_spark.session import get_spark
+
+    spark = get_spark(app_name=f"sokg-bench-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def materialize_pages(spark, n_pages: int, path: str) -> str:
+    """Write the deterministic pages table once (the real pipeline reads an
+    Iceberg/parquet table per the input_hint; generation is input production,
+    not engine work, so it stays out of the timed region)."""
+    from stackoverflowner_spark.sources.pages import synth_pages
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth_pages(spark, n_pages).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _flagship_elapsed(spark, n_pages: int, warmup: bool = True,
+                      pages_path: str | None = None) -> tuple[float, int]:
+    import tempfile
+
+    from stackoverflowner_spark.plans.pipeline import KGPipeline
+    from stackoverflowner_spark.sources.pages import synth_pages
+
+    pipe = KGPipeline(spark, tempfile.mkdtemp(prefix="sokg_bench_"))
+    if warmup:
+        # spawn/reuse python workers + JIT the codegen paths before timing
+        pipe.run_fused(synth_pages(spark, 256)).count()
+    if pages_path:
+        pages = spark.read.parquet(pages_path)
+    else:
+        pages = synth_pages(spark, n_pages)
+    t0 = time.time()
+    n_triples = pipe.run_fused(pages).count()
+    return time.time() - t0, n_triples
+
+
+_PINNED_SNIPPET = """
+import os, sys, time, json
+os.sched_setaffinity(0, set(range({cores})))
+sys.path.insert(0, {repo!r})
+from bench import _fresh_spark, _flagship_elapsed
+spark = _fresh_spark({cores})
+e1, n = _flagship_elapsed(spark, {n_pages}, warmup=True, pages_path={pages_path!r})
+e2, n = _flagship_elapsed(spark, {n_pages}, warmup=False, pages_path={pages_path!r})
+print(json.dumps({{"elapsed": min(e1, e2), "triples": n}}))
+"""
+
+
+def _pinned_flagship_sec(cores: int, n_pages: int,
+                         pages_path: str | None = None) -> float:
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    snippet = _PINNED_SNIPPET.format(cores=cores, n_pages=n_pages, repo=repo,
+                                     pages_path=pages_path)
+    out = subprocess.run(
+        [sys.executable, "-c", snippet], capture_output=True, text=True,
+        cwd=repo, timeout=1800)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return float(json.loads(line)["elapsed"])
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "__spark_entry__.py"))
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = 0.1
+
+    headline = ["tpch_q1", "nation_revenue", "vocab_mapping", "exact_dedup",
+                "minhash", "lsh_pairs", "embedding_topk", "conll_chunk_agg",
+                "quality", "lang_id", "token_count", "simhash"]
+
+    spark = _fresh_spark(CPUS)
+    qtimes: dict[str, float] = {}
+    qs = entry.queries()
+    for name in headline:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "0")) or int(
+        max(4000, sf_val * 480_000))
+    pages_path = os.path.join(
+        os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp"),
+        f"sokg_bench_pages_{n_pages}")
+    materialize_pages(spark, n_pages, pages_path)
+    big_elapsed, n_triples = _flagship_elapsed(spark, n_pages,
+                                               pages_path=pages_path)
+    qtimes["kg_pipeline"] = round(big_elapsed, 3)
+
+    # Scaling evidence: same job, same materialized input table, two
+    # *CPU-pinned* parallelism levels. local[k] alone does not bound CPU for
+    # chained Python stages (each task pipelines through several Python
+    # workers, so local[8] can consume ~3x8 cores); sched_setaffinity on the
+    # child process tree is the honest N-executor vs 4N-executor emulation.
+    lo_cores, hi_cores = 8, CPUS
+    n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "0")) or 2 * n_pages
+    scale_path = os.path.join(
+        os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp"),
+        f"sokg_bench_pages_{n_scale}")
+    materialize_pages(spark, n_scale, scale_path)
+    t_lo = _pinned_flagship_sec(lo_cores, n_scale, scale_path)
+    t_hi = _pinned_flagship_sec(hi_cores, n_scale, scale_path)
+    eff = (t_lo / t_hi) / (hi_cores / lo_cores) if t_hi > 0 else 0.0
+
+    total = round(sum(qtimes.values()), 3)
+    result = {
+        "metric": "kg_e2e_plus_headline_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_val,
+        "pages": n_pages,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / big_elapsed, 1),
+        "pages_per_sec": round(n_pages / big_elapsed, 1),
+        "scaling": {
+            "cores_lo": lo_cores, "cores_hi": hi_cores,
+            "pages": n_scale,
+            "sec_lo": round(t_lo, 3), "sec_hi": round(t_hi, 3),
+            "pages_per_sec_lo": round(n_scale / t_lo, 1),
+            "pages_per_sec_hi": round(n_scale / t_hi, 1),
+            "efficiency": round(eff, 3),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

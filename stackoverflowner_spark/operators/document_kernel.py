@@ -138,6 +138,52 @@ def tokens_long(sentences: DataFrame) -> DataFrame:
     )
 
 
+def pages_to_mentions_fused(pages: DataFrame, tagger,
+                            lang_filter: str | None = "en") -> DataFrame:
+    """Single-pass hot path: pages -> mentions in ONE mapInPandas.
+
+    Same logical result as extract_stage |> sentences_stage |> mentions_stage
+    (asserted in tests), but one Arrow crossing instead of three — at scale
+    the kernel chain is store-and-forward per batch, so every extra hop adds
+    a serialization round trip plus a Python worker in the task pipeline.
+    The modular stages remain the checkpointed path (plans/pipeline.py).
+    """
+    if lang_filter:
+        pages = pages.filter(F.col("lang") == lang_filter)
+    cols = pages.select("url", "html", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+                try:
+                    if html is not None:
+                        extracted = extract_text(bytes(html).decode("utf-8", "replace"))
+                    elif text is not None:
+                        extracted = text
+                    else:
+                        continue
+                    final, anns = sentencize(extracted, url.rsplit("/", 1)[-1])
+                    conll = text_to_conll_rows(final, anns)
+                except (ExtractionError, TokenizerGuardError):
+                    continue
+                by_sent: dict = {}
+                for r in conll:
+                    by_sent.setdefault(r.sent_idx, []).append(r)
+                for sent_idx, rs in by_sent.items():
+                    tokens = [r.token for r in rs]
+                    tags = tagger.tag(tokens, [r.tag for r in rs])
+                    for typ, a, b in extract_chunks(tags):
+                        surface = " ".join(tokens[a:b])
+                        out.append((url, sent_idx, a, b, surface,
+                                    surface.lower(), typ))
+            yield pd.DataFrame(out, columns=[
+                "url", "sent_idx", "tok_start", "tok_end", "surface",
+                "surface_norm", "tag_type"])
+
+    return cols.mapInPandas(run, schema=MENTIONS_SCHEMA)
+
+
 MENTIONS_SCHEMA = T.StructType([
     T.StructField("url", T.StringType(), False),
     T.StructField("sent_idx", T.IntegerType(), False),

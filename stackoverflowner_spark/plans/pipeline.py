@@ -90,10 +90,12 @@ class KGPipeline:
         ]
 
     def build_fused(self, pages: DataFrame) -> DataFrame:
-        df = pages
-        for _, fn in self._stage_fns():
-            df = fn(df)
-        return df
+        """One Arrow crossing for the whole document kernel, then broadcast
+        link + triple dedup. Logical result identical to the modular stage
+        chain (asserted in tests/test_spark_pipeline.py)."""
+        mentions = dk.pages_to_mentions_fused(pages, self.tagger, self.lang_filter)
+        linked = link(mentions, self.dictionary, self.link_strategy)
+        return triples_from_linked(linked, n_buckets=self.n_buckets)
 
     def run_fused(self, pages: DataFrame) -> DataFrame:
         return self.build_fused(pages)
