@@ -138,11 +138,15 @@ def main() -> None:
     # workers, so local[8] can consume ~3x8 cores); sched_setaffinity on the
     # child process tree is the honest N-executor vs 4N-executor emulation.
     lo_cores, hi_cores = 8, CPUS
-    n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "0")) or 2 * n_pages
+    n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "0")) or n_pages
     scale_path = os.path.join(
         os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp"),
         f"sokg_bench_pages_{n_scale}")
     materialize_pages(spark, n_scale, scale_path)
+    # quiesce: the headline session's JVM must not coexist with the pinned
+    # child JVMs (memory + GC interference skews the comparison)
+    spark.stop()
+    time.sleep(2)
     t_lo = _pinned_flagship_sec(lo_cores, n_scale, scale_path)
     t_hi = _pinned_flagship_sec(hi_cores, n_scale, scale_path)
     eff = (t_lo / t_hi) / (hi_cores / lo_cores) if t_hi > 0 else 0.0

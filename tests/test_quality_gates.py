@@ -1,0 +1,183 @@
+"""Quality gates: triple P/R vs the single-process reference computation,
+Spark conlleval vs the kernel scorer, gold-corpus loading, CTC operator,
+streaming ingest, auxiliary sources.
+"""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stackoverflowner_spark.kernel import conlleval as kconll
+from stackoverflowner_spark.kernel.bio import text_to_conll_rows
+from stackoverflowner_spark.kernel.htmltext import extract_text
+from stackoverflowner_spark.kernel.sentencize import sentencize
+from stackoverflowner_spark.operators.document_kernel import pages_to_mentions_fused
+from stackoverflowner_spark.operators.evalops import (
+    chunk_counts, conll_report, spans_table, triple_pr)
+from stackoverflowner_spark.operators.link import link_broadcast
+from stackoverflowner_spark.operators.tagger import GazetteerTagger
+from stackoverflowner_spark.operators.triples import triples_from_linked
+from stackoverflowner_spark.session import get_spark
+from stackoverflowner_spark.sources.dictionary import dictionary_df, gazetteer_map
+from stackoverflowner_spark.sources.pages import synth_page, synth_pages
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(app_name="sokg-gates", master="local[8]", shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _reference_triples_single_process(n_pages: int):
+    """The reference computation path, run as plain Python (no Spark):
+    kernel extract -> sentencize -> conll -> tag -> chunk -> link -> triples.
+    This is the oracle for the north-rule triple P/R >= 0.95 gate: the
+    distributed pipeline must reproduce the per-document computation."""
+    from stackoverflowner_spark.kernel.conlleval import extract_chunks
+
+    gmap = gazetteer_map()
+    tagger = GazetteerTagger()
+    triples = set()
+    for i in range(n_pages):
+        p = synth_page(i)
+        if p["lang"] != "en":
+            continue
+        url = p["url"]
+        extracted = extract_text(bytes(p["html"]).decode())
+        final, anns = sentencize(extracted, url.rsplit("/", 1)[-1])
+        conll = text_to_conll_rows(final, anns)
+        by = {}
+        for r in conll:
+            by.setdefault(r.sent_idx, []).append(r)
+        for _, rs in by.items():
+            toks = [r.token for r in rs]
+            tags = tagger.tag(toks, [r.tag for r in rs])
+            for typ, a, b in extract_chunks(tags):
+                surface = " ".join(toks[a:b]).lower()
+                hit = gmap.get(surface)
+                if hit is None:
+                    continue
+                cid, etype = hit
+                triples.add((cid, "instance_of", etype, url))
+                triples.add((cid, "mentioned_in", url, url))
+                triples.add((surface, "alias_of", cid, url))
+    return triples
+
+
+def test_triple_pr_gate_vs_reference(spark):
+    """North-rule gate: Spark triples P/R >= 0.95 vs the reference
+    computation (here: exactly 1.0 — the distributed plan must not change
+    the per-document result)."""
+    n = 150
+    ref = _reference_triples_single_process(n)
+    pages = synth_pages(spark, n)
+    mentions = pages_to_mentions_fused(pages, GazetteerTagger())
+    tri = triples_from_linked(link_broadcast(mentions, dictionary_df(spark)))
+    ref_df = spark.createDataFrame(
+        [(s, p, o) for (s, p, o, u) in ref], ["subj", "pred", "obj"])
+    pr = triple_pr(tri, ref_df)
+    assert pr["precision"] >= 0.95 and pr["recall"] >= 0.95, pr
+    # and in fact exact
+    assert pr["precision"] == 1.0 and pr["recall"] == 1.0, pr
+
+
+def test_spark_conlleval_matches_kernel(spark):
+    golds = [
+        ["B-Class", "I-Class", "O", "B-Function"],
+        ["O", "B-Library", "I-Library", "O"],
+        ["B-Class", "O", "B-Class", "I-Class"],
+    ]
+    preds = [
+        ["B-Class", "I-Class", "O", "O"],
+        ["O", "B-Library", "B-Library", "O"],
+        ["B-Class", "O", "B-Class", "I-Class"],
+    ]
+    kernel_report = kconll.evaluate_sentences(golds, preds)
+    rows = [(str(i), 0, g, p) for i, (g, p) in enumerate(zip(golds, preds))]
+    df = spark.createDataFrame(
+        rows, "url string, sent_idx int, gold_tags array<string>, pred_tags array<string>")
+    spark_report = conll_report(chunk_counts(spans_table(df)))
+    for key in kernel_report:
+        for m in ("precision", "recall", "f1", "tp", "guessed", "truth"):
+            assert abs(kernel_report[key][m] - spark_report[key][m]) < 1e-9, (key, m)
+
+
+REF_GOLD = "/root/reference/resources/annotated_ner_data/StackOverflow/test.txt"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_GOLD), reason="reference gold absent")
+def test_gold_corpus_loader_on_reference_test_split(spark):
+    from stackoverflowner_spark.sources.textlines import gold_conll
+    df = gold_conll(spark, REF_GOLD).cache()
+    n_sent = df.count()
+    assert n_sent > 2000
+    # no sentinel sentences survive the filters (loader_so.py:107-128)
+    leaked = df.filter(
+        F.array_contains("words", "Question_URL")
+        | F.expr("exists(words, w -> w = 'CODE_BLOCK')")
+        & F.expr("exists(words, w -> w = 'omitted')")).count()
+    assert leaked == 0
+    # merged label space only
+    tags = {r[0] for r in df.select(F.explode("tags")).distinct().collect()}
+    names = {t.split("-", 1)[1] for t in tags if t != "O"}
+    assert "Function_Name" not in names and "Library_Class" not in names
+    assert names <= {
+        "Class", "Application", "Variable", "User_Interface_Element",
+        "Code_Block", "Function", "Language", "Library", "Data_Structure",
+        "Data_Type", "File_Type", "File_Name", "Version", "HTML_XML_Tag",
+        "Device", "Operating_System", "User_Name", "Website", "Output_Block",
+        "Algorithm"}, names
+
+
+def test_ctc_operator_column(spark):
+    from stackoverflowner_spark.operators.ctcop import fit_ctc, with_ctc_column
+    natural = ["the", "quick", "brown", "fox", "and", "over", "with", "is"] * 4
+    code = ["x=1", "foo()", "a.b", "arr[0]", "np.sum", "i++", "df.col"] * 4
+    art = fit_ctc(natural, code)
+    df = spark.createDataFrame(
+        [("u", t) for t in ["the", "123", "http://x.com", "foo()", "fox"]],
+        ["url", "token"])
+    rows = {r.token: r.ctc for r in with_ctc_column(df, spark, art).collect()}
+    assert rows["123"] == 1      # IS_NUMBER rule
+    assert rows["http://x.com"] == 0  # IS_URL rule
+    assert set(rows.values()) <= {0, 1}
+
+
+def test_freq_vector_operator(spark):
+    from stackoverflowner_spark.operators.ctcop import fit_freq_vector, with_freq_vector
+    df = spark.createDataFrame([("a",), ("a",), ("b",), ("c",), ("a",)], ["token"])
+    art = fit_freq_vector(df)
+    out = with_freq_vector(df, spark, art).collect()
+    assert all(len(r.freq_vector) == 102 for r in out)
+    assert all(abs(sum(r.freq_vector) - 1.0) < 1e-3 for r in out)
+
+
+def test_body_lines_source(spark, tmp_path):
+    p = tmp_path / "bodies.txt"
+    p.write_text("<p>first post</p>\n\n<p>second post</p>\n")
+    from stackoverflowner_spark.sources.textlines import body_lines
+    rows = body_lines(spark, str(p)).collect()
+    assert [(r.post_id, r.body) for r in rows] == [
+        ("000000", "<p>first post</p>"), ("000001", "<p>second post</p>")]
+
+
+def test_streaming_triples(spark, tmp_path):
+    from stackoverflowner_spark.streaming.ingest import start_triples_stream
+    pages_dir = str(tmp_path / "pages")
+    synth_pages(spark, 60).write.mode("overwrite").parquet(pages_dir)
+    out_dir = str(tmp_path / "tri")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_triples_stream(spark, pages_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    tri = spark.read.parquet(out_dir)
+    assert tri.count() > 0
+    # equals the batch result
+    batch = triples_from_linked(link_broadcast(
+        pages_to_mentions_fused(spark.read.parquet(pages_dir), GazetteerTagger()),
+        dictionary_df(spark)))
+    a = set(map(tuple, tri.select("subj", "pred", "obj", "url").collect()))
+    b = set(map(tuple, batch.select("subj", "pred", "obj", "url").collect()))
+    assert a == b
