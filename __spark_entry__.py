@@ -311,6 +311,32 @@ def q_multimodal_features(spark, sf):
     return extract_features(synth_media(spark, 200))
 
 
+def q_ctc_predict(spark, sf):
+    # M1-M4: CTC stack as a column (rows-only: the MLP is engine-specific)
+    from stackoverflowner_spark.operators.ctcop import fit_ctc, with_ctc_column
+    from stackoverflowner_spark.operators.vocab import words_from_text
+    docs = _t(spark, sf, "documents").limit(200)
+    words = words_from_text(docs).distinct().withColumnRenamed("word", "token")
+    natural = ["the", "a", "and", "of", "to", "in", "is", "was", "row", "data",
+               "table", "value", "fast", "slow", "query", "small", "big"] * 3
+    code = ["x=1", "foo()", "a.b", "arr[0]", "np.sum", "i++", "df.col",
+            "obj->f", "std::io", "print(x)"] * 3
+    art = fit_ctc(natural, code)
+    return with_ctc_column(words, spark, art).select(
+        "token", F.col("ctc").cast("long").alias("ctc"))
+
+
+def q_freq_vector(spark, sf):
+    # A7-A9: word-frequency Gaussian binning (rows-only: float vectors)
+    from stackoverflowner_spark.operators.ctcop import fit_freq_vector, with_freq_vector
+    from stackoverflowner_spark.operators.vocab import words_from_text
+    words = words_from_text(_t(spark, sf, "documents")).withColumnRenamed(
+        "word", "token")
+    art = fit_freq_vector(words)
+    return with_freq_vector(words.distinct(), spark, art).select(
+        "token", F.size("freq_vector").alias("dim"))
+
+
 def q_components(spark, sf):
     from stackoverflowner_spark.operators.components import connected_components
     # two rings + one chain, deterministic
@@ -349,6 +375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "lsh_ann": q_lsh_ann,
         "ivf_assign": q_ivf_assign,
+        "ctc_predict": q_ctc_predict,
+        "freq_vector": q_freq_vector,
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
         "multimodal_features": q_multimodal_features,
