@@ -146,6 +146,21 @@ def q_lag_gap(spark, sf):
             .select("user_id", "event_id", "gap_us"))
 
 
+def q_word_ids(spark, sf):
+    # J6: word -> id lookup against the create_mapping vocabulary with <UNK>
+    # fallback (loader_so.py:480-495); pruned vocab per A3.
+    docs = _t(spark, sf, "documents")
+    words = _words(docs.withColumn("text", F.lower(F.col("text"))))
+    vocab = (words.groupBy("word").agg(F.count("*").alias("freq"))
+             .filter(F.col("freq") >= 3))
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    mapping = vocab.withColumn("word_id", F.row_number().over(w).cast("long"))
+    distinct_words = words.distinct()
+    return (distinct_words.join(F.broadcast(mapping.select("word", "word_id")),
+                                "word", "left")
+            .select("word", F.coalesce("word_id", F.lit(0)).alias("word_id")))
+
+
 def q_exact_dedup(spark, sf):
     from stackoverflowner_spark.operators.dedup import exact_dedup
     return exact_dedup(_t(spark, sf, "documents"))
@@ -359,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct": q_union_distinct,
         "window_top3": q_window_top3,
         "lag_gap": q_lag_gap,
+        "word_ids": q_word_ids,
         "exact_dedup": q_exact_dedup,
         "minhash": q_minhash,
         "jaccard_pairs": q_jaccard_pairs,
@@ -478,6 +494,18 @@ def oracle_sql() -> dict[str, str]:
                                                         order by ts, event_id) as gap_us
                        from events)
             select user_id, event_id, gap_us from r where gap_us is not null""",
+        "word_ids": """
+            with words as (select unnest(string_split(lower(text), ' ')) as word
+                           from documents),
+                 w as (select word from words where word <> ''),
+                 vocab as (select word, count(*) as freq from w group by word
+                           having count(*) >= 3),
+                 mapping as (select word,
+                       row_number() over (order by freq desc, word asc) as word_id
+                     from vocab),
+                 d as (select distinct word from w)
+            select d.word, coalesce(mapping.word_id, 0) as word_id
+            from d left join mapping on d.word = mapping.word""",
         "exact_dedup": f"""
             select md5({norm}) as content_hash, min(doc_id) as keep_id,
                    count(*) as dup_count
