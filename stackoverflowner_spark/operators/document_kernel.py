@@ -195,6 +195,31 @@ MENTIONS_SCHEMA = T.StructType([
 ])
 
 
+def seg_tags_stage(sentences: DataFrame, segmenter) -> DataFrame:
+    """sentences -> sentence rows + binary seg_tags column (reference stage 6,
+    E2E_SoftNER.py:65-94 + segmenter predict): the aux channel the NER model
+    consumes. Row-local, narrow."""
+    rows = sentences.filter(F.col("sent_idx") >= 0)
+    schema = T.StructType(list(SENTENCES_SCHEMA.fields) + [
+        T.StructField("seg_tags", T.ArrayType(T.StringType()), False)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, sent_idx, tokens, md_tags, starts, ends in zip(
+                    pdf["url"], pdf["sent_idx"], pdf["tokens"], pdf["md_tags"],
+                    pdf["starts"], pdf["ends"]):
+                tokens = list(tokens)
+                seg = segmenter.tag(tokens, list(md_tags))
+                out.append((url, int(sent_idx), tokens, list(md_tags),
+                            list(starts), list(ends), seg))
+            yield pd.DataFrame(out, columns=[
+                "url", "sent_idx", "tokens", "md_tags", "starts", "ends",
+                "seg_tags"])
+
+    return rows.mapInPandas(run, schema=schema)
+
+
 def mentions_stage(sentences: DataFrame, tagger) -> DataFrame:
     """sentences -> mention spans using a row-local tagger.
 

@@ -80,6 +80,36 @@ def conll_report(counts: DataFrame) -> dict:
     return report
 
 
+def format_report(report: dict, fmt: str = "text") -> str:
+    """A11 reporting (conlleval_py.py:246-341 / print_result.py:9-97):
+    P/R/F1 rounded to 2 decimals, per-type rows sorted by name, overall last.
+    Formats: conlleval-style text, latex tabular, tsv."""
+    types = sorted(k for k in report if k != "__overall__")
+    rows = [
+        (t, round(report[t]["precision"], 2), round(report[t]["recall"], 2),
+         round(report[t]["f1"], 2), report[t]["guessed"], report[t]["tp"])
+        for t in types
+    ]
+    o = report["__overall__"]
+    rows.append(("overall", round(o["precision"], 2), round(o["recall"], 2),
+                 round(o["f1"], 2), o["guessed"], o["tp"]))
+    if fmt == "tsv":
+        header = "\t".join(["type", "Precision", "Recall", "F1",
+                            "Predicted", "Correctly Predicted"])
+        return "\n".join([header] + ["\t".join(str(x) for x in r) for r in rows])
+    if fmt == "latex":
+        lines = ["\\begin{tabular}{lrrrrr}",
+                 " & Precision & Recall & F1 & Predicted & Correct \\\\"]
+        lines += [" & ".join(str(x) for x in r) + " \\\\" for r in rows]
+        lines.append("\\end{tabular}")
+        return "\n".join(lines)
+    out = []
+    for name, p, r, f1, guessed, tp in rows:
+        out.append("%17s: precision: %6.2f%%; recall: %6.2f%%; FB1: %6.2f"
+                   " foundGuessed:  %d" % (name, p, r, f1, guessed))
+    return "\n".join(out)
+
+
 def triple_pr(candidate: DataFrame, reference: DataFrame) -> dict:
     """P/R of candidate (subj,pred,obj) triples vs a reference set
     (the north-rule quality gate)."""

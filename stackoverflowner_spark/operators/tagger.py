@@ -77,6 +77,20 @@ class GazetteerTagger(Tagger):
         return tags
 
 
+class SegmenterTagger(Tagger):
+    """Binary segmenter (reference M6 semantics: labels {O, Name},
+    softner_segmenter_preditct_from_file.py). Deterministic default: a token
+    span is a Name candidate when the gazetteer or a markdown sentinel covers
+    it. The NER tagger consumes this as its ``pred_seg_label`` aux channel."""
+
+    def __init__(self, base: Optional[GazetteerTagger] = None):
+        self.base = base or GazetteerTagger()
+
+    def tag(self, tokens: Sequence[str], md_tags: Sequence[str]) -> List[str]:
+        bio = self.base.tag(tokens, md_tags)
+        return ["Name" if t != "O" else "O" for t in bio]
+
+
 class ModelTagger(Tagger):
     """Plug point for the BERT segmenter+NER path (reference M5-M7:
     utils_ner.py wordpiece featurization, softner_*_predict_from_file.py

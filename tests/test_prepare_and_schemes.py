@@ -99,3 +99,30 @@ def test_prepare_dataset_operator(spark):
     assert len(r0.char_ids) == 4
     assert all(isinstance(c, int) for cs in r0.char_ids for c in cs)
     assert r0.tag_ids[1] == tm["B-Language"]
+
+
+def test_segmenter_stage_and_report(spark):
+    from stackoverflowner_spark.operators.document_kernel import (
+        extract_stage, seg_tags_stage, sentences_stage)
+    from stackoverflowner_spark.operators.evalops import format_report
+    from stackoverflowner_spark.operators.tagger import SegmenterTagger
+    from stackoverflowner_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, 40)
+    seg = seg_tags_stage(sentences_stage(extract_stage(pages)), SegmenterTagger())
+    rows = seg.collect()
+    assert rows
+    assert all(len(r.seg_tags) == len(r.tokens) for r in rows)
+    flat = {t for r in rows for t in r.seg_tags}
+    assert flat <= {"O", "Name"} and "Name" in flat
+
+    report = {"__overall__": {"precision": 80.0, "recall": 40.0, "f1": 53.33,
+                              "tp": 4, "guessed": 5, "truth": 10},
+              "Class": {"precision": 80.0, "recall": 40.0, "f1": 53.33,
+                        "tp": 4, "guessed": 5, "truth": 10}}
+    txt = format_report(report)
+    assert "overall" in txt and "precision:  80.00%" in txt
+    tsv = format_report(report, "tsv")
+    assert tsv.splitlines()[0].startswith("type\tPrecision")
+    tex = format_report(report, "latex")
+    assert tex.startswith("\\begin{tabular}")
