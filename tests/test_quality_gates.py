@@ -181,3 +181,57 @@ def test_streaming_triples(spark, tmp_path):
     a = set(map(tuple, tri.select("subj", "pred", "obj", "url").collect()))
     b = set(map(tuple, batch.select("subj", "pred", "obj", "url").collect()))
     assert a == b
+
+
+REF_TRAIN = "/root/reference/resources/annotated_ner_data/StackOverflow/train.txt"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_TRAIN), reason="reference gold absent")
+def test_dictionary_from_reference_gold(spark):
+    from stackoverflowner_spark.sources.golddict import dictionary_from_gold
+    from stackoverflowner_spark.sources.textlines import gold_conll
+    gold = gold_conll(spark, REF_TRAIN)
+    d = dictionary_from_gold(gold, min_count=3).cache()
+    n = d.count()
+    assert n > 500
+    cols = set(d.columns)
+    assert cols == {"canonical_id", "alias", "alias_norm", "entity_type",
+                    "embedding", "freq_rank"}
+    # head entities exist and are plausible software names
+    head = [r.alias_norm for r in
+            d.filter("freq_rank <= 15").select("alias_norm").distinct().collect()]
+    assert any(a in head for a in
+               ("python", "java", "javascript", "c++", "string", "php")), head
+    # linking against the gold-derived dictionary produces triples
+    from stackoverflowner_spark.operators.document_kernel import pages_to_mentions_fused
+    from stackoverflowner_spark.operators.link import link_broadcast
+    from stackoverflowner_spark.operators.tagger import GazetteerTagger
+    from stackoverflowner_spark.operators.triples import triples_from_linked
+    alias_map = {r.alias_norm: (r.canonical_id, r.entity_type)
+                 for r in d.select("alias_norm", "canonical_id", "entity_type")
+                 .distinct().collect()}
+    tagger = GazetteerTagger(alias_map=alias_map)
+    tri = triples_from_linked(link_broadcast(
+        pages_to_mentions_fused(synth_pages(spark, 80), tagger), d))
+    assert tri.count() > 0
+
+
+def test_e2e_fixture_bodies(spark):
+    """The 32-post E2E fixture (code/BERT_NER/xml_filted_body.txt) runs
+    through the engine's body-lines -> sentencize -> conll path."""
+    fixture = "/root/reference/code/BERT_NER/xml_filted_body.txt"
+    if not os.path.exists(fixture):
+        pytest.skip("fixture absent")
+    from stackoverflowner_spark.kernel.bio import text_to_conll_rows
+    n_rows = 0
+    marker_docs = 0
+    for i, line in enumerate(l for l in open(fixture) if l.strip()):
+        final, anns = sentencize(line, str(i).zfill(6), with_header=False)
+        rows = text_to_conll_rows(final, anns)
+        n_rows += len(rows)
+        if anns:
+            marker_docs += 1
+            for a in anns:
+                assert final[a.start:a.end] == a.text.replace("\r", "").replace("\n", "")
+    assert n_rows > 300
+    assert marker_docs >= 1
