@@ -35,17 +35,22 @@ def triples_from_linked(linked: DataFrame, components: DataFrame | None = None,
     # (subj, pred, obj, url). This keeps the stage idempotent per url-bucket,
     # which is what makes bucket-granular resume safe (plans/pipeline.py);
     # logical triples are `distinct_triples` below.
-    instance_of = base.select(
-        "subj", F.lit("instance_of").alias("pred"),
-        F.col("entity_type").alias("obj"), "url")
-    mentioned_in = base.select(
-        "subj", F.lit("mentioned_in").alias("pred"),
-        F.col("url").alias("obj"), "url")
-    alias_of = base.select(
-        F.col("surface_norm").alias("subj"),
-        F.lit("alias_of").alias("pred"),
-        F.col("subj").alias("obj"), "url")
-    triples = instance_of.unionByName(mentioned_in).unionByName(alias_of).distinct()
+    #
+    # The three predicates are emitted via ONE explode, not a union of three
+    # projections: a union would make Catalyst re-execute the upstream
+    # Python kernel once per branch (no subplan CSE across union arms — seen
+    # live in PLANS.md §1 before this rewrite, a 3x kernel recompute).
+    triples = base.select(
+        F.explode(F.array(
+            F.struct(F.col("subj"), F.lit("instance_of").alias("pred"),
+                     F.col("entity_type").alias("obj"), F.col("url")),
+            F.struct(F.col("subj"), F.lit("mentioned_in").alias("pred"),
+                     F.col("url").alias("obj"), F.col("url")),
+            F.struct(F.col("surface_norm").alias("subj"),
+                     F.lit("alias_of").alias("pred"),
+                     F.col("subj").alias("obj"), F.col("url")),
+        )).alias("t")
+    ).select("t.subj", "t.pred", "t.obj", "t.url").distinct()
     return triples.withColumn(
         "part_hash", F.pmod(F.xxhash64("subj"), F.lit(n_buckets)).cast("int"))
 
