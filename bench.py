@@ -137,16 +137,18 @@ def main() -> None:
     # chained Python stages (each task pipelines through several Python
     # workers, so local[8] can consume ~3x8 cores); sched_setaffinity on the
     # child process tree is the honest N-executor vs 4N-executor emulation.
-    n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "0")) or n_pages
-    scale_path = os.path.join(
-        os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp"),
-        f"sokg_bench_pages_{n_scale}")
-    materialize_pages(spark, n_scale, scale_path)
-    n_small = max(n_scale // 2, 2000)
+    # runs must be long enough that fixed session costs (~3-5 s) don't
+    # swamp the ratio: the lo-cores run should take >= ~60 s
+    n_small = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "0")) or n_pages
     small_path = os.path.join(
         os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp"),
         f"sokg_bench_pages_{n_small}")
     materialize_pages(spark, n_small, small_path)
+    n_scale = 4 * n_small
+    scale_path = os.path.join(
+        os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp"),
+        f"sokg_bench_pages_{n_scale}")
+    materialize_pages(spark, n_scale, scale_path)
     # quiesce: the headline session's JVM must not coexist with the pinned
     # child JVMs (memory + GC interference skews the comparison)
     spark.stop()

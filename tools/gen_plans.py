@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Regenerate PLANS.md from live `.explain("formatted")` output."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEADERS = {
+    "flagship": """## 1. Flagship fused pipeline (pages parquet -> triples)
+
+Checklist:
+* `PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]` — the language filter
+  reaches the parquet scan; at 10^12 docs this prunes ~40% of bytes before
+  any Python runs.
+* `ReadSchema` lists only `url, html, text, lang` — `warc_ts` never read.
+* exactly ONE `MapInPandas` (the fused document kernel) — the triple
+  materialization is an `explode`, NOT a union of projections (a union made
+  Catalyst re-run the Python kernel once per arm; fixed in
+  operators/triples.py).
+* `BroadcastHashJoin ... BuildRight` on `alias_norm` — zero shuffle on the
+  (skewed) mention stream.
+* The only `Exchange` belongs to the evidence-triple `distinct`
+  (`HashAggregate` pair, partial map-side).
+""",
+    "salted": """## 2. Salted link join (dictionary too large to broadcast)
+
+Checklist: dictionary replicated via `explode(sequence(0, S-1))`; shuffled
+hash join on `(surface_norm, salt)` spreads head aliases over S reducers;
+AQE skew join stays on as backstop.
+""",
+    "q1": """## 3. TPC-H Q1-style aggregation (pure JVM path)
+
+Checklist: date filter in `PushedFilters`, two-phase `HashAggregate` around
+one Exchange, whole-stage codegen throughout.
+""",
+    "minhash": """## 4. MinHash signatures (dedup scale path)
+
+Checklist: shingling + seed explosion stay JVM-side (`Generate` nodes, no
+Python); the only shuffle is `HashAggregate(min(h))` on (doc_id, seed) —
+shuffle volume O(docs x k), independent of document length.
+""",
+}
+
+
+def formatted(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from stackoverflowner_spark.operators.dedup import minhash_signatures
+    from stackoverflowner_spark.operators.document_kernel import pages_to_mentions_fused
+    from stackoverflowner_spark.operators.link import link_salted
+    from stackoverflowner_spark.operators.tagger import GazetteerTagger
+    from stackoverflowner_spark.plans.pipeline import KGPipeline
+    from stackoverflowner_spark.session import get_spark
+    from stackoverflowner_spark.sources.dictionary import dictionary_df
+    from stackoverflowner_spark.sources.pages import synth_pages
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages_path = "/tmp/sokg_plans_pages"
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        synth_pages(spark, 2000).write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+
+    pipe = KGPipeline(spark, tempfile.mkdtemp())
+    sections = []
+    sections.append(HEADERS["flagship"] + "\n```\n"
+                    + formatted(pipe.run_fused(pages))[:6000] + "\n```\n")
+    mentions = pages_to_mentions_fused(pages, GazetteerTagger())
+    sections.append(HEADERS["salted"] + "\n```\n"
+                    + formatted(link_salted(mentions, dictionary_df(spark),
+                                            n_salts=16))[:4500] + "\n```\n")
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    q1 = (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n")))
+    sections.append(HEADERS["q1"] + "\n```\n" + formatted(q1)[:3500] + "\n```\n")
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sections.append(HEADERS["minhash"] + "\n```\n"
+                    + formatted(minhash_signatures(docs, k=4))[:3500] + "\n```\n")
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "PLANS.md")
+    with open(out, "w") as f:
+        f.write("# PLANS — physical-plan dossier (`.explain(\"formatted\")`)\n\n"
+                "Regenerate with `python tools/gen_plans.py`.\n\n")
+        f.write("\n".join(sections))
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
