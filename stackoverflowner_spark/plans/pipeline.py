@@ -56,12 +56,20 @@ class Lineage:
             data = json.load(f)
         return {int(k): v for k, v in data.get("buckets", {}).items()}
 
-    def record(self, stage: str, bucket_counts: Dict[int, int]) -> None:
+    def record(self, stage: str, bucket_counts: Dict[int, int],
+               metrics: Optional[dict] = None) -> None:
         done = self.completed(stage)
         done.update(bucket_counts)
+        prev = {}
+        if os.path.exists(self._path(stage)):
+            with open(self._path(stage)) as f:
+                prev = json.load(f).get("metrics", {})
+        if metrics:
+            prev.update({k: prev.get(k, 0) + v for k, v in metrics.items()})
         with open(self._path(stage), "w") as f:
             json.dump({"stage": stage, "ts": time.time(),
-                       "buckets": {str(k): v for k, v in done.items()}}, f)
+                       "buckets": {str(k): v for k, v in done.items()},
+                       "metrics": prev}, f)
 
 
 class KGPipeline:
@@ -140,8 +148,18 @@ class KGPipeline:
                 result = result.withColumn(
                     "bucket",
                     F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).cast("int"))
+                # A12 counters: observed during the write, no extra pass
+                from pyspark.sql import Observation
+                obs = Observation(f"{stage}_metrics")
+                metrics_cols = [F.count(F.lit(1)).alias("rows_written")]
+                if "ok" in result.columns:
+                    metrics_cols.append(
+                        F.sum(F.when(~F.col("ok"), 1).otherwise(0))
+                        .alias("failed_rows"))
+                result = result.observe(obs, *metrics_cols)
                 (result.write.mode("append").partitionBy("bucket")
                  .parquet(out_path))
+                observed = {k: int(v) for k, v in obs.get.items()}
                 counts = {
                     int(r["bucket"]): int(r["count"])
                     for r in self.spark.read.parquet(out_path)
@@ -150,7 +168,7 @@ class KGPipeline:
                 }
                 for b in todo:
                     counts.setdefault(b, 0)
-                self.lineage.record(stage, counts)
+                self.lineage.record(stage, counts, metrics=observed)
             prev_path = out_path
             if fail_after_stage == stage:
                 raise RuntimeError(f"injected failure after stage {stage}")

@@ -29,6 +29,59 @@ def body_lines(spark: SparkSession, path: str) -> DataFrame:
     ).select("post_id", F.col("value").alias("body"))
 
 
+def ctc_pred_dict(spark: SparkSession, path: str) -> DataFrame:
+    """2-col TSV ``word \\t 0|1`` (the shipped CTC prediction dictionary,
+    ``code/Attentive_BiLSTM/auxilary_inputs_ner/ctc_pred.tsv``; consumed as a
+    dict lookup at ``loader_so.py:443-454`` -> broadcast join here)."""
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t")
+    return (
+        lines.filter(F.size(parts) == 2)
+        .select(parts.getItem(0).alias("word"),
+                parts.getItem(1).cast("int").alias("ctc_pred"))
+        .filter(F.col("ctc_pred").isNotNull())
+    )
+
+
+SEG_PRED_SCHEMA = T.StructType([
+    T.StructField("sent_idx", T.IntegerType()),
+    T.StructField("words", T.ArrayType(T.StringType())),
+    T.StructField("gold_seg", T.ArrayType(T.StringType())),
+    T.StructField("pred_seg", T.ArrayType(T.StringType())),
+])
+
+
+def segmenter_preds(spark: SparkSession, path: str) -> DataFrame:
+    """3-col ``word gold_seg pred_seg`` with blank-line sentence breaks
+    (``auxilary_inputs_ner/segmenter_pred/segmenter_pred_*.txt``), assembled
+    into sentence rows so the downstream merge is a keyed join on
+    (sent_idx) instead of the reference's positional zip
+    (``loader_so.py:122-261``)."""
+    rdd = spark.sparkContext.binaryFiles(path)
+
+    def parse(item):
+        _, data = item
+        out = []
+        words, gold, pred = [], [], []
+        idx = 0
+        for line in data.decode("utf-8", "replace").splitlines():
+            vals = line.strip().split()
+            if len(vals) < 3:
+                if words:
+                    out.append((idx, words, gold, pred))
+                    idx += 1
+                    words, gold, pred = [], [], []
+                continue
+            words.append(vals[0])
+            gold.append(vals[1])
+            pred.append(vals[2])
+        if words:
+            out.append((idx, words, gold, pred))
+        return out
+
+    return spark.createDataFrame(rdd.flatMap(parse), SEG_PRED_SCHEMA)
+
+
 GOLD_SCHEMA = T.StructType([
     T.StructField("file", T.StringType()),
     T.StructField("sent_idx", T.IntegerType()),

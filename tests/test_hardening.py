@@ -92,3 +92,44 @@ def test_oracle_subset_sf0001(spark):
     res = run_all(spark, "/root/testdata/sf0.001", only=ORACLE_SUBSET)
     problems = [p for probs in res.values() for p in probs]
     assert not problems, problems
+
+
+REF_SEG = ("/root/reference/code/Attentive_BiLSTM/auxilary_inputs_ner/"
+           "segmenter_pred/segmenter_pred_test.txt")
+REF_CTC = ("/root/reference/code/Attentive_BiLSTM/auxilary_inputs_ner/"
+           "ctc_pred.tsv")
+REF_GOLD_TEST = "/root/reference/resources/annotated_ner_data/StackOverflow/test.txt"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_SEG), reason="reference fixtures absent")
+def test_aux_pred_loaders_and_keyed_merge(spark):
+    """S6/J4/J5: the shipped aux fixtures load, and the keyed sentence join
+    (instead of the reference's positional zip) aligns 1:1 with the gold
+    test split."""
+    from stackoverflowner_spark.sources.textlines import (
+        ctc_pred_dict, gold_conll, segmenter_preds)
+    ctc = ctc_pred_dict(spark, REF_CTC)
+    assert ctc.count() > 15000
+    assert set(r.ctc_pred for r in ctc.select("ctc_pred").distinct().collect()) <= {0, 1}
+
+    seg = segmenter_preds(spark, REF_SEG)
+    gold = gold_conll(spark, REF_GOLD_TEST)
+    n_seg = seg.count()
+    n_gold = gold.count()
+    assert n_seg == n_gold == 3108
+    g = gold.select("sent_idx", F.col("words").alias("g_words"))
+    s = seg.select("sent_idx", F.col("words").alias("s_words"))
+    same = g.join(s, "sent_idx").filter(
+        F.col("g_words") == F.col("s_words")).count()
+    # word sequences agree on (all but one known) sentence
+    assert same >= n_gold - 1
+
+
+def test_lineage_metrics_recorded(spark, tmp_path):
+    root = str(tmp_path / "ckpt")
+    pipe = KGPipeline(spark, root, n_buckets=2)
+    pipe.run_checkpointed(synth_pages(spark, 30))
+    import json
+    d = json.load(open(os.path.join(root, "_lineage_extracted.json")))
+    assert d["metrics"]["rows_written"] > 0
+    assert "failed_rows" in d["metrics"]
