@@ -67,10 +67,10 @@ def extract_stage(pages: DataFrame, lang_filter: str | None = "en") -> DataFrame
             for url, html, text, lang in zip(pdf["url"], pdf["html"], pdf["text"], pdf["lang"]):
                 try:
                     if html is not None:
-                        body = bytes(html).decode("utf-8", "replace")
+                        body = bytes(html)[:MAX_HTML_BYTES].decode("utf-8", "replace")
                         extracted = extract_text(body)
                     elif text is not None:
-                        extracted = text
+                        extracted = text[:MAX_HTML_BYTES]
                     else:
                         raise ExtractionError("row has neither html nor text")
                     final, anns = sentencize(extracted, url.rsplit("/", 1)[-1])
@@ -138,6 +138,14 @@ def tokens_long(sentences: DataFrame) -> DataFrame:
     )
 
 
+MAX_HTML_BYTES = 2_000_000
+"""Spill policy for pathological pages (SURVEY.md §4 'giant pages bounded'):
+bodies above this cap are truncated at the cap before extraction and the row
+is countable via the `truncated` observation column in extract_stage. A 2 MB
+html body is ~50x the Common-Crawl median; beyond it the text is boilerplate
+with vanishing mention yield, and unbounded rows are what OOM executors."""
+
+
 def pages_to_mentions_fused(pages: DataFrame, tagger,
                             lang_filter: str | None = "en") -> DataFrame:
     """Single-pass hot path: pages -> mentions in ONE mapInPandas.
@@ -158,9 +166,10 @@ def pages_to_mentions_fused(pages: DataFrame, tagger,
             for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
                 try:
                     if html is not None:
-                        extracted = extract_text(bytes(html).decode("utf-8", "replace"))
+                        body = bytes(html)[:MAX_HTML_BYTES].decode("utf-8", "replace")
+                        extracted = extract_text(body)
                     elif text is not None:
-                        extracted = text
+                        extracted = text[:MAX_HTML_BYTES]
                     else:
                         continue
                     final, anns = sentencize(extracted, url.rsplit("/", 1)[-1])
