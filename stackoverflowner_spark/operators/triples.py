@@ -62,3 +62,15 @@ def distinct_triples(triples: DataFrame) -> DataFrame:
 
 def write_triples(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
     triples.write.mode(mode).partitionBy("part_hash").parquet(path)
+
+
+def write_triples_bucketed(triples: DataFrame, table: str, n_buckets: int = 64,
+                           mode: str = "overwrite") -> None:
+    """Bucketed managed table (`bucketBy(subj)`): downstream subject-keyed
+    joins and aggregations read co-located buckets and skip the exchange
+    entirely — the parquet+partitionBy variant above prunes partitions but
+    still shuffles on join. On Iceberg this is `bucket(N, subj)` partition
+    transform; here it is the Spark managed-table equivalent."""
+    (triples.write.mode(mode)
+     .bucketBy(n_buckets, "subj").sortBy("subj")
+     .format("parquet").saveAsTable(table))
