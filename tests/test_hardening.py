@@ -157,3 +157,40 @@ def test_bucketed_triples_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("drop table if exists tri_bucketed")
+
+
+def test_components_random_graph_vs_union_find(spark):
+    """Connected components vs a pure-python union-find oracle on a seeded
+    random graph (200 nodes, 180 edges -> many non-trivial components)."""
+    import random
+    rng = random.Random(4242)
+    nodes = [f"v{i:03d}" for i in range(200)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(180)]
+
+    parent = {n: n for n in nodes}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    touched = {n for e in edges for n in e}
+    expected = {}
+    for n in touched:
+        expected.setdefault(find(n), set()).add(n)
+    expected_sets = {frozenset(v) for v in expected.values()}
+
+    comps = connected_components(
+        spark.createDataFrame(edges, ["src", "dst"]), max_iter=100)
+    got = {}
+    for r in comps.collect():
+        got.setdefault(r.component, set()).add(r.node)
+    got_sets = {frozenset(v) for v in got.values()}
+    assert got_sets == expected_sets
+    # component id is the min node id (label propagation invariant)
+    assert all(min(s) == c for c, s in got.items())
