@@ -78,3 +78,36 @@ def test_scorer_matches_reference_implementation(tmp_path):
         assert round(ours[typ]["precision"], 2) == rvals["P"], typ
         assert round(ours[typ]["recall"], 2) == rvals["R"], typ
         assert round(ours[typ]["f1"], 2) == rvals["F1"], typ
+
+
+GOLD_TEST = "/root/reference/resources/annotated_ner_data/StackOverflow/test.txt"
+
+
+@pytest.mark.skipif(not os.path.exists(GOLD_TEST), reason="gold absent")
+def test_retokenization_agreement_diagnostic():
+    """Re-tokenizing the gold test split (pre-tokenized by the OLDER T2
+    SOTokenizer variant + human correction) with our normative T1 tokenizer
+    reproduces the exact token sequence for >= 80% of sentences. The
+    divergences are the documented T1/T2 differences (SURVEY.md §2.3):
+    T1 applies Split_Punc_At_End_of_Word (so mid-sentence ``..`` splits) and
+    re-tokenizing already-split contractions (``'m`` standing alone) is not
+    idempotent. This is a drift detector, not a byte gate — the byte gates
+    are the golden text files and the worked examples."""
+    import itertools
+
+    from stackoverflowner_spark.kernel.goldload import parse_gold_lines
+    from stackoverflowner_spark.kernel.sotok import TokenizerGuardError, tokenize
+
+    gold = parse_gold_lines(open(GOLD_TEST).read().splitlines())
+    total = same = 0
+    for sent in itertools.islice(gold, 0, 1200):
+        words = [t.word for t in sent]
+        try:
+            ours = tokenize(" ".join(words))
+        except TokenizerGuardError:
+            continue
+        total += 1
+        if ours == words:
+            same += 1
+    assert total > 1000
+    assert same / total >= 0.80, f"{same}/{total}"
