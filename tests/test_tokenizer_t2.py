@@ -1,0 +1,80 @@
+"""T2 (SOTokenizer) parity gates.
+
+T2 is the tokenizer that produced the shipped gold corpus. Two gates:
+1. byte-exact reproduction of the Readme's worked example
+   (``code/Readme.md:106-122``) — including the space-laden bracket tokens;
+2. >= 98% exact sentence reproduction of the gold test split after
+   reconstructing its pre-split contractions (re-tokenizing ``'m`` standing
+   alone is inherently non-idempotent). The residual per-mille divergences
+   are hand corrections in the corpus (split HTML-tag tokens, ``word..``
+   boundary edits).
+"""
+
+import itertools
+import os
+
+import pytest
+
+from stackoverflowner_spark.kernel.sotok_t2 import tokenize_t2
+
+README_SENTENCE = (
+    'I do think that the request I send to my API should be more like '
+    '{post=>{"kind"=>"GGG"}} and not {"kind"=>"GGG"}.'
+)
+README_EXPECTED = [
+    'I', 'do', 'think', 'that', 'the', 'request', 'I', 'send', 'to', 'my',
+    'API', 'should', 'be', 'more', 'like', ' { post=> { "kind"=>"GGG" }  } ',
+    'and', 'not', ' { "kind"=>"GGG" } ', '.',
+]
+
+
+def test_readme_worked_example_byte_exact():
+    assert tokenize_t2(README_SENTENCE) == README_EXPECTED
+
+
+GOLD_TEST = "/root/reference/resources/annotated_ner_data/StackOverflow/test.txt"
+_CONTRACTIONS = {"'m", "'ve", "'ll", "'d", "'re", "'s", "n't"}
+
+
+def _reconstruct(words):
+    out = []
+    for w in words:
+        if out and w in _CONTRACTIONS:
+            out[-1] = out[-1] + w
+        else:
+            out.append(w)
+    return " ".join(out)
+
+
+@pytest.mark.skipif(not os.path.exists(GOLD_TEST), reason="gold absent")
+def test_gold_corpus_reproduction_rate():
+    from stackoverflowner_spark.kernel.goldload import parse_gold_lines
+
+    gold = parse_gold_lines(open(GOLD_TEST).read().splitlines())
+    total = same = 0
+    for sent in itertools.islice(gold, 0, 2000):
+        words = [t.word for t in sent]
+        try:
+            raw = tokenize_t2(_reconstruct(words))
+        except Exception:
+            continue
+        ours = [t.strip() for t in raw if t.strip()]
+        total += 1
+        if ours == words:
+            same += 1
+    assert total > 1900
+    assert same / total >= 0.98, f"{same}/{total}"
+
+
+def test_t2_vs_t1_documented_differences():
+    from stackoverflowner_spark.kernel.sotok import tokenize as t1
+
+    # T1 splits mid-sentence trailing punctuation per word; T2 does so only
+    # via the early per-word end-punct pass (no comma, no second pass)
+    assert t1("a .. b") == ["a", ".", ".", "b"]
+    assert [t.strip() for t in tokenize_t2("a .. b")] == ["a", "..", "b"]
+    # colon gate inversion: T2 splits a plain trailing colon, T1 keeps it
+    assert [t.strip() for t in tokenize_t2("NetBeans: yes")][0:2] == ["NetBeans", ":"]
+    # T2 keeps spaces inside protected function calls
+    toks = tokenize_t2("call foo(a, b) now")
+    assert "foo(a, b)" in toks
