@@ -296,6 +296,12 @@ def q_lsh_ann(spark, sf):
     return lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=8)
 
 
+def q_embedding_near_dup(spark, sf):
+    from stackoverflowner_spark.operators.dedup import embedding_near_dup_pairs
+    return embedding_near_dup_pairs(_t(spark, sf, "embeddings"), dim=64,
+                                    threshold=0.5, n_planes=6)
+
+
 def q_ivf_assign(spark, sf):
     from stackoverflowner_spark.operators.similarity import ivf_assignments
     return ivf_assignments(_t(spark, sf, "embeddings"), dim=64).select(
@@ -390,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "lsh_pairs": q_lsh_pairs,
         "lsh_ann": q_lsh_ann,
+        "embedding_near_dup": q_embedding_near_dup,
         "ivf_assign": q_ivf_assign,
         "ctc_predict": q_ctc_predict,
         "freq_vector": q_freq_vector,

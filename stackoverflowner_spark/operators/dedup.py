@@ -109,6 +109,34 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def embedding_near_dup_pairs(vectors: DataFrame, dim: int, threshold: float = 0.9,
+                             n_planes: int = 12, id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket the corpus with
+    deterministic random hyperplanes, self-join within buckets only, verify
+    with exact cosine. Candidate volume is sum(bucket^2), not corpus^2."""
+    from .similarity import _dot_col, _norm_col, hyperplanes, lsh_signature_col
+
+    planes = hyperplanes(dim, n_planes)
+    sig = vectors.select(
+        F.col(id_col), F.col(vec_col),
+        lsh_signature_col(F.col(vec_col), planes).alias("sig"))
+    a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "sig")
+    b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "sig")
+    return (
+        a.join(b, "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot_col(F.col("v_a"), F.col("v_b"))
+                / (F.greatest(_norm_col(F.col("v_a")), F.lit(1e-12))
+                   * F.greatest(_norm_col(F.col("v_b")), F.lit(1e-12))), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 64) -> DataFrame:
     """Sign-aggregated word-hash fingerprint (JVM xxhash64 per word)."""
