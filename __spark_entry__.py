@@ -299,7 +299,7 @@ def q_lsh_ann(spark, sf):
 def q_embedding_near_dup(spark, sf):
     from stackoverflowner_spark.operators.dedup import embedding_near_dup_pairs
     return embedding_near_dup_pairs(_t(spark, sf, "embeddings"), dim=64,
-                                    threshold=0.5, n_planes=6)
+                                    threshold=0.3, n_planes=6)
 
 
 def q_ivf_assign(spark, sf):

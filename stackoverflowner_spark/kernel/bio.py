@@ -10,11 +10,26 @@ both sides live in one document's arrays.
 
 from __future__ import annotations
 
-from typing import Dict, List, NamedTuple, Optional, Sequence
+from functools import lru_cache
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 from .offsets import map_tokens_to_offsets
 from .sentencize import Standoff
 from .sotok import TokenizerGuardError, tokenize
+
+
+@lru_cache(maxsize=65536)
+def _tokenize_with_offsets(sentence: str) -> Tuple[Tuple[str, int], ...]:
+    """Executor-local memoization of (tokenize + offset-map) per sentence.
+
+    Web text repeats massively — every sentinel line
+    (``CODE_BLOCK: Q_1 (code omitted for annotation)``) and most boilerplate
+    sentences recur across documents, and both tokenization and the offset
+    scan are pure functions of the sentence string (the document offset is
+    additive). Deterministic: cache hits return the identical value the
+    cold path would compute."""
+    tokens = tokenize(sentence)
+    return tuple(map_tokens_to_offsets(sentence, tokens, 0))
 
 
 class ConllRow(NamedTuple):
@@ -82,10 +97,9 @@ def text_to_conll_rows(final_text: str, spans: Sequence[Standoff]) -> List[Conll
     rows: List[Optional[list]] = []
     offset = 0
     for s in sentences:
-        tokens = tokenize(s)
-        for tok, pos in map_tokens_to_offsets(s, tokens, offset):
+        for tok, pos in _tokenize_with_offsets(s):
             if not tok.isspace():
-                rows.append(["O", pos, pos + len(tok), tok])
+                rows.append(["O", pos + offset, pos + offset + len(tok), tok])
         rows.append(None)
         offset += len(s)
 
