@@ -251,6 +251,17 @@ def q_nation_revenue(spark, sf):
     )
 
 
+def q_eval_rollup(spark, sf):
+    # SURVEY §2.7: by-category + overall metrics as grouping sets
+    ev = _t(spark, sf, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.coalesce("event_type", F.lit("__overall__")).alias("event_type"),
+                "n", "total_value")
+    )
+
+
 def q_conll_chunk_agg(spark, sf):
     # A10: distributed conlleval chunk counting over a derived tag stream
     from stackoverflowner_spark.operators.evalops import chunk_counts, spans_table
@@ -392,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "nation_revenue": q_nation_revenue,
         "conll_chunk_agg": q_conll_chunk_agg,
+        "eval_rollup": q_eval_rollup,
         # rows-only (custom hashing / iterative / pipeline ops)
         "simhash": q_simhash,
         "lsh_pairs": q_lsh_pairs,
@@ -603,6 +615,12 @@ def oracle_sql() -> dict[str, str]:
             join customer on o_custkey = c_custkey
             join nation on c_nationkey = n_nationkey
             group by n_name""",
+        "eval_rollup": """
+            select coalesce(event_type, '__overall__') as event_type,
+                   count(*) as n,
+                   round(sum(value), 2) as total_value
+            from events
+            group by grouping sets ((event_type), ())""",
         "conll_chunk_agg": """
             with tagged as (
               select user_id, event_id, ts,

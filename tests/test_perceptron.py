@@ -1,0 +1,81 @@
+"""Learned-tagger gates: determinism, quality floor, Spark integration."""
+
+import itertools
+import os
+
+import pytest
+
+GOLD_TRAIN = "/root/reference/resources/annotated_ner_data/StackOverflow/train.txt"
+GOLD_TEST = "/root/reference/resources/annotated_ner_data/StackOverflow/test.txt"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(GOLD_TRAIN), reason="reference gold absent")
+
+
+def _small_data(path, n):
+    from collections import Counter
+
+    from stackoverflowner_spark.kernel.conlleval import extract_chunks
+    from stackoverflowner_spark.kernel.goldload import parse_gold_lines
+    sentences = list(itertools.islice(
+        parse_gold_lines(open(path).read().splitlines()), 0, n))
+    counts = Counter()
+    for s in sentences:
+        words = [t.word for t in s]
+        for typ, a, b in extract_chunks([t.tag for t in s]):
+            counts[(" ".join(words[a:b]).lower(), typ)] += 1
+    alias = {}
+    for (surf, typ), c in counts.most_common():
+        if c >= 2 and surf not in alias:
+            alias[surf] = typ
+    data = []
+    for s in sentences:
+        w = [t.word for t in s]
+        data.append((w, [t.md_label for t in s],
+                     [alias.get(x.lower(), "O") for x in w],
+                     [t.tag for t in s]))
+    return data, alias
+
+
+def test_perceptron_deterministic_and_learns():
+    from stackoverflowner_spark.kernel.conlleval import evaluate_sentences
+    from stackoverflowner_spark.kernel.perceptron import AveragedPerceptron
+
+    data, alias = _small_data(GOLD_TRAIN, 1500)
+    m1 = AveragedPerceptron()
+    m1.fit(data, epochs=3)
+    m2 = AveragedPerceptron()
+    m2.fit(data, epochs=3)
+    assert m1.weights == m2.weights  # bit-deterministic
+
+    test_data, _ = _small_data(GOLD_TEST, 500)
+    preds = [m1.tag_sentence(w, md, [alias.get(x.lower(), "O") for x in w])
+             for w, md, _, _ in test_data]
+    rep = evaluate_sentences([g for _, _, _, g in test_data], preds)
+    assert rep["__overall__"]["f1"] >= 30.0, rep["__overall__"]
+
+
+def test_perceptron_tagger_save_load_and_spark(tmp_path):
+    from stackoverflowner_spark.kernel.perceptron import AveragedPerceptron
+    from stackoverflowner_spark.operators.tagger import PerceptronTagger
+
+    data, alias = _small_data(GOLD_TRAIN, 800)
+    model = AveragedPerceptron()
+    model.fit(data, epochs=2)
+    tagger = PerceptronTagger(model, alias)
+    p = str(tmp_path / "tagger.pkl.gz")
+    tagger.save(p)
+    loaded = PerceptronTagger.load(p)
+    toks = ["I", "use", "python", "and", "jquery", "."]
+    mds = ["O"] * 6
+    assert loaded.tag(toks, mds) == tagger.tag(toks, mds)
+    assert len(loaded.tag(toks, mds)) == 6
+
+    # runs inside the Spark mention stage
+    from stackoverflowner_spark.operators.document_kernel import pages_to_mentions_fused
+    from stackoverflowner_spark.session import get_spark
+    from stackoverflowner_spark.sources.pages import synth_pages
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    mentions = pages_to_mentions_fused(synth_pages(spark, 40), loaded)
+    assert mentions.count() >= 0  # executes without serialization issues
