@@ -78,4 +78,28 @@ def test_perceptron_tagger_save_load_and_spark(tmp_path):
     spark = get_spark(master="local[4]", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
     mentions = pages_to_mentions_fused(synth_pages(spark, 40), loaded)
-    assert mentions.count() >= 0  # executes without serialization issues
+    rows = set(map(tuple, mentions.collect()))
+    # distributed result equals the single-process computation (determinism
+    # across serialization/broadcast boundaries)
+    from stackoverflowner_spark.kernel.bio import text_to_conll_rows
+    from stackoverflowner_spark.kernel.conlleval import extract_chunks
+    from stackoverflowner_spark.kernel.htmltext import extract_text
+    from stackoverflowner_spark.kernel.sentencize import sentencize
+    from stackoverflowner_spark.sources.pages import synth_page
+    local = set()
+    for i in range(40):
+        p = synth_page(i)
+        if p["lang"] != "en":
+            continue
+        final, anns = sentencize(extract_text(bytes(p["html"]).decode()),
+                                 p["url"].rsplit("/", 1)[-1])
+        by = {}
+        for r in text_to_conll_rows(final, anns):
+            by.setdefault(r.sent_idx, []).append(r)
+        for si, rs in by.items():
+            toks = [r.token for r in rs]
+            tags = loaded.tag(toks, [r.tag for r in rs])
+            for typ, a, b in extract_chunks(tags):
+                surf = " ".join(toks[a:b])
+                local.add((p["url"], si, a, b, surf, surf.lower(), typ))
+    assert rows == local
