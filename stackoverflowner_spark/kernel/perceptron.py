@@ -14,6 +14,8 @@ from __future__ import annotations
 from collections import defaultdict
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
+import numpy as np
+
 
 def _shape(word: str) -> str:
     out = []
@@ -138,3 +140,129 @@ class AveragedPerceptron:
             out.append(tag)
             prev = tag
         return out
+
+
+def _emission_features(words: Sequence[str], i: int, md: str, gaz: str
+                       ) -> List[str]:
+    """token_features minus the prev-tag features — the structured model
+    carries tag-tag dependencies in its transition matrix instead."""
+    return [f for f in token_features(words, i, "<T>", md, gaz)
+            if not f.startswith("pt")]
+
+
+class StructuredPerceptron:
+    """Structured (Viterbi-decoded) averaged perceptron.
+
+    Operator-shape parity with the reference's CRF decode (M10,
+    code/Attentive_BiLSTM/model.py:603-655): a learned transition matrix
+    with a START state pinned at -10000 for impossible starts, exact Viterbi
+    decoding per sentence, sequence-level perceptron updates. Emission
+    weights are per-feature numpy vectors over the label set; decoding is
+    O(n * L^2) vectorized.
+    """
+
+    NEG = -10000.0  # reference's impossible-transition constant
+
+    def __init__(self):
+        self.labels: List[str] = []
+        self.w: Dict[str, np.ndarray] = {}
+        self.trans: Optional[np.ndarray] = None  # (L+1, L); row L = START
+
+    def _emissions(self, words, mds, gazs) -> Tuple[np.ndarray, List[List[str]]]:
+        n = len(words)
+        L = len(self.labels)
+        E = np.zeros((n, L))
+        feats_per_tok = []
+        for i in range(n):
+            feats = _emission_features(words, i, mds[i], gazs[i])
+            feats_per_tok.append(feats)
+            for f in feats:
+                vec = self.w.get(f)
+                if vec is not None:
+                    E[i] += vec
+        return E, feats_per_tok
+
+    def _viterbi(self, E: np.ndarray) -> List[int]:
+        n, L = E.shape
+        T = self.trans
+        dp = T[L] + E[0]          # from START
+        back = np.zeros((n, L), dtype=np.int64)
+        for i in range(1, n):
+            cand = dp[:, None] + T[:L]     # (L, L)
+            back[i] = cand.argmax(axis=0)
+            dp = cand.max(axis=0) + E[i]
+        path = [int(dp.argmax())]
+        for i in range(n - 1, 0, -1):
+            path.append(int(back[i][path[-1]]))
+        return path[::-1]
+
+    def fit(self, sentences, epochs: int = 3) -> None:
+        data = list(sentences)
+        self.labels = sorted({t for _, _, _, g in data for t in g})
+        L = len(self.labels)
+        idx = {t: i for i, t in enumerate(self.labels)}
+        self.trans = np.zeros((L + 1, L))
+        # START -> I-* is impossible in IOB2: pin at the reference's -10000
+        for j, lab in enumerate(self.labels):
+            if lab.startswith("I-"):
+                self.trans[L, j] = self.NEG
+
+        w_totals: Dict[str, np.ndarray] = {}
+        w_stamp: Dict[str, int] = {}
+        t_totals = np.zeros_like(self.trans)
+        t_stamp = 0
+        step = 0
+
+        def upd_w(f: str, j: int, v: float) -> None:
+            vec = self.w.get(f)
+            if vec is None:
+                vec = np.zeros(L)
+                self.w[f] = vec
+                w_totals[f] = np.zeros(L)
+                w_stamp[f] = step
+            else:
+                w_totals[f] += (step - w_stamp[f]) * vec
+                w_stamp[f] = step
+            vec[j] += v
+
+        for _ in range(epochs):
+            for words, mds, gazs, golds in data:
+                if not words:
+                    continue
+                step += 1
+                E, feats_per_tok = self._emissions(words, mds, gazs)
+                pred = self._viterbi(E)
+                gold = [idx[g] for g in golds]
+                if pred == gold:
+                    continue
+                t_totals += (step - t_stamp) * self.trans
+                t_stamp = step
+                prev_g, prev_p = L, L
+                for i in range(len(words)):
+                    if pred[i] != gold[i]:
+                        for f in feats_per_tok[i]:
+                            upd_w(f, gold[i], 1.0)
+                            upd_w(f, pred[i], -1.0)
+                    if (prev_g, gold[i]) != (prev_p, pred[i]):
+                        if self.trans[prev_g, gold[i]] > self.NEG / 2:
+                            self.trans[prev_g, gold[i]] += 1.0
+                        if self.trans[prev_p, pred[i]] > self.NEG / 2:
+                            self.trans[prev_p, pred[i]] -= 1.0
+                    prev_g, prev_p = gold[i], pred[i]
+
+        # average
+        for f, vec in self.w.items():
+            w_totals[f] += (step - w_stamp[f]) * vec
+            avg = w_totals[f] / max(step, 1)
+            self.w[f] = avg
+        t_totals += (step - t_stamp) * self.trans
+        pinned = self.trans <= self.NEG / 2
+        self.trans = t_totals / max(step, 1)
+        self.trans[pinned] = self.NEG
+
+    def tag_sentence(self, words: Sequence[str], mds: Sequence[str],
+                     gazs: Sequence[str]) -> List[str]:
+        if not words:
+            return []
+        E, _ = self._emissions(words, mds, gazs)
+        return [self.labels[j] for j in self._viterbi(E)]

@@ -103,3 +103,32 @@ def test_perceptron_tagger_save_load_and_spark(tmp_path):
                 surf = " ".join(toks[a:b])
                 local.add((p["url"], si, a, b, surf, surf.lower(), typ))
     assert rows == local
+
+
+def test_structured_viterbi_variant():
+    from stackoverflowner_spark.kernel.conlleval import evaluate_sentences
+    from stackoverflowner_spark.kernel.perceptron import StructuredPerceptron
+
+    data, alias = _small_data(GOLD_TRAIN, 1500)
+    m1 = StructuredPerceptron()
+    m1.fit(data, epochs=3)
+    m2 = StructuredPerceptron()
+    m2.fit(data, epochs=3)
+    import numpy as np
+    assert (m1.trans == m2.trans).all()
+    assert set(m1.w) == set(m2.w)
+    # START -> I-* pinned at the reference's impossible constant (M10)
+    L = len(m1.labels)
+    for j, lab in enumerate(m1.labels):
+        if lab.startswith("I-"):
+            assert m1.trans[L, j] == m1.NEG
+
+    test_data, _ = _small_data(GOLD_TEST, 500)
+    preds = [m1.tag_sentence(w, md, [alias.get(x.lower(), "O") for x in w])
+             for w, md, _, _ in test_data]
+    rep = evaluate_sentences([g for _, _, _, g in test_data], preds)
+    assert rep["__overall__"]["f1"] >= 30.0, rep["__overall__"]
+    # viterbi output is well-formed IOB2 at the sequence start
+    for p in preds:
+        if p:
+            assert not p[0].startswith("I-")
