@@ -588,7 +588,7 @@ def oracle_sql() -> dict[str, str]:
                 round(list_dot_product(q.embedding, c.embedding)
                   / (greatest(sqrt(list_dot_product(q.embedding, q.embedding)), 1e-12)
                    * greatest(sqrt(list_dot_product(c.embedding, c.embedding)), 1e-12)),
-                  6) as cosine
+                  4) as cosine
               from embeddings c, (select * from embeddings where vec_id < 5) q),
             ranked as (
               select *, row_number() over (partition by q_id

@@ -48,7 +48,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             F.round(
                 _dot_col(F.col("q_vec"), F.col("c_vec"))
                 / (F.greatest(_norm_col(F.col("q_vec")), F.lit(1e-12))
-                   * F.greatest(_norm_col(F.col("c_vec")), F.lit(1e-12))), 6))
+                   * F.greatest(_norm_col(F.col("c_vec")), F.lit(1e-12))), 4))
     )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -91,7 +91,7 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
             F.round(
                 _dot_col(F.col("q_vec"), F.col("c_vec"))
                 / (F.greatest(_norm_col(F.col("q_vec")), F.lit(1e-12))
-                   * F.greatest(_norm_col(F.col("c_vec")), F.lit(1e-12))), 6))
+                   * F.greatest(_norm_col(F.col("c_vec")), F.lit(1e-12))), 4))
     )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
