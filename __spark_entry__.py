@@ -262,6 +262,38 @@ def q_eval_rollup(spark, sf):
     )
 
 
+def q_tpch_q6(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                  & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                  & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.04)
+                  & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"),
+             F.count("*").alias("n_rows"))
+    )
+
+
+def q_tpch_q5ish(spark, sf):
+    # region -> nation -> customer -> orders -> lineitem join chain
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
 def q_conll_chunk_agg(spark, sf):
     # A10: distributed conlleval chunk counting over a derived tag stream
     from stackoverflowner_spark.operators.evalops import chunk_counts, spans_table
@@ -401,6 +433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "embedding_topk": q_embedding_topk,
         "tpch_q1": q_tpch_q1,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q5ish": q_tpch_q5ish,
         "nation_revenue": q_nation_revenue,
         "conll_chunk_agg": q_conll_chunk_agg,
         "eval_rollup": q_eval_rollup,
@@ -606,6 +640,24 @@ def oracle_sql() -> dict[str, str]:
             from lineitem
             where l_shipdate <= timestamp '1998-09-02 00:00:00'
             group by l_returnflag, l_linestatus""",
+        "tpch_q6": """
+            select round(sum(l_extendedprice * l_discount), 2) as revenue,
+                   count(*) as n_rows
+            from lineitem
+            where l_shipdate >= timestamp '1996-01-01 00:00:00'
+              and l_shipdate < timestamp '1997-01-01 00:00:00'
+              and l_discount between 0.02 and 0.04
+              and l_quantity < 24""",
+        "tpch_q5ish": """
+            select r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+                   count(*) as n_items
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            join nation on c_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            group by r_name, n_name""",
         "nation_revenue": """
             select n_name,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,

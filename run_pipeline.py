@@ -29,11 +29,29 @@ def main(argv=None) -> int:
     ap.add_argument("--link", choices=["broadcast", "salted"], default="broadcast")
     ap.add_argument("--lang", default="en")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--tagger", choices=["gazetteer", "perceptron", "viterbi"],
+                    default="gazetteer")
+    ap.add_argument("--tagger-artifact",
+                    help="load a saved PerceptronTagger instead of training")
+    ap.add_argument("--gold-train",
+                    default="/root/reference/resources/annotated_ner_data/"
+                            "StackOverflow/train.txt",
+                    help="gold split used to train the learned tagger")
     args = ap.parse_args(argv)
 
+    from stackoverflowner_spark.operators.tagger import (GazetteerTagger,
+                                                         PerceptronTagger)
     from stackoverflowner_spark.plans.pipeline import KGPipeline
     from stackoverflowner_spark.session import get_spark
     from stackoverflowner_spark.sources.pages import synth_pages
+
+    if args.tagger == "gazetteer":
+        tagger = GazetteerTagger()
+    elif args.tagger_artifact:
+        tagger = PerceptronTagger.load(args.tagger_artifact)
+    else:
+        tagger = PerceptronTagger.fit_from_gold(
+            args.gold_train, structured=(args.tagger == "viterbi"))
 
     spark = get_spark(app_name="sokg-pipeline", master=args.master)
     if args.pages:
@@ -43,7 +61,7 @@ def main(argv=None) -> int:
     else:
         ap.error("need --pages or --synth")
 
-    pipe = KGPipeline(spark, args.out, n_buckets=args.buckets,
+    pipe = KGPipeline(spark, args.out, n_buckets=args.buckets, tagger=tagger,
                       lang_filter=args.lang, link_strategy=args.link)
     t0 = time.time()
     if args.mode == "fused":

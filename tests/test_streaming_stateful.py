@@ -56,3 +56,29 @@ def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
         | (F.abs(F.col("a.total_value") - F.col("b.total_value")) > 1e-6)).count()
     assert bad == 0
     assert latest.count() == expected.count()
+
+
+def test_windowed_mention_counts(spark, tmp_path):
+    """Watermarked sliding-window mention counts over warc_ts event time."""
+    from pyspark.sql import functions as F
+    from stackoverflowner_spark.sources.pages import synth_pages
+    from stackoverflowner_spark.streaming.ingest import (
+        stream_pages, windowed_mention_counts)
+
+    src = str(tmp_path / "pages")
+    synth_pages(spark, 80).write.mode("overwrite").parquet(src)
+    counts = windowed_mention_counts(
+        stream_pages(spark, src), window="60 minutes", slide="30 minutes",
+        watermark="2 hours")
+    # update mode: emit running window counts every micro-batch (append mode
+    # would withhold windows until the watermark passes them, and the file
+    # source delivers timestamps out of order)
+    q = (counts.writeStream.format("memory").queryName("win_counts")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    out = spark.table("win_counts")
+    assert out.count() > 0
+    row = out.orderBy(F.desc("n_mentions")).first()
+    assert row["n_mentions"] >= 1 and row["surface_norm"]
