@@ -370,6 +370,21 @@ def q_kg_mentions(spark, sf):
     return mentions_stage(sentences_stage(extract_stage(pages)), GazetteerTagger())
 
 
+def q_kg_mentions_documents(spark, sf):
+    # text-ingest mode over the driver's documents table: documents become
+    # pages rows with html=null (extract falls back to the text column)
+    from stackoverflowner_spark.operators.document_kernel import pages_to_mentions_fused
+    from stackoverflowner_spark.operators.tagger import GazetteerTagger
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    return pages_to_mentions_fused(pages, GazetteerTagger(), lang_filter="en")
+
+
 def q_multimodal_features(spark, sf):
     from stackoverflowner_spark.operators.multimodal import extract_features, synth_media
     return extract_features(synth_media(spark, 200))
@@ -448,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_vector": q_freq_vector,
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
+        "kg_mentions_documents": q_kg_mentions_documents,
         "multimodal_features": q_multimodal_features,
         "components": q_components,
     }
