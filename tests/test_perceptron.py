@@ -132,3 +132,22 @@ def test_structured_viterbi_variant():
     for p in preds:
         if p:
             assert not p[0].startswith("I-")
+
+
+REF_CTC_TSV = ("/root/reference/code/Attentive_BiLSTM/auxilary_inputs_ner/"
+               "ctc_pred.tsv")
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CTC_TSV), reason="ctc fixture absent")
+def test_ctc_aux_channel_roundtrip(tmp_path):
+    from stackoverflowner_spark.operators.tagger import PerceptronTagger
+    # small/fast: 2 epochs greedy, with the reference CTC dict channel
+    t = PerceptronTagger.fit_from_gold(GOLD_TRAIN, epochs=1, ctc_path=REF_CTC_TSV)
+    toks = ["I", "use", "python", "with", "foo.bar()", "."]
+    tags = t.tag(toks, ["O"] * 6)
+    assert len(tags) == 6
+    p = str(tmp_path / "t.pkl.gz")
+    t.save(p)
+    t2 = PerceptronTagger.load(p)
+    assert t2.ctc_dict is not None
+    assert t2.tag(toks, ["O"] * 6) == tags
