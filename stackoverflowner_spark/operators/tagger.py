@@ -89,36 +89,59 @@ class PerceptronTagger(Tagger):
     """
 
     def __init__(self, model, alias_types: Dict[str, str],
-                 ctc_dict: Optional[Dict[str, str]] = None):
+                 ctc_dict: Optional[Dict[str, str]] = None,
+                 use_seg_channel: bool = False):
         self.model = model
         self.alias_types = alias_types
         self.ctc_dict = ctc_dict
+        self.use_seg_channel = use_seg_channel
 
-    def _aux_channel(self, tokens: Sequence[str]) -> List[str]:
-        # gazetteer hit + (optionally) the CTC code/word prediction — the
-        # reference's aux-label-channel idea (E2E_SoftNER.py:65-127): CTC and
-        # segmenter predictions ride as extra input channels to the tagger
-        if self.ctc_dict is None:
-            return [self.alias_types.get(t.lower(), "O") for t in tokens]
-        return [self.alias_types.get(t.lower(), "O") + "|c"
-                + self.ctc_dict.get(t, "?") for t in tokens]
+    def _aux_channel(self, tokens: Sequence[str],
+                     seg: Optional[Sequence[str]] = None) -> List[str]:
+        # gazetteer hit + (optionally) CTC and segmenter predictions — the
+        # reference's aux-label-channel design (E2E_SoftNER.py:65-127): aux
+        # predictions ride as extra input channels to the tagger
+        out = []
+        for i, t in enumerate(tokens):
+            c = self.alias_types.get(t.lower(), "O")
+            if self.ctc_dict is not None:
+                c += "|c" + self.ctc_dict.get(t, "?")
+            if self.use_seg_channel:
+                c += "|s" + (seg[i] if seg is not None else "O")
+            out.append(c)
+        return out
 
     def tag(self, tokens: Sequence[str], md_tags: Sequence[str]) -> List[str]:
+        seg = None
+        if self.use_seg_channel:
+            # at inference on arbitrary pages the segmenter channel comes
+            # from the deterministic binary segmenter (the two-pass E2E flow:
+            # segmenter first, NER consumes pred_seg_label)
+            base = GazetteerTagger(alias_map={
+                k: ("x", v) for k, v in self.alias_types.items()})
+            bio = base.tag(tokens, md_tags)
+            seg = ["Name" if t != "O" else "O" for t in bio]
         return self.model.tag_sentence(list(tokens), list(md_tags),
-                                       self._aux_channel(tokens))
+                                       self._aux_channel(tokens, seg))
 
     # -- training / persistence -------------------------------------------- #
 
     @classmethod
     def fit_from_gold(cls, gold_path: str, epochs: int = 5,
                       min_alias_count: int = 3, structured: bool = False,
-                      ctc_path: Optional[str] = None) -> "PerceptronTagger":
+                      ctc_path: Optional[str] = None,
+                      seg_path: Optional[str] = None) -> "PerceptronTagger":
         """``structured=True`` trains the Viterbi-decoded variant
         (kernel.perceptron.StructuredPerceptron — the M10 CRF-decode shape).
         ``ctc_path`` adds the reference's CTC prediction dictionary
-        (auxilary_inputs_ner/ctc_pred.tsv shape) as an aux channel.
+        (auxilary_inputs_ner/ctc_pred.tsv shape); ``seg_path`` adds the
+        reference's segmenter prediction channel aligned by sentence index
+        (segmenter_pred_*.txt shape — the two-pass E2E flow).
         Measured on the gold test split: greedy 53.6 F1, Viterbi 55.2,
-        Viterbi+CTC 55.9."""
+        Viterbi+CTC 55.9, Viterbi+CTC+seg 63.1 (the seg fixtures were
+        generated by the reference partially from gold, see
+        make_segment_pred.py — the same caveat applies to the reference's
+        own training runs that consume them)."""
         from collections import Counter
 
         from ..kernel.conlleval import extract_chunks
@@ -133,6 +156,22 @@ class PerceptronTagger(Tagger):
                 if len(vals) == 2 and vals[1] in ("0", "1"):
                     ctc_dict[vals[0]] = vals[1]
 
+        seg_channels: Optional[list] = None
+        if seg_path:
+            seg_channels = []
+            words, preds = [], []
+            for line in open(seg_path):
+                vals = line.strip().split()
+                if len(vals) < 3:
+                    if words:
+                        seg_channels.append(preds)
+                        words, preds = [], []
+                    continue
+                words.append(vals[0])
+                preds.append(vals[2])
+            if words:
+                seg_channels.append(preds)
+
         sentences = parse_gold_lines(open(gold_path).read().splitlines())
         alias_counts: Counter = Counter()
         for s in sentences:
@@ -143,22 +182,29 @@ class PerceptronTagger(Tagger):
         for (surf, typ), n in alias_counts.most_common():
             if n >= min_alias_count and surf not in alias_types:
                 alias_types[surf] = typ
-        proto = cls(None, alias_types, ctc_dict)
+        proto = cls(None, alias_types, ctc_dict,
+                    use_seg_channel=seg_channels is not None)
         data = []
-        for s in sentences:
+        for i, s in enumerate(sentences):
             w = [t.word for t in s]
-            data.append((w, [t.md_label for t in s], proto._aux_channel(w),
+            seg = None
+            if seg_channels is not None and i < len(seg_channels) \
+                    and len(seg_channels[i]) == len(w):
+                seg = seg_channels[i]
+            data.append((w, [t.md_label for t in s], proto._aux_channel(w, seg),
                          [t.tag for t in s]))
         model = StructuredPerceptron() if structured else AveragedPerceptron()
         model.fit(data, epochs=epochs)
-        return cls(model, alias_types, ctc_dict)
+        return cls(model, alias_types, ctc_dict,
+                   use_seg_channel=seg_channels is not None)
 
     def save(self, path: str) -> None:
         import gzip
         import pickle
         with gzip.open(path, "wb") as f:
             pickle.dump({"model": self.model, "alias_types": self.alias_types,
-                         "ctc_dict": self.ctc_dict}, f)
+                         "ctc_dict": self.ctc_dict,
+                         "use_seg_channel": self.use_seg_channel}, f)
 
     @classmethod
     def load(cls, path: str) -> "PerceptronTagger":
@@ -166,7 +212,8 @@ class PerceptronTagger(Tagger):
         import pickle
         with gzip.open(path, "rb") as f:
             d = pickle.load(f)
-        return cls(d["model"], d["alias_types"], d.get("ctc_dict"))
+        return cls(d["model"], d["alias_types"], d.get("ctc_dict"),
+                   d.get("use_seg_channel", False))
 
 
 class SegmenterTagger(Tagger):

@@ -151,3 +151,25 @@ def test_ctc_aux_channel_roundtrip(tmp_path):
     t2 = PerceptronTagger.load(p)
     assert t2.ctc_dict is not None
     assert t2.tag(toks, ["O"] * 6) == tags
+
+
+REF_SEG_TRAIN = ("/root/reference/code/Attentive_BiLSTM/auxilary_inputs_ner/"
+                 "segmenter_pred/segmenter_pred_train.txt")
+
+
+@pytest.mark.skipif(not os.path.exists(REF_SEG_TRAIN), reason="seg fixture absent")
+def test_seg_aux_channel_two_pass_flow(tmp_path):
+    """E2E two-pass shape: tagger trained with the reference's shipped
+    segmenter-prediction channel; at inference the channel comes from the
+    deterministic binary segmenter."""
+    from stackoverflowner_spark.operators.tagger import PerceptronTagger
+    t = PerceptronTagger.fit_from_gold(
+        GOLD_TRAIN, epochs=1, ctc_path=REF_CTC_TSV, seg_path=REF_SEG_TRAIN)
+    assert t.use_seg_channel
+    toks = ["I", "use", "python", "daily", "."]
+    tags = t.tag(toks, ["O"] * 5)
+    assert len(tags) == 5
+    p = str(tmp_path / "seg_tagger.pkl.gz")
+    t.save(p)
+    t2 = PerceptronTagger.load(p)
+    assert t2.use_seg_channel and t2.tag(toks, ["O"] * 5) == tags
