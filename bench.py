@@ -138,13 +138,13 @@ def main() -> None:
     # workers, so local[8] can consume ~3x8 cores); sched_setaffinity on the
     # child process tree is the honest N-executor vs 4N-executor emulation.
     # runs must be long enough that fixed session costs (~3-5 s) don't
-    # swamp the ratio: the lo-cores run should take >= ~60 s
-    n_small = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "0")) or n_pages
+    # swamp the ratio: the lo-cores run should take >= ~100 s
+    n_small = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "0")) or 2 * n_pages
     small_path = os.path.join(
         os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp"),
         f"sokg_bench_pages_{n_small}")
     materialize_pages(spark, n_small, small_path)
-    n_scale = 4 * n_small
+    n_scale = 2 * n_small
     scale_path = os.path.join(
         os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp"),
         f"sokg_bench_pages_{n_scale}")
