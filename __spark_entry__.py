@@ -156,8 +156,9 @@ def q_word_ids(spark, sf):
     w = Window.orderBy(F.desc("freq"), F.asc("word"))
     mapping = vocab.withColumn("word_id", F.row_number().over(w).cast("long"))
     distinct_words = words.distinct()
-    return (distinct_words.join(F.broadcast(mapping.select("word", "word_id")),
-                                "word", "left")
+    # no broadcast hint: the mapping is corpus-derived (unbounded at 100 TB);
+    # AQE decides broadcast vs shuffle from its measured size at runtime.
+    return (distinct_words.join(mapping.select("word", "word_id"), "word", "left")
             .select("word", F.coalesce("word_id", F.lit(0)).alias("word_id")))
 
 
@@ -386,8 +387,30 @@ def q_kg_mentions_documents(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
+    # rows-only: the stub decode is Python-specific. Output is canonicalizable
+    # scalars (the raw array<float> broke the driver's pandas sort in r01).
     from stackoverflowner_spark.operators.multimodal import extract_features, synth_media
-    return extract_features(synth_media(spark, 200))
+    feats = extract_features(synth_media(spark, 200))
+    feat_md5 = F.md5(F.concat_ws(
+        ",", F.transform(F.col("features"), lambda x: F.round(x, 4).cast("string"))))
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.size("features").cast("long").alias("feat_dim"),
+        feat_md5.alias("feat_md5"))
+
+
+def q_multimodal_meta(spark, sf):
+    # multimodal metadata columns are pure arithmetic of media_id ->
+    # fully DuckDB-oracleable (payload length, kind cycle, meta struct).
+    from stackoverflowner_spark.operators.multimodal import synth_media
+    media = synth_media(spark, 200)
+    return media.select(
+        "media_id", "kind",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+        F.col("meta.duration_ms").cast("long").alias("duration_ms"),
+        F.col("meta.mime").alias("mime"))
 
 
 def q_ctc_predict(spark, sf):
@@ -465,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": q_kg_mentions,
         "kg_mentions_documents": q_kg_mentions_documents,
         "multimodal_features": q_multimodal_features,
+        "multimodal_meta": q_multimodal_meta,
         "components": q_components,
     }
 
@@ -689,6 +713,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) as total_value
             from events
             group by grouping sets ((event_type), ())""",
+        "multimodal_meta": """
+            with m as (select unnest(generate_series(0, 199)) as i)
+            select i as media_id,
+                   case i % 3 when 0 then 'image' when 1 then 'audio'
+                              else 'video' end as kind,
+                   32 * (4 + i % 8) as n_bytes,
+                   case when i % 3 = 0 then 64 + (i % 8) * 32 end as width,
+                   case when i % 3 = 0 then 64 + (i % 5) * 32 end as height,
+                   case when i % 3 <> 0 then 1000 * (1 + i % 30) end as duration_ms,
+                   (case i % 3 when 0 then 'image' when 1 then 'audio'
+                               else 'video' end) || '/x-synmeans' as mime
+            from m""",
         "conll_chunk_agg": """
             with tagged as (
               select user_id, event_id, ts,
