@@ -174,13 +174,16 @@ def q_minhash(spark, sf):
 
 
 def q_jaccard_pairs(spark, sf):
+    # unigram Jaccard at 0.5 over the first 40 docs — the fixture's shared
+    # ~30-word vocabulary makes this NON-vacuous (r01 used 3-shingles at 0.05
+    # and matched on 0 == 0 rows, proving nothing about the arithmetic).
     from stackoverflowner_spark.operators.dedup import ngram_jaccard_pairs
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
     ids = docs.select("doc_id")
     pairs = (ids.select(F.col("doc_id").alias("id_a"))
              .crossJoin(ids.select(F.col("doc_id").alias("id_b")))
              .filter(F.col("id_a") < F.col("id_b")))
-    return ngram_jaccard_pairs(docs, pairs, threshold=0.05)
+    return ngram_jaccard_pairs(docs, pairs, n=1, threshold=0.5)
 
 
 def q_fingerprint(spark, sf):
@@ -332,24 +335,65 @@ def q_lsh_pairs(spark, sf):
     return lsh_candidate_pairs(sig, rows_per_band=2)
 
 
+LSH_ANN_BANDS, LSH_ANN_ROWS = 4, 3
+# 2 bands x 5 rows keeps the sf0.01 candidate volume tractable for the
+# DuckDB oracle's brute-force candidate recomputation; the operator default
+# (3 x 4) favors recall.
+NEAR_DUP_BANDS, NEAR_DUP_ROWS = 2, 5
+
+
 def q_lsh_ann(spark, sf):
     from stackoverflowner_spark.operators.similarity import lsh_ann_topk
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), "embedding")
-    return lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=8)
+    return lsh_ann_topk(emb, queries, dim=64, k=5,
+                        bands=LSH_ANN_BANDS, rows_per_band=LSH_ANN_ROWS)
 
 
 def q_embedding_near_dup(spark, sf):
     from stackoverflowner_spark.operators.dedup import embedding_near_dup_pairs
     return embedding_near_dup_pairs(_t(spark, sf, "embeddings"), dim=64,
-                                    threshold=0.3, n_planes=6)
+                                    threshold=0.3, bands=NEAR_DUP_BANDS,
+                                    rows_per_band=NEAR_DUP_ROWS)
 
 
 def q_ivf_assign(spark, sf):
     from stackoverflowner_spark.operators.similarity import ivf_assignments
     return ivf_assignments(_t(spark, sf, "embeddings"), dim=64).select(
         "vec_id", "centroid")
+
+
+def q_ivf_search(spark, sf):
+    from stackoverflowner_spark.operators.similarity import ivf_topk
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    return ivf_topk(emb, queries, dim=64, k=5, n_centroids=8, nprobe=3)
+
+
+_CTC_URL_TOKENS = ["http://example.com/a", "https://foo.org/bar?q=1"]
+
+
+def q_ctc_rules(spark, sf):
+    # M3 rule overlay on its engine-independent subset: IS_NUMBER tokens are
+    # forced to 1 and IS_URL tokens to 0 regardless of the MLP
+    # (prediction_ctc.py:158-166) — the oracle recomputes the rules in SQL,
+    # verifying the overlay fired through the full Spark CTC stack.
+    from stackoverflowner_spark.operators.ctcop import fit_ctc, with_ctc_column
+    from stackoverflowner_spark.operators.vocab import words_from_text
+    docs = _t(spark, sf, "documents")
+    words = words_from_text(docs).withColumnRenamed("word", "token")
+    nums = (_t(spark, sf, "events").filter(F.col("event_id") < 100)
+            .select(F.col("event_id").cast("string").alias("token")))
+    urls = spark.createDataFrame([(u,) for u in _CTC_URL_TOKENS], ["token"])
+    tokens = words.union(nums).union(urls).distinct()
+    art = fit_ctc(["the", "a", "of", "data"], ["x=1", "foo()"])
+    stripped = F.translate(F.col("token"), ".-+", "")
+    rule_covered = stripped.rlike("^[0-9]+$") | F.col("token").startswith("http")
+    return (with_ctc_column(tokens, spark, art)
+            .filter(rule_covered)
+            .select("token", F.col("ctc").cast("long").alias("ctc")))
 
 
 def q_kg_triples(spark, sf):
@@ -429,22 +473,30 @@ def q_ctc_predict(spark, sf):
 
 
 def q_freq_vector(spark, sf):
-    # A7-A9: word-frequency Gaussian binning (rows-only: float vectors)
+    # A7-A9: word-frequency Gaussian binning. Oracled via (dim, top_bin):
+    # the vector's argmax is the bin whose center is nearest the word's
+    # train frequency — pure histogram arithmetic, recomputable in SQL.
     from stackoverflowner_spark.operators.ctcop import fit_freq_vector, with_freq_vector
     from stackoverflowner_spark.operators.vocab import words_from_text
     words = words_from_text(_t(spark, sf, "documents")).withColumnRenamed(
         "word", "token")
     art = fit_freq_vector(words)
-    return with_freq_vector(words.distinct(), spark, art).select(
-        "token", F.size("freq_vector").alias("dim"))
+    vec = with_freq_vector(words.distinct(), spark, art)
+    return vec.select(
+        "token",
+        F.size("freq_vector").cast("long").alias("dim"),
+        (F.array_position(F.col("freq_vector"), F.array_max("freq_vector"))
+         - 1).cast("long").alias("top_bin"))
+
+
+# ring + chain, deterministic; shared with the recursive-CTE oracle
+_COMPONENT_EDGES = ([(f"n{i}", f"n{(i + 1) % 6}") for i in range(6)]
+                    + [(f"m{i}", f"m{i + 1}") for i in range(4)])
 
 
 def q_components(spark, sf):
     from stackoverflowner_spark.operators.components import connected_components
-    # two rings + one chain, deterministic
-    edges = [(f"n{i}", f"n{(i + 1) % 6}") for i in range(6)]
-    edges += [(f"m{i}", f"m{i + 1}") for i in range(4)]
-    df = spark.createDataFrame(edges, ["src", "dst"])
+    df = spark.createDataFrame(_COMPONENT_EDGES, ["src", "dst"])
     return connected_components(df)
 
 
@@ -476,20 +528,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue": q_nation_revenue,
         "conll_chunk_agg": q_conll_chunk_agg,
         "eval_rollup": q_eval_rollup,
-        # rows-only (custom hashing / iterative / pipeline ops)
         "simhash": q_simhash,
         "lsh_pairs": q_lsh_pairs,
         "lsh_ann": q_lsh_ann,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_assign": q_ivf_assign,
-        "ctc_predict": q_ctc_predict,
+        "ivf_search": q_ivf_search,
+        "ctc_rules": q_ctc_rules,
+        "components": q_components,
         "freq_vector": q_freq_vector,
+        # rows-only (engine-specific model internals / full-kernel pipeline ops)
+        "ctc_predict": q_ctc_predict,
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
         "kg_mentions_documents": q_kg_mentions_documents,
         "multimodal_features": q_multimodal_features,
         "multimodal_meta": q_multimodal_meta,
-        "components": q_components,
     }
 
 
@@ -510,7 +564,63 @@ _STOP = {
 }
 
 
+def _plane_lit(p: list[float]) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in p) + "]"
+
+
+def _sig_sql(vec: str, planes) -> str:
+    """Concat-of-sign-bits LSH signature; identical float64 fold to Spark's
+    ``lsh_signature_col`` (sequential dot product, >= 0 decision)."""
+    return "concat(" + ", ".join(
+        f"case when list_dot_product({vec}, {_plane_lit(p)}) >= 0 "
+        "then '1' else '0' end" for p in planes) + ")"
+
+
+def _band_match_sql(a: str, b: str, bands: int, rows: int) -> str:
+    return " or ".join(
+        f"substr({a}, {i * rows + 1}, {rows}) = substr({b}, {i * rows + 1}, {rows})"
+        for i in range(bands))
+
+
+def _cosine_sql(a: str, b: str, digits: int) -> str:
+    return (f"round(list_dot_product({a}, {b}) / "
+            f"(greatest(sqrt(list_dot_product({a}, {a})), 1e-12) * "
+            f"greatest(sqrt(list_dot_product({b}, {b})), 1e-12)), {digits})")
+
+
+def _simhash_sql(norm: str, bits: int = 64) -> str:
+    # bit b of the 64-bit value in the first 16 hex chars of md5(word);
+    # hex-digit value via instr('123456789abcdef', ch) — same trick as the
+    # Spark side (operators/dedup.py:_md5_bit), so sums match exactly.
+    sums = ", ".join(
+        f"sum(case when (instr('123456789abcdef', substr(m, {16 - b // 4}, 1))"
+        f" // {2 ** (b % 4)}) % 2 = 1 then 1 else -1 end) as b{b}"
+        for b in range(bits))
+    sim = "concat(" + ", ".join(
+        f"case when b{b} > 0 then '1' else '0' end"
+        for b in reversed(range(bits))) + ")"
+    return f"""
+        with toks as (select doc_id,
+               unnest(list_filter(string_split({norm}, ' '), x -> x <> '')) as word
+             from documents where doc_id < 200),
+        h as (select doc_id, md5(word) as m from toks),
+        bits as (select doc_id, {sums} from h group by doc_id)
+        select doc_id, {sim} as simhash from bits"""
+
+
 def oracle_sql() -> dict[str, str]:
+    from stackoverflowner_spark.operators.similarity import hyperplanes, ivf_centroids
+
+    ann_planes = hyperplanes(64, LSH_ANN_BANDS * LSH_ANN_ROWS)
+    nd_planes = hyperplanes(64, NEAR_DUP_BANDS * NEAR_DUP_ROWS)
+    cents = ivf_centroids(64, 8)
+    cent_scores = ", ".join(
+        f"list_dot_product(embedding, {_plane_lit(c)}) / "
+        f"greatest(sqrt(list_dot_product(embedding, embedding)), 1e-12) as s{i}"
+        for i, c in enumerate(cents))
+    cent_best = "greatest(" + ", ".join(f"s{i}" for i in range(8)) + ")"
+    cent_case = ("case " + " ".join(
+        f"when s{i} = {cent_best} then {i}" for i in range(8)) + " end")
     hits = {
         lang: (
             f"(select count(distinct x) from unnest(string_split(lower(text), ' ')) "
@@ -614,10 +724,9 @@ def oracle_sql() -> dict[str, str]:
             group by doc_id, seed""",
         "jaccard_pairs": f"""
             with d as (select doc_id, {norm} as nt from documents where doc_id < 40),
-                 words as (select doc_id,
-                     list_filter(string_split(nt, ' '), x -> x <> '') as ws from d),
-                 sh as (select distinct doc_id, array_to_string(ws[i:i+2], ' ') as shingle
-                   from words, unnest(generate_series(1, greatest(len(ws)-2, 1))) as t(i)),
+                 sh as (select distinct doc_id,
+                     unnest(list_filter(string_split(nt, ' '), x -> x <> '')) as shingle
+                   from d),
                  sizes as (select doc_id, count(*) as n from sh group by doc_id),
                  inter as (select a.doc_id as id_a, b.doc_id as id_b,
                                   count(*) as n_inter
@@ -628,7 +737,7 @@ def oracle_sql() -> dict[str, str]:
             from inter
             join sizes sa on sa.doc_id = id_a
             join sizes sb on sb.doc_id = id_b
-            where n_inter / (sa.n + sb.n - n_inter) >= 0.05""",
+            where n_inter / (sa.n + sb.n - n_inter) >= 0.5""",
         "fingerprint": f"select doc_id, md5({norm}) as fingerprint from documents",
         "token_count": r"""
             select doc_id,
@@ -738,4 +847,117 @@ def oracle_sql() -> dict[str, str]:
                    count(*) filter (where tag = 'B-Sess'
                      or (tag = 'I-Sess' and (prev is null or prev = 'O'))) as n_chunks
             from w""",
+        "simhash": _simhash_sql(norm),
+        "lsh_pairs": f"""
+            with words as (select doc_id,
+                     list_filter(string_split({norm}, ' '), x -> x <> '') as ws
+                   from documents),
+                 shingles as (select doc_id, array_to_string(ws[i:i+2], ' ') as shingle
+                   from words, unnest(generate_series(1, greatest(len(ws)-2, 1))) as t(i)),
+                 mh as (select doc_id, seed, min(md5(shingle || ':' || seed)) as minhash
+                   from shingles, unnest(generate_series(0, 7)) as s(seed)
+                   group by doc_id, seed),
+                 banded as (select doc_id, seed // 2 as band,
+                       md5(string_agg(minhash, '|' order by minhash)) as band_hash
+                   from mh group by doc_id, seed // 2)
+            select distinct a.doc_id as id_a, b.doc_id as id_b
+            from banded a join banded b using (band, band_hash)
+            where a.doc_id < b.doc_id""",
+        "lsh_ann": f"""
+            with c as (select vec_id, embedding,
+                              {_sig_sql('embedding', ann_planes)} as sig
+                       from embeddings),
+                 q as (select vec_id as q_id, embedding,
+                              {_sig_sql('embedding', ann_planes)} as sig
+                       from embeddings where vec_id < 5),
+                 cand as (select distinct q.q_id, c.vec_id from c, q
+                          where {_band_match_sql('c.sig', 'q.sig', LSH_ANN_BANDS, LSH_ANN_ROWS)}),
+                 scored as (select cand.q_id, cand.vec_id,
+                        {_cosine_sql('qe.embedding', 'ce.embedding', 4)} as cosine
+                   from cand
+                   join embeddings qe on qe.vec_id = cand.q_id
+                   join embeddings ce on ce.vec_id = cand.vec_id),
+                 ranked as (select *, row_number() over (partition by q_id
+                        order by cosine desc, vec_id asc) as rank from scored)
+            select q_id, vec_id, cosine, rank from ranked where rank <= 5""",
+        "embedding_near_dup": f"""
+            with s as (select vec_id, embedding,
+                              {_sig_sql('embedding', nd_planes)} as sig
+                       from embeddings),
+                 cand as (select distinct a.vec_id as id_a, b.vec_id as id_b
+                          from s a, s b
+                          where a.vec_id < b.vec_id
+                            and ({_band_match_sql('a.sig', 'b.sig', NEAR_DUP_BANDS, NEAR_DUP_ROWS)})),
+                 scored as (select id_a, id_b,
+                        {_cosine_sql('ea.embedding', 'eb.embedding', 6)} as cosine
+                   from cand
+                   join embeddings ea on ea.vec_id = id_a
+                   join embeddings eb on eb.vec_id = id_b)
+            select id_a, id_b, cosine from scored where cosine >= 0.3""",
+        "ivf_assign": f"""
+            with s as (select vec_id, {cent_scores} from embeddings)
+            select vec_id, {cent_case} as centroid from s""",
+        "ivf_search": f"""
+            with s as (select vec_id, embedding, {cent_scores} from embeddings),
+                 assigned as (select vec_id, embedding, {cent_case} as centroid from s),
+                 qs as (select vec_id as q_id, embedding as q_emb, {cent_scores}
+                        from embeddings where vec_id < 5),
+                 qscores as ({" union all ".join(
+                     f"select q_id, q_emb, {i} as c, s{i} as sc from qs"
+                     for i in range(8))}),
+                 probes as (select q_id, q_emb, c from (
+                        select *, row_number() over (partition by q_id
+                            order by sc desc, c asc) as rn from qscores)
+                     where rn <= 3),
+                 scored as (select p.q_id, a.vec_id,
+                        {_cosine_sql('p.q_emb', 'a.embedding', 4)} as cosine
+                   from probes p join assigned a on a.centroid = p.c),
+                 ranked as (select *, row_number() over (partition by q_id
+                        order by cosine desc, vec_id asc) as rank from scored)
+            select q_id, vec_id, cosine, rank from ranked where rank <= 5""",
+        "ctc_rules": """
+            with words as (select unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) as token from documents),
+                 nums as (select cast(event_id as varchar) as token
+                          from events where event_id < 100),
+                 urls as (select * from (values """ + ", ".join(
+                     f"('{u}')" for u in _CTC_URL_TOKENS) + """) u(token)),
+                 allt as (select distinct token from (
+                     select token from words
+                     union all select token from nums
+                     union all select token from urls))
+            select token,
+                   cast(case when regexp_matches(
+                       replace(replace(replace(token, '.', ''), '-', ''), '+', ''),
+                       '^[0-9]+$') then 1 else 0 end as bigint) as ctc
+            from allt
+            where regexp_matches(
+                    replace(replace(replace(token, '.', ''), '-', ''), '+', ''),
+                    '^[0-9]+$')
+               or starts_with(token, 'http')""",
+        "components": """
+            with recursive edges(src, dst) as (
+                select * from (values """ + ", ".join(
+                    f"('{s}', '{d}')" for s, d in _COMPONENT_EDGES) + """ ) e(src, dst)),
+            sym as (select src as a, dst as b from edges
+                    union select dst as a, src as b from edges),
+            reach(node, r) as (
+                select a as node, a as r from sym
+                union
+                select reach.node, sym.b from reach, sym where sym.a = reach.r)
+            select node, min(r) as component from reach group by node""",
+        "freq_vector": """
+            with words as (select unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) as token from documents),
+                 counts as (select token, cast(count(*) as double) as freq
+                            from words group by token),
+                 stats as (select min(freq) as mn, max(freq) as mx from counts),
+                 means as (select j, mn + (j - 0.5) * ((mx - mn) / 100.0) as mean
+                           from stats, unnest(generate_series(0, 101)) t(j)),
+                 best as (select token, j,
+                        row_number() over (partition by token
+                            order by abs(freq - mean), j) as rn
+                   from counts, means)
+            select token, cast(102 as bigint) as dim, j as top_bin
+            from best where rn = 1""",
     }

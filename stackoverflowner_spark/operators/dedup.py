@@ -110,22 +110,28 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 
 
 def embedding_near_dup_pairs(vectors: DataFrame, dim: int, threshold: float = 0.9,
-                             n_planes: int = 12, id_col: str = "vec_id",
+                             bands: int = 3, rows_per_band: int = 4,
+                             id_col: str = "vec_id",
                              vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket the corpus with
-    deterministic random hyperplanes, self-join within buckets only, verify
-    with exact cosine. Candidate volume is sum(bucket^2), not corpus^2."""
-    from .similarity import _dot_col, _norm_col, hyperplanes, lsh_signature_col
+    deterministic random hyperplanes (b bands x r rows, OR-amplified),
+    self-join within band buckets only, verify with exact cosine.
+    Candidate volume is sum over buckets of bucket^2, not corpus^2; the
+    multi-band union keeps recall high (a pair differing in one bit of one
+    band still collides in the other bands)."""
+    from .similarity import _dot_col, _norm_col, banded_signatures, hyperplanes
 
-    planes = hyperplanes(dim, n_planes)
-    sig = vectors.select(
-        F.col(id_col), F.col(vec_col),
-        lsh_signature_col(F.col(vec_col), planes).alias("sig"))
-    a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "sig")
-    b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "sig")
+    planes = hyperplanes(dim, bands * rows_per_band)
+    sig = banded_signatures(vectors.select(F.col(id_col), F.col(vec_col)),
+                            planes, bands, rows_per_band, id_col, vec_col)
+    a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+                   "band", "band_sig")
+    b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+                   "band", "band_sig")
     return (
-        a.join(b, "sig")
+        a.join(b, ["band", "band_sig"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "cosine",
             F.round(
@@ -137,23 +143,36 @@ def embedding_near_dup_pairs(vectors: DataFrame, dim: int, threshold: float = 0.
     )
 
 
+def _md5_bit(md5_col, b: int):
+    """Bit ``b`` (0 = LSB) of the 64-bit value held in the first 16 hex chars
+    of an md5 string. Hex-digit value via ``instr('123456789abcdef', ch)``
+    (0 for '0' since instr returns 0 on miss) — the same expression is valid
+    in DuckDB, which is what makes the simhash oracle-checkable."""
+    ch = F.substring(md5_col, 16 - b // 4, 1)
+    val = F.instr(F.lit("123456789abcdef"), ch)
+    return (val / (2 ** (b % 4))).cast("int") % 2
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 64) -> DataFrame:
-    """Sign-aggregated word-hash fingerprint (JVM xxhash64 per word)."""
+    """Sign-aggregated word-hash fingerprint, emitted as a ``bits``-char
+    '0'/'1' string (MSB first).
+
+    Word hash = first 16 hex chars of md5(word): md5 is identical in every
+    engine (unlike xxhash64), so the whole operator is DuckDB-oracleable.
+    All arithmetic is columnar/JVM-side; one shuffle (groupBy doc)."""
     toks = df.select(
         F.col(id_col),
         F.explode(F.filter(F.split(normalized_text(text_col), " "),
                            lambda x: x != "")).alias("word"),
-    ).withColumn("h", F.xxhash64("word"))
+    ).withColumn("h", F.md5("word"))
     bit_cols = [
-        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
-                     1).otherwise(-1)).alias(f"b{b}")
+        F.sum(F.when(_md5_bit(F.col("h"), b) == 1, 1).otherwise(-1)).alias(f"b{b}")
         for b in range(bits)
     ]
     agg = toks.groupBy(id_col).agg(*bit_cols)
-    sim = F.lit(0).cast("long")
-    for b in range(bits):
-        sim = sim + F.when(F.col(f"b{b}") > 0,
-                           F.lit(1).cast("long") * (2 ** b if b < 63 else -(2 ** 63))
-                           ).otherwise(0)
+    sim = F.concat(*[
+        F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in reversed(range(bits))
+    ])
     return agg.select(F.col(id_col), sim.alias("simhash"))

@@ -42,6 +42,7 @@ EXTRACTED_SCHEMA = T.StructType([
     ])), True),
     T.StructField("ok", T.BooleanType(), False),
     T.StructField("err", T.StringType(), True),
+    T.StructField("truncated", T.BooleanType(), False),
 ])
 
 SENTENCES_SCHEMA = T.StructType([
@@ -65,21 +66,26 @@ def extract_stage(pages: DataFrame, lang_filter: str | None = "en") -> DataFrame
         for pdf in batches:
             out = []
             for url, html, text, lang in zip(pdf["url"], pdf["html"], pdf["text"], pdf["lang"]):
+                trunc = False
                 try:
                     if html is not None:
-                        body = bytes(html)[:MAX_HTML_BYTES].decode("utf-8", "replace")
-                        extracted = extract_text(body)
+                        raw = bytes(html)
+                        trunc = len(raw) > MAX_HTML_BYTES
+                        extracted = extract_text(
+                            raw[:MAX_HTML_BYTES].decode("utf-8", "replace"))
                     elif text is not None:
+                        trunc = len(text) > MAX_HTML_BYTES
                         extracted = text[:MAX_HTML_BYTES]
                     else:
                         raise ExtractionError("row has neither html nor text")
                     final, anns = sentencize(extracted, url.rsplit("/", 1)[-1])
                     out.append((url, lang, final,
                                 [(a.start, a.end, a.type, a.text) for a in anns],
-                                True, None))
+                                True, None, trunc))
                 except ExtractionError as e:
-                    out.append((url, lang, None, None, False, f"extract:{e}"))
-            yield pd.DataFrame(out, columns=["url", "lang", "final_text", "anns", "ok", "err"])
+                    out.append((url, lang, None, None, False, f"extract:{e}", trunc))
+            yield pd.DataFrame(out, columns=[
+                "url", "lang", "final_text", "anns", "ok", "err", "truncated"])
 
     return cols.mapInPandas(run, schema=EXTRACTED_SCHEMA)
 

@@ -75,24 +75,50 @@ def lsh_signature_col(vec_col, planes: List[List[float]]):
     return F.concat(*bits)
 
 
+def banded_signatures(df: DataFrame, planes: List[List[float]], bands: int,
+                      rows_per_band: int, id_col: str, vec_col: str) -> DataFrame:
+    """One row per (vector, band): band signature = the band's bit slice.
+
+    Multi-band OR-amplification: a pair is a candidate if ANY band matches,
+    so a near-neighbor differing in one bit of one band is still found via
+    the other bands (the single-band variant this replaces had a recall
+    cliff — one flipped bit made a true neighbor invisible)."""
+    sig = lsh_signature_col(F.col(vec_col), planes)
+    band_sigs = F.array(*[
+        F.substring(sig, b * rows_per_band + 1, rows_per_band)
+        for b in range(bands)
+    ])
+    return df.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(band_sigs).alias("band", "band_sig"))
+
+
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
-                 n_planes: int = 12, id_col: str = "vec_id",
+                 bands: int = 4, rows_per_band: int = 3, id_col: str = "vec_id",
                  vec_col: str = "embedding", q_id_col: str = "q_id") -> DataFrame:
-    """Approximate top-k: exact rank *within* the query's LSH bucket."""
-    planes = hyperplanes(dim, n_planes)
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec"),
-                      lsh_signature_col(F.col(vec_col), planes).alias("sig"))
-    q = queries.select(F.col(q_id_col), F.col(vec_col).alias("q_vec"),
-                       lsh_signature_col(F.col(vec_col), planes).alias("sig"))
-    scored = (
-        c.join(F.broadcast(q), "sig")
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot_col(F.col("q_vec"), F.col("c_vec"))
-                / (F.greatest(_norm_col(F.col("q_vec")), F.lit(1e-12))
-                   * F.greatest(_norm_col(F.col("c_vec")), F.lit(1e-12))), 4))
+    """Approximate top-k: exact rank within the union of the query's band
+    buckets (b bands x r rows, OR-amplified).
+
+    Scale shape: corpus side shuffles O(corpus * bands) fixed-width rows;
+    queries are broadcast; candidate volume is sum over buckets of
+    |bucket_c| * |bucket_q| — never corpus x queries."""
+    planes = hyperplanes(dim, bands * rows_per_band)
+    c = banded_signatures(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec")),
+        planes, bands, rows_per_band, id_col, "c_vec")
+    q = banded_signatures(
+        queries.select(F.col(q_id_col), F.col(vec_col).alias("q_vec")),
+        planes, bands, rows_per_band, q_id_col, "q_vec")
+    cand = (
+        c.join(F.broadcast(q), ["band", "band_sig"])
+        .dropDuplicates([q_id_col, id_col])
     )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(
+            _dot_col(F.col("q_vec"), F.col("c_vec"))
+            / (F.greatest(_norm_col(F.col("q_vec")), F.lit(1e-12))
+               * F.greatest(_norm_col(F.col("c_vec")), F.lit(1e-12))), 4))
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -101,22 +127,72 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     )
 
 
-def ivf_assignments(corpus: DataFrame, dim: int, n_centroids: int = 8,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Coarse IVF partitioning: assign each vector to its nearest
-    deterministic seed centroid (argmax cosine)."""
-    cents = [
+def ivf_centroids(dim: int, n_centroids: int = 8) -> List[List[float]]:
+    """Deterministic seed centroids (kmeans stand-in; same shape contract)."""
+    return [
         [float(x) for x in hashed_embedding([f"ivf-centroid-{i}"], dim=dim)[0]]
         for i in range(n_centroids)
     ]
-    sims = [
-        (_dot_col(F.col(vec_col), F.array(*[F.lit(v) for v in c]))
-         / F.greatest(_norm_col(F.col(vec_col)), F.lit(1e-12))).alias(f"s{i}")
+
+
+def _centroid_scores(vec_col, cents: List[List[float]]):
+    return [
+        (_dot_col(vec_col, F.array(*[F.lit(v) for v in c]))
+         / F.greatest(_norm_col(vec_col), F.lit(1e-12))).alias(f"s{i}")
         for i, c in enumerate(cents)
     ]
-    df = corpus.select(F.col(id_col), F.col(vec_col), *sims)
+
+
+def ivf_assignments(corpus: DataFrame, dim: int, n_centroids: int = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Coarse IVF partitioning: assign each vector to its nearest
+    deterministic seed centroid (argmax cosine; lowest index wins ties)."""
+    cents = ivf_centroids(dim, n_centroids)
+    df = corpus.select(F.col(id_col), F.col(vec_col),
+                       *_centroid_scores(F.col(vec_col), cents))
     best = F.greatest(*[F.col(f"s{i}") for i in range(n_centroids)])
     assign = F.lit(-1)
     for i in reversed(range(n_centroids)):
         assign = F.when(F.col(f"s{i}") == best, F.lit(i)).otherwise(assign)
     return df.select(F.col(id_col), F.col(vec_col), assign.alias("centroid"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+             n_centroids: int = 8, nprobe: int = 3, id_col: str = "vec_id",
+             vec_col: str = "embedding", q_id_col: str = "q_id") -> DataFrame:
+    """IVF search: score only corpus vectors whose centroid is among the
+    query's ``nprobe`` nearest centroids.
+
+    Scale shape: the corpus is pre-partitioned by centroid (one pass, no
+    pairwise work); each query touches nprobe/n_centroids of the corpus.
+    At 10^9+ vectors the assignment would be written out partitioned by
+    ``centroid`` so probes prune partitions at scan time."""
+    cents = ivf_centroids(dim, n_centroids)
+    assigned = ivf_assignments(corpus, dim, n_centroids, id_col, vec_col)
+
+    q = queries.select(F.col(q_id_col), F.col(vec_col).alias("q_vec"),
+                       *_centroid_scores(F.col(vec_col), cents))
+    scores_arr = F.array(*[
+        F.struct((-F.col(f"s{i}")).alias("neg_s"), F.lit(i).alias("c"))
+        for i in range(n_centroids)
+    ])  # sort on (-score, idx): best score first, lowest index wins ties
+    probes = F.slice(F.array_sort(scores_arr), 1, nprobe)
+    q_probed = q.select(
+        q_id_col, "q_vec",
+        F.explode(F.transform(probes, lambda p: p["c"])).alias("centroid"))
+
+    scored = (
+        assigned.join(F.broadcast(q_probed), "centroid")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot_col(F.col("q_vec"), F.col(vec_col))
+                / (F.greatest(_norm_col(F.col("q_vec")), F.lit(1e-12))
+                   * F.greatest(_norm_col(F.col(vec_col)), F.lit(1e-12))), 4))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )

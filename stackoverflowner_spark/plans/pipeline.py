@@ -66,10 +66,14 @@ class Lineage:
                 prev = json.load(f).get("metrics", {})
         if metrics:
             prev.update({k: prev.get(k, 0) + v for k, v in metrics.items()})
-        with open(self._path(stage), "w") as f:
+        # atomic rename: a crash mid-write must never leave truncated JSON,
+        # or completed() raises and the resume contract is unusable
+        tmp = self._path(stage) + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"stage": stage, "ts": time.time(),
                        "buckets": {str(k): v for k, v in done.items()},
                        "metrics": prev}, f)
+        os.replace(tmp, self._path(stage))
 
 
 class KGPipeline:

@@ -44,6 +44,7 @@ def ctc_pred_dict(spark: SparkSession, path: str) -> DataFrame:
 
 
 SEG_PRED_SCHEMA = T.StructType([
+    T.StructField("file", T.StringType()),
     T.StructField("sent_idx", T.IntegerType()),
     T.StructField("words", T.ArrayType(T.StringType())),
     T.StructField("gold_seg", T.ArrayType(T.StringType())),
@@ -55,12 +56,13 @@ def segmenter_preds(spark: SparkSession, path: str) -> DataFrame:
     """3-col ``word gold_seg pred_seg`` with blank-line sentence breaks
     (``auxilary_inputs_ner/segmenter_pred/segmenter_pred_*.txt``), assembled
     into sentence rows so the downstream merge is a keyed join on
-    (sent_idx) instead of the reference's positional zip
-    (``loader_so.py:122-261``)."""
+    (file, sent_idx) instead of the reference's positional zip
+    (``loader_so.py:122-261``). sent_idx restarts per file, so the file path
+    is part of the key — a multi-file glob would collide without it."""
     rdd = spark.sparkContext.binaryFiles(path)
 
     def parse(item):
-        _, data = item
+        fname, data = item
         out = []
         words, gold, pred = [], [], []
         idx = 0
@@ -68,7 +70,7 @@ def segmenter_preds(spark: SparkSession, path: str) -> DataFrame:
             vals = line.strip().split()
             if len(vals) < 3:
                 if words:
-                    out.append((idx, words, gold, pred))
+                    out.append((fname, idx, words, gold, pred))
                     idx += 1
                     words, gold, pred = [], [], []
                 continue
@@ -76,7 +78,7 @@ def segmenter_preds(spark: SparkSession, path: str) -> DataFrame:
             gold.append(vals[1])
             pred.append(vals[2])
         if words:
-            out.append((idx, words, gold, pred))
+            out.append((fname, idx, words, gold, pred))
         return out
 
     return spark.createDataFrame(rdd.flatMap(parse), SEG_PRED_SCHEMA)

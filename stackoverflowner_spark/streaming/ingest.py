@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.document_kernel import pages_to_mentions_fused
+from ..operators.document_kernel import MAX_HTML_BYTES, pages_to_mentions_fused
 from ..operators.link import link
 from ..operators.tagger import GazetteerTagger
 from ..operators.triples import triples_from_linked
@@ -63,8 +63,17 @@ def windowed_mention_counts(pages_stream: DataFrame, tagger=None,
             for url, ts, html, text in zip(pdf["url"], pdf["warc_ts"],
                                            pdf["html"], pdf["text"]):
                 try:
-                    extracted = (extract_text(bytes(html).decode("utf-8", "replace"))
-                                 if html is not None else text)
+                    # same cap + null-row discipline as the fused batch kernel
+                    # (document_kernel.pages_to_mentions_fused): a row with
+                    # neither html nor text is allowed by PAGES_SCHEMA and
+                    # must not fail the micro-batch
+                    if html is not None:
+                        extracted = extract_text(
+                            bytes(html)[:MAX_HTML_BYTES].decode("utf-8", "replace"))
+                    elif text is not None:
+                        extracted = text[:MAX_HTML_BYTES]
+                    else:
+                        continue
                     final, anns = sentencize(extracted, url.rsplit("/", 1)[-1])
                     conll = text_to_conll_rows(final, anns)
                 except (ExtractionError, TokenizerGuardError):

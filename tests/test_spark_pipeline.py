@@ -163,8 +163,9 @@ def test_simhash_close_for_near_dups(spark):
         [(1, base), (2, base + " lambda"), (3, "wholly different words entirely")],
         ["doc_id", "text"])
     got = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert all(len(v) == 64 and set(v) <= {"0", "1"} for v in got.values())
     def hamming(a, b):
-        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        return sum(x != y for x, y in zip(a, b))
     assert hamming(got[1], got[2]) < hamming(got[1], got[3])
 
 
