@@ -129,6 +129,29 @@ class GaussianBinner:
             out.append(proj)
         return np.concatenate(out, axis=1)
 
+    @classmethod
+    def from_range(cls, mn: float, mx: float, bins: int = 100,
+                   w: float = 0.2) -> "GaussianBinner":
+        """Fit a single-feature binner from the data RANGE alone.
+
+        ``np.histogram(x, bins)[1]`` is ``linspace(x.min(), x.max(), bins+1)``
+        (expanded by +-0.5 when min == max), so ``fit`` depends on the data
+        only through (min, max) — which lets the Spark operator fit the
+        binner from two aggregated scalars instead of collecting the whole
+        value column to the driver. Bit-identical to ``fit`` (asserted in
+        tests)."""
+        if mn == mx:
+            mn, mx = mn - 0.5, mx + 0.5
+        edges = np.linspace(mn, mx, bins + 1)
+        b = cls(bins, w)
+        means = [(edges[i] + edges[i + 1]) / 2.0 for i in range(len(edges) - 1)]
+        half = abs(edges[1] - edges[0]) / 2.0
+        means[0:0] = [edges[0] - half]
+        means.append(edges[len(edges) - 1] + half)
+        b.bin_values.append(means)
+        b.sigmas.append(abs(edges[1] - edges[0]) * w)
+        return b
+
     def to_dict(self) -> dict:
         return {"bin_values": [list(b) for b in self.bin_values],
                 "sigmas": list(self.sigmas), "bins": self.bins, "width": self.width}

@@ -44,44 +44,52 @@ def with_ctc_column(tokens: DataFrame, spark: SparkSession, artifact: CTCArtifac
 
 class FreqVectorArtifact:
     """Per-word Gaussian-binned train-frequency vector
-    (Word_Freqency_Mapper.py:15-45; dim = bins + 2, w = 5.0)."""
+    (Word_Freqency_Mapper.py:15-45; dim = bins + 2, w = 5.0).
 
-    def __init__(self, word_counts: dict, bins: int = 100, w: float = 5.0):
-        self.counts = dict(word_counts)
-        self.binner = GaussianBinner(bins, w)
-        x = np.array([[float(c)] for c in self.counts.values()] or [[0.0]])
-        self.binner.fit(x, 1)
+    Scale contract (fixes the r01 driver-collect anti-pattern): the word
+    counts stay a DataFrame — only (min, max) of the count distribution
+    cross the driver boundary (np.histogram's edges depend on nothing else,
+    kernel/ctc.py GaussianBinner.from_range). The per-token frequency lookup
+    is a join, not a broadcast dict."""
 
-    def transform(self, words) -> np.ndarray:
-        freqs = np.array([[float(self.counts.get(w, 0))] for w in words])
-        if len(freqs) == 0:
-            return np.zeros((0, self.binner.bins + 2))
-        return self.binner.transform(freqs, 1)
+    def __init__(self, counts: DataFrame, binner: GaussianBinner,
+                 token_col: str):
+        self.counts = counts
+        self.binner = binner
+        self.token_col = token_col
 
 
 def fit_freq_vector(tokens: DataFrame, token_col: str = "token",
-                    max_vocab: int = 200_000) -> FreqVectorArtifact:
-    """Distributed count (A7), driver-side binner fit (A8) — the vocabulary
-    is capped so the driver artifact stays broadcastable."""
-    counts = (
-        tokens.groupBy(token_col).count()
-        .orderBy(F.desc("count"), F.asc(token_col))
-        .limit(max_vocab)
-        .collect()
-    )
-    return FreqVectorArtifact({r[token_col]: r["count"] for r in counts})
+                    bins: int = 100, w: float = 5.0) -> FreqVectorArtifact:
+    """Distributed count (A7); the binner fit (A8) collects two scalars."""
+    counts = tokens.groupBy(token_col).agg(F.count("*").alias("freq"))
+    row = counts.agg(F.min("freq").alias("mn"), F.max("freq").alias("mx")).first()
+    mn = float(row["mn"]) if row["mn"] is not None else 0.0
+    mx = float(row["mx"]) if row["mx"] is not None else 0.0
+    return FreqVectorArtifact(counts, GaussianBinner.from_range(mn, mx, bins, w),
+                              token_col)
 
 
 def with_freq_vector(tokens: DataFrame, spark: SparkSession,
                      artifact: FreqVectorArtifact,
                      token_col: str = "token") -> DataFrame:
-    bc = spark.sparkContext.broadcast(artifact)
+    """Join the distributed counts (AQE decides broadcast vs shuffle), then
+    one Arrow pass turns each frequency into its binned vector. Unseen
+    tokens get frequency 0 like the reference's dict default."""
+    bc = spark.sparkContext.broadcast(artifact.binner)
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
-    def freq_vec(tok: pd.Series) -> pd.Series:
-        art = bc.value
-        codes, uniques = pd.factorize(tok.fillna(""))
-        mat = art.transform(list(uniques)).astype(np.float32)
+    def freq_vec(freq: pd.Series) -> pd.Series:
+        binner = bc.value
+        vals = freq.fillna(0).to_numpy(dtype=np.float64).reshape(-1, 1)
+        if len(vals) == 0:
+            return pd.Series([], dtype=object)
+        codes, uniques = pd.factorize(pd.Series(vals[:, 0]))
+        mat = binner.transform(np.asarray(uniques, dtype=np.float64)
+                               .reshape(-1, 1), 1).astype(np.float32)
         return pd.Series([mat[c].tolist() for c in codes])
 
-    return tokens.withColumn("freq_vector", freq_vec(F.col(token_col)))
+    cnt = artifact.counts.withColumnRenamed(artifact.token_col, token_col)
+    joined = tokens.join(cnt, token_col, "left")
+    return (joined.withColumn("freq_vector", freq_vec(F.col("freq")))
+            .drop("freq"))

@@ -3,14 +3,20 @@
 ``prepare_dataset`` (`/root/reference/code/Attentive_BiLSTM/loader_so.py:469-506`)
 turns each sentence into int-id arrays: word ids (lowercased lookup with
 ``<UNK>``), char ids (unknown chars skipped), cap feature 0-3, tag ids, plus
-auxiliary ctc/seg channels. Vocab mappings are built distributively
-(create_dico/create_mapping, A1-A5) and broadcast; the per-sentence
-conversion is a vectorized pandas pass.
+auxiliary ctc/seg channels.
+
+Scale contract (fixes the r01 driver-collect anti-pattern): the WORD mapping
+is unbounded at web scale (10^7-10^8 rows at freq>=3 on a 100 TB corpus) and
+therefore stays a DataFrame end-to-end — tokens are exploded, joined against
+the mapping (AQE broadcasts it only when it measures small), and regrouped
+per sentence. Only the CHAR and TAG vocabularies are collected to the driver:
+both are intrinsically bounded domains (distinct codepoints / tag-scheme
+labels), not corpus-proportional.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Iterator
+from typing import Dict
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -22,30 +28,37 @@ from ..kernel.tagscheme import cap_class
 
 UNK = "<UNK>"
 PAD = "<PAD>"
+UNK_ID = 1  # <PAD>=0, <UNK>=1; corpus words start at 2 (loader_so.py:319-336)
 
 
-def build_word_mapping(sentences: DataFrame, min_freq: int = 3,
-                       words_col: str = "words") -> Dict[str, int]:
-    """Lowercased word -> id ordered by (-freq, word); <PAD>=0-ish sentinels
-    get the top ids like the reference's huge-count trick
-    (loader_so.py:319-336 + create_mapping utils_so.py:68-76)."""
+def word_mapping_df(sentences: DataFrame, min_freq: int = 3,
+                    words_col: str = "words") -> DataFrame:
+    """Distributed lowercased word -> id mapping ordered by (-freq, word);
+    ids start at 2, reserving <PAD>=0 / <UNK>=1 like the reference's
+    huge-count sentinel trick (loader_so.py:319-336, utils_so.py:68-76).
+
+    The global row_number is a single-partition sort of the *vocabulary*
+    (not the corpus). For corpora where even the pruned vocab is huge, the
+    ordering key (-freq, word) is deterministic, so the mapping could be
+    assigned with a two-pass partition-offset scheme; at reference scale
+    (<=10^6 vocab) the window is fine and keeps ids bit-identical to the
+    reference's sort.
+    """
     counts = (
         sentences.select(F.explode(words_col).alias("w"))
-        .select(F.lower("w").alias("w"))
-        .groupBy("w").count()
-        .filter(F.col("count") >= min_freq)
-        .withColumn("item_id",
-                    F.row_number().over(Window.orderBy(F.desc("count"), F.asc("w"))))
-        .collect()
+        .select(F.lower("w").alias("word"))
+        .groupBy("word").agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= min_freq)
     )
-    mapping = {PAD: 0, UNK: 1}
-    for r in counts:
-        mapping[r["w"]] = r["item_id"] + 1
-    return mapping
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    return counts.select(
+        "word", (F.row_number().over(w) + 1).cast("int").alias("word_id"))
 
 
 def build_char_mapping(sentences: DataFrame, words_col: str = "words"
                        ) -> Dict[str, int]:
+    """Char -> id (driver dict: the domain is distinct codepoints, bounded
+    irrespective of corpus size; loader_so.py:339-349)."""
     counts = (
         sentences.select(F.explode(words_col).alias("w"))
         .select(F.explode(F.split("w", "")).alias("c"))
@@ -59,6 +72,7 @@ def build_char_mapping(sentences: DataFrame, words_col: str = "words"
 
 
 def build_tag_mapping(sentences: DataFrame, tags_col: str = "tags") -> Dict[str, int]:
+    """Tag -> id (driver dict: the domain is the tag scheme, ~41 labels)."""
     counts = (
         sentences.select(F.explode(tags_col).alias("t"))
         .groupBy("t").count()
@@ -81,34 +95,62 @@ PREPARED_SCHEMA = T.StructType([
 
 
 def prepare_dataset(sentences: DataFrame, spark: SparkSession,
-                    word_map: Dict[str, int], char_map: Dict[str, int],
+                    word_mapping: DataFrame, char_map: Dict[str, int],
                     tag_map: Dict[str, int]) -> DataFrame:
     """sentence rows (file, sent_idx, words, tags) -> prepared int arrays.
 
-    Unknown words -> <UNK>; unknown chars skipped (loader_so.py:485-488);
-    cap feature computed on the raw word (loader_so.py:365-380)."""
-    bw = spark.sparkContext.broadcast(word_map)
-    bc = spark.sparkContext.broadcast(char_map)
-    bt = spark.sparkContext.broadcast(tag_map)
+    Unknown words -> <UNK> id 1; unknown chars skipped (loader_so.py:485-488);
+    cap feature computed on the raw word (loader_so.py:365-380).
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        wmap, cmap, tmap = bw.value, bc.value, bt.value
-        unk = wmap[UNK]
-        for pdf in batches:
-            out = []
-            for fname, sent_idx, words, tags in zip(
-                    pdf["file"], pdf["sent_idx"], pdf["words"], pdf["tags"]):
-                words = list(words)
-                out.append((
-                    fname, int(sent_idx), words,
-                    [wmap.get(w.lower(), unk) for w in words],
-                    [[cmap[c] for c in w if c in cmap] for w in words],
-                    [cap_class(w) for w in words],
-                    [tmap.get(t, 0) for t in tags],
-                ))
-            yield pd.DataFrame(out, columns=[
-                "file", "sent_idx", "str_words", "word_ids", "char_ids",
-                "caps", "tag_ids"])
+    Plan shape: explode tokens -> join word_mapping on lower(word) (the only
+    corpus-sized lookup; no broadcast hint — AQE decides) -> per-token char /
+    cap / tag columns -> regroup per sentence via sort_array(collect_list).
+    Two shuffles total (join + regroup), both on bounded-size rows; nothing
+    corpus-sized ever reaches the driver.
+    """
+    bc = spark.sparkContext.broadcast(dict(char_map))
 
-    return sentences.select("file", "sent_idx", "words", "tags").mapInPandas(
-        run, schema=PREPARED_SCHEMA)
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def char_ids_of(words: pd.Series) -> pd.Series:
+        cmap = bc.value
+        return words.map(lambda w: [cmap[c] for c in w if c in cmap])
+
+    @F.pandas_udf(T.IntegerType())
+    def cap_of(words: pd.Series) -> pd.Series:
+        return words.map(cap_class).astype("int32")
+
+    tag_items = [x for kv in tag_map.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    tag_lookup = F.create_map(*tag_items) if tag_items else F.create_map()
+
+    toks = sentences.select(
+        "file", "sent_idx",
+        F.posexplode(F.arrays_zip("words", "tags")).alias("pos", "z"),
+    ).select(
+        "file", "sent_idx", "pos",
+        F.col("z.words").alias("word"),
+        F.col("z.tags").alias("tag"),
+    )
+    looked = (
+        toks.withColumn("word_lc", F.lower("word"))
+        .join(word_mapping.withColumnRenamed("word", "word_lc"), "word_lc", "left")
+        .select(
+            "file", "sent_idx", "pos", "word",
+            F.coalesce("word_id", F.lit(UNK_ID)).cast("int").alias("word_id"),
+            char_ids_of("word").alias("cids"),
+            cap_of("word").alias("cap"),
+            F.coalesce(tag_lookup[F.col("tag")], F.lit(0)).cast("int").alias("tag_id"),
+        )
+    )
+    grouped = (
+        looked.groupBy("file", "sent_idx")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            "pos", "word", "word_id", "cids", "cap", "tag_id"))).alias("ts"))
+    )
+    return grouped.select(
+        "file", "sent_idx",
+        F.expr("transform(ts, t -> t.word)").alias("str_words"),
+        F.expr("transform(ts, t -> t.word_id)").alias("word_ids"),
+        F.expr("transform(ts, t -> t.cids)").alias("char_ids"),
+        F.expr("transform(ts, t -> t.cap)").alias("caps"),
+        F.expr("transform(ts, t -> t.tag_id)").alias("tag_ids"),
+    )

@@ -77,8 +77,8 @@ def test_wordpiece_truncation_drops_tail():
 
 def test_prepare_dataset_operator(spark):
     from stackoverflowner_spark.operators.prepare import (
-        build_char_mapping, build_tag_mapping, build_word_mapping,
-        prepare_dataset)
+        UNK_ID, build_char_mapping, build_tag_mapping, prepare_dataset,
+        word_mapping_df)
     rows = [
         ("f", 0, ["The", "Python", "API", "works"], ["O", "B-Language", "O", "O"]),
         ("f", 1, ["the", "python", "api", "the", "the"],
@@ -87,18 +87,26 @@ def test_prepare_dataset_operator(spark):
     ]
     df = spark.createDataFrame(
         rows, "file string, sent_idx int, words array<string>, tags array<string>")
-    wm = build_word_mapping(df, min_freq=3)
+    wm_df = word_mapping_df(df, min_freq=3)
+    wm = {r.word: r.word_id for r in wm_df.collect()}  # tiny here: test-only
     cm = build_char_mapping(df)
     tm = build_tag_mapping(df)
     assert "the" in wm and "python" in wm and "works" not in wm
-    out = {r.sent_idx: r for r in prepare_dataset(df, spark, wm, cm, tm).collect()}
+    assert min(wm.values()) == 2                 # 0/1 reserved for PAD/UNK
+    out = {r.sent_idx: r
+           for r in prepare_dataset(df, spark, wm_df, cm, tm).collect()}
     r0 = out[0]
     assert r0.word_ids[0] == wm["the"]           # lowercased lookup
-    assert r0.word_ids[3] == wm["<UNK>"]         # pruned word -> UNK
+    assert r0.word_ids[3] == UNK_ID              # pruned word -> UNK
     assert r0.caps == [2, 2, 1, 0]
     assert len(r0.char_ids) == 4
     assert all(isinstance(c, int) for cs in r0.char_ids for c in cs)
     assert r0.tag_ids[1] == tm["B-Language"]
+    assert r0.str_words == ["The", "Python", "API", "works"]  # order preserved
+    # the plan must not collect the word mapping: the lookup is a join
+    plan = prepare_dataset(df, spark, wm_df, cm, tm)._jdf \
+        .queryExecution().optimizedPlan().toString()
+    assert "Join" in plan
 
 
 def test_segmenter_stage_and_report(spark):

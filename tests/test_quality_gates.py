@@ -153,6 +153,25 @@ def test_freq_vector_operator(spark):
     out = with_freq_vector(df, spark, art).collect()
     assert all(len(r.freq_vector) == 102 for r in out)
     assert all(abs(sum(r.freq_vector) - 1.0) < 1e-3 for r in out)
+    # unseen token -> frequency 0 (reference dict default), still a vector
+    unseen = with_freq_vector(
+        spark.createDataFrame([("zzz",)], ["token"]), spark, art).collect()
+    assert len(unseen[0].freq_vector) == 102
+
+
+def test_binner_from_range_matches_fit():
+    """from_range(min, max) must be bit-identical to fit(data): the operator
+    fits from two aggregated scalars instead of collecting the counts."""
+    import numpy as np
+    from stackoverflowner_spark.kernel.ctc import GaussianBinner
+    data = np.array([[1.0], [3.0], [3.0], [17.0], [5.0]])
+    a = GaussianBinner(100, 5.0)
+    a.fit(data, 1)
+    b = GaussianBinner.from_range(float(data.min()), float(data.max()), 100, 5.0)
+    assert a.sigmas == b.sigmas
+    assert a.bin_values == b.bin_values
+    x = np.array([[2.0], [9.0]])
+    assert np.array_equal(a.transform(x, 1), b.transform(x, 1))
 
 
 def test_body_lines_source(spark, tmp_path):
