@@ -29,8 +29,12 @@ def main(argv=None) -> int:
     ap.add_argument("--link", choices=["broadcast", "salted"], default="broadcast")
     ap.add_argument("--lang", default="en")
     ap.add_argument("--master", default=None)
-    ap.add_argument("--tagger", choices=["gazetteer", "perceptron", "viterbi"],
-                    default="gazetteer")
+    ap.add_argument("--tagger",
+                    choices=["default", "gazetteer", "perceptron", "viterbi"],
+                    default="default",
+                    help="'default' loads the shipped Viterbi+CTC+seg artifact "
+                         "(63.1 test F1); gazetteer is the zero-artifact "
+                         "fallback; perceptron/viterbi retrain from --gold-train")
     ap.add_argument("--tagger-artifact",
                     help="load a saved PerceptronTagger instead of training")
     ap.add_argument("--gold-train",
@@ -40,15 +44,18 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     from stackoverflowner_spark.operators.tagger import (GazetteerTagger,
-                                                         PerceptronTagger)
+                                                         PerceptronTagger,
+                                                         default_tagger)
     from stackoverflowner_spark.plans.pipeline import KGPipeline
     from stackoverflowner_spark.session import get_spark
     from stackoverflowner_spark.sources.pages import synth_pages
 
-    if args.tagger == "gazetteer":
-        tagger = GazetteerTagger()
-    elif args.tagger_artifact:
+    if args.tagger_artifact:
         tagger = PerceptronTagger.load(args.tagger_artifact)
+    elif args.tagger == "default":
+        tagger = default_tagger()
+    elif args.tagger == "gazetteer":
+        tagger = GazetteerTagger()
     else:
         tagger = PerceptronTagger.fit_from_gold(
             args.gold_train, structured=(args.tagger == "viterbi"))

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..operators import document_kernel as dk
 from ..operators.link import link
-from ..operators.tagger import GazetteerTagger, Tagger
+from ..operators.tagger import Tagger, default_tagger
 from ..operators.triples import triples_from_linked
 from ..sources.dictionary import dictionary_df
 
@@ -84,7 +84,7 @@ class KGPipeline:
         self.spark = spark
         self.out_root = out_root
         self.n_buckets = n_buckets
-        self.tagger = tagger or GazetteerTagger()
+        self.tagger = tagger or default_tagger()
         self.lang_filter = lang_filter
         self.link_strategy = link_strategy
         self.dictionary = dictionary_df(spark)

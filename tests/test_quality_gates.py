@@ -31,7 +31,7 @@ def spark():
     yield s
 
 
-def _reference_triples_single_process(n_pages: int):
+def _reference_triples_single_process(n_pages: int, tagger=None):
     """The reference computation path, run as plain Python (no Spark):
     kernel extract -> sentencize -> conll -> tag -> chunk -> link -> triples.
     This is the oracle for the north-rule triple P/R >= 0.95 gate: the
@@ -39,7 +39,7 @@ def _reference_triples_single_process(n_pages: int):
     from stackoverflowner_spark.kernel.conlleval import extract_chunks
 
     gmap = gazetteer_map()
-    tagger = GazetteerTagger()
+    tagger = tagger or GazetteerTagger()
     triples = set()
     for i in range(n_pages):
         p = synth_page(i)
@@ -81,6 +81,26 @@ def test_triple_pr_gate_vs_reference(spark):
     pr = triple_pr(tri, ref_df)
     assert pr["precision"] >= 0.95 and pr["recall"] >= 0.95, pr
     # and in fact exact
+    assert pr["precision"] == 1.0 and pr["recall"] == 1.0, pr
+
+
+def test_triple_pr_gate_learned_default_tagger(spark):
+    """Same north-rule gate through the SHIPPED default tagger (the
+    Viterbi+CTC+seg perceptron artifact, 63.1 test F1): the distributed plan
+    must reproduce the single-process computation exactly with the learned
+    model broadcast in the task closure."""
+    from stackoverflowner_spark.operators.tagger import (PerceptronTagger,
+                                                         default_tagger)
+    tagger = default_tagger()
+    assert isinstance(tagger, PerceptronTagger), \
+        "shipped artifact missing — default fell back to gazetteer"
+    n = 80
+    ref = _reference_triples_single_process(n, tagger=tagger)
+    mentions = pages_to_mentions_fused(synth_pages(spark, n), tagger)
+    tri = triples_from_linked(link_broadcast(mentions, dictionary_df(spark)))
+    ref_df = spark.createDataFrame(
+        [(s, p, o) for (s, p, o, u) in ref], ["subj", "pred", "obj"])
+    pr = triple_pr(tri, ref_df)
     assert pr["precision"] == 1.0 and pr["recall"] == 1.0, pr
 
 
