@@ -39,25 +39,27 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     sym = sym.localCheckpoint()
 
     for i in range(max_iter):
+        # the node's own row rides through the same aggregation carrying its
+        # previous label, so convergence detection needs no extra join — the
+        # changed-row probe runs on the just-checkpointed result (r01 spent
+        # 2 extra jobs per iteration on a join + limit(1).count()).
         neighbor_labels = (
             sym.join(labels, sym.b == labels.node, "inner")
-            .select(F.col("a").alias("node"), "label")
+            .select(F.col("a").alias("node"), "label", F.lit(0).alias("is_self"))
         )
-        new_labels = (
-            neighbor_labels.union(labels.select("node", "label"))
+        merged = (
+            neighbor_labels.union(
+                labels.select("node", "label", F.lit(1).alias("is_self")))
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"),
+                 F.max(F.when(F.col("is_self") == 1, F.col("label")))
+                 .alias("old_label"))
         )
         if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+            merged = merged.localCheckpoint()
+        changed = (merged.filter(F.col("label") != F.col("old_label"))
+                   .limit(1).count())
+        labels = merged.select("node", "label")
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
