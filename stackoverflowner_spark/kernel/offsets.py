@@ -15,36 +15,41 @@ from typing import List, Tuple
 def map_tokens_to_offsets(sentence: str, tokens: List[str], offset: int
                           ) -> List[Tuple[str, int]]:
     joined = " ".join(tokens)
+    n_j = len(joined)
+    n_s = len(sentence)
     si = 0
     ti = 0
     sc = ""
     tc = ""
-    char_positions: List[Tuple[str, int]] = []
-    while ti < len(joined):
-        if ti < len(joined):
-            tc = joined[ti]
-        if si < len(sentence):
+    # positions of non-space joined chars in the sentence (the reference also
+    # carries the char itself, but only the position is ever read)
+    char_positions: List[int] = []
+    append = char_positions.append
+    while ti < n_j:
+        tc = joined[ti]
+        if si < n_s:
             sc = sentence[si]
-        while sc != tc and sc == " ":
-            if si + 1 == len(sentence):
-                break
-            si += 1
-            sc = sentence[si]
-        while sc != tc and tc == " ":
-            if ti + 1 == len(joined):
-                break
-            ti += 1
-            tc = joined[ti]
+        if sc != tc:
+            while sc != tc and sc == " ":
+                if si + 1 == n_s:
+                    break
+                si += 1
+                sc = sentence[si]
+            while sc != tc and tc == " ":
+                if ti + 1 == n_j:
+                    break
+                ti += 1
+                tc = joined[ti]
         if tc != " ":
-            char_positions.append((tc, si))
+            append(si)
         si += 1
         ti += 1
 
     out: List[Tuple[str, int]] = []
+    n_pos = len(char_positions)
     cursor = 0
     for t in tokens:
-        t_unmasked = t.replace("-----", " ")
-        if cursor < len(char_positions):
-            out.append((t, char_positions[cursor][1] + offset))
-        cursor += len(t_unmasked)
+        if cursor < n_pos:
+            out.append((t, char_positions[cursor] + offset))
+        cursor += len(t.replace("-----", " "))
     return out

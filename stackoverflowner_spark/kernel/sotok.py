@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import html as _html
 import re
+from functools import lru_cache
 from typing import Dict, List, Tuple
 
 # --------------------------------------------------------------------------- #
@@ -296,7 +297,8 @@ def _balanced_paren_words(line: str) -> List[str]:
 def _mask_protected_words(text: str) -> Tuple[Dict[str, str], str]:
     masks: Dict[str, str] = {}
     counter = 0
-    for w in HTML_TAG_RE.findall(text):
+    # fast path: the tag regex needs a literal '<' (same output, scan saved)
+    for w in (HTML_TAG_RE.findall(text) if "<" in text else ()):
         counter += 1
         key = _MASK_BASE + str(counter)
         masks[key] = w
@@ -316,14 +318,17 @@ def _mask_protected_words(text: str) -> Tuple[Dict[str, str], str]:
 
 def _unmask(tokens: List[str], masks: Dict[str, str]) -> List[str]:
     # stokenizer.py:985-1031 — substring scan, then a second pass splitting
-    # tokens that still contain the mask base.
+    # tokens that still contain the mask base. Every key starts with
+    # _MASK_BASE, so one substring check replaces the per-key scan for the
+    # (overwhelmingly common) unmasked token.
     first_pass = []
     for tok in tokens:
         hit = ""
-        for key in masks:
-            if key in tok:
-                hit = key
-                break
+        if masks and _MASK_BASE in tok:
+            for key in masks:
+                if key in tok:
+                    hit = key
+                    break
         if hit:
             first_pass.append(tok.replace(hit, masks[hit]))
         else:
@@ -343,17 +348,25 @@ def _unmask(tokens: List[str], masks: Dict[str, str]) -> List[str]:
 # --------------------------------------------------------------------------- #
 
 
+_WS_SQUEEZE_RE = re.compile(r"[\s]")
+_EDGE_CHARS = set(_edge_punct_chars.replace("\\", ""))
+
+
 def _split_edge_punct(text: str) -> str:
-    cf_found = CLASS_FUNC_NAME_RE.findall(text)
+    # fast path: the class/func pattern needs a literal '(' (scan saved)
+    cf_found = CLASS_FUNC_NAME_RE.findall(text) if "(" in text else []
     cf_squeezed = []
     for w in cf_found:
-        w_ = re.sub(r"[\s]", "", w)
+        w_ = _WS_SQUEEZE_RE.sub("", w)
         cf_squeezed.append(w_)
         text = text.replace(w, w_)
 
     out = []
     for word in text.split():
         if word in cf_squeezed:
+            out.append(word)
+        elif _EDGE_CHARS.isdisjoint(word):
+            # no edge-punct char -> both subs are identity
             out.append(word)
         else:
             word = EDGE_PUNCT_LEFT_RE.sub(r"\1\2 \3", word)
@@ -362,14 +375,46 @@ def _split_edge_punct(text: str) -> str:
     return " ".join(out)
 
 
+@lru_cache(maxsize=262144)
+def _word_protected_spans(word: str) -> Tuple[Tuple[int, int], ...]:
+    return tuple((m.start(), m.end())
+                 for m in PROTECTED_RE.finditer(word)
+                 if m.start() != m.end())
+
+
+def _protected_spans(text: str) -> List[Tuple[int, int]]:
+    """Non-empty PROTECTED_RE match spans over ``text``.
+
+    Fast path: when the text has no '(' no alternation branch can consume a
+    space (the only space-consuming branches are the function/class-call
+    patterns, which require a literal paren), and every lookaround in the
+    pattern treats a space boundary and ^/$ identically — so the global scan
+    equals the union of per-word scans, which lets the hot regex run on an
+    LRU cache keyed by word. Web-text token frequency is Zipfian, so the hit
+    rate is high. Equivalence to the global scan is differentially tested on
+    the full gold corpus + goldens + property-based random strings
+    (tests/test_kernel_units.py)."""
+    if "(" in text:
+        return [(m.start(), m.end())
+                for m in PROTECTED_RE.finditer(text)
+                if m.start() != m.end()]
+    spans: List[Tuple[int, int]] = []
+    pos = 0
+    for word in text.split(" "):
+        if word:
+            for a, b in _word_protected_spans(word):
+                spans.append((pos + a, pos + b))
+        pos += len(word) + 1
+    return spans
+
+
 def _interleave_protected(text: str) -> List[str]:
     text = _split_edge_punct(text)
     bads = []
     spans = []
-    for m in PROTECTED_RE.finditer(text):
-        if m.start() != m.end():
-            bads.append([text[m.start():m.end()]])
-            spans.append((m.start(), m.end()))
+    for a, b in _protected_spans(text):
+        bads.append([text[a:b]])
+        spans.append((a, b))
     edges = [0]
     for a, b in spans:
         edges.extend((a, b))
@@ -393,11 +438,13 @@ def _interleave_protected(text: str) -> List[str]:
 
     final = []
     for tok in zipped:
-        m = CONTRACTIONS_RE.search(tok)
-        if m:
-            final.extend([m.group(1), m.group(2)])
-        else:
-            final.append(tok)
+        # fast path: the contractions pattern needs an apostrophe
+        if "'" in tok or "’" in tok or "′" in tok:
+            m = CONTRACTIONS_RE.search(tok)
+            if m:
+                final.extend([m.group(1), m.group(2)])
+                continue
+        final.append(tok)
     return final
 
 
@@ -417,7 +464,8 @@ def _squeeze_ws(text: str) -> str:
 def _split_final_sentence_punct(tokens: List[str]) -> List[str]:
     if len(tokens) <= 1 or len(tokens[-1]) == 1:
         return tokens
-    if ARBITRARY_ABBREV_RE.findall(tokens[-1]):
+    # fast path: every abbreviation branch requires a '.'
+    if "." in tokens[-1] and ARBITRARY_ABBREV_RE.findall(tokens[-1]):
         return tokens
     last = tokens[-1]
     if last[-1] in _END_PUNCS and last[-1] != last[-2]:
@@ -478,13 +526,15 @@ def _split_nonfunction_paren(word: str) -> List[str]:
 
 
 def _split_trailing_colon(word: str) -> List[str]:
-    if len(word) <= 0 or not SPECIAL_WORDS_RE.findall(word):
+    # fast path: every branch below returns [word] unchanged unless the word
+    # ends in ':', so the SPECIAL_WORDS scan is only needed then
+    if len(word) <= 0 or word[-1] != ":":
+        return [word]
+    if not SPECIAL_WORDS_RE.findall(word):
         return [word]
     if len(word) == 1 or word.count(":") > 1:
         return [word]
-    if word[-1] == ":":
-        return [word[:-1], ":"]
-    return [word]
+    return [word[:-1], ":"]
 
 
 def _split_trailing_quote(word: str) -> List[str]:

@@ -250,27 +250,133 @@ class SegmenterTagger(Tagger):
 
 
 class ModelTagger(Tagger):
-    """Plug point for the BERT segmenter+NER path (reference M5-M7:
-    utils_ner.py wordpiece featurization, softner_*_predict_from_file.py
-    batched inference). Requires torch + transformers + checkpoint weights,
-    none of which ship with the reference repo (code/Readme.md:4-8); loading
-    is lazy and per-executor when available."""
+    """Checkpoint-backed batched inference harness (reference M5-M7:
+    utils_ner.py wordpiece featurization + softner_ner_predict_from_file.py
+    batched forward + first-wordpiece prediction alignment).
 
-    def __init__(self, checkpoint_dir: str, max_seq_length: int = 128):
+    The whole harness — featurize, fixed-length batch, forward, unpad, align
+    back to words — is real and tested; only the *forward function* is
+    pluggable. ``forward_fn(input_ids[B,L], input_mask[B,L]) ->
+    logits[B,L,n_labels]`` is either a user-supplied callable (tests use a
+    deterministic numpy fake) or, when ``checkpoint_dir`` is set, a lazy
+    per-executor torch+transformers load (weights are external downloads the
+    reference does not ship, code/Readme.md:4-8 — the load path raises
+    NotImplementedError without them)."""
+
+    def __init__(self, labels: Sequence[str], vocab,
+                 forward_fn=None, checkpoint_dir: Optional[str] = None,
+                 max_seq_length: int = 128, batch_size: int = 32):
+        self.labels = list(labels)
+        self.label_map = {l: i for i, l in enumerate(self.labels)}
+        self.vocab = vocab
+        self.forward_fn = forward_fn
         self.checkpoint_dir = checkpoint_dir
         self.max_seq_length = max_seq_length
-        self._model = None
+        self.batch_size = batch_size
 
-    def _load(self):  # pragma: no cover - needs external weights
-        try:
-            import torch  # noqa: F401
-            from transformers import AutoModelForTokenClassification, AutoTokenizer  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "ModelTagger needs torch+transformers and reference checkpoint "
-                f"weights (external downloads): {e}")
+    # -- forward resolution -------------------------------------------------- #
 
-    def tag(self, tokens: Sequence[str], md_tags: Sequence[str]) -> List[str]:  # pragma: no cover
-        if self._model is None:
-            self._load()
-        raise NotImplementedError
+    def _resolve_forward(self):
+        if self.forward_fn is not None:
+            return self.forward_fn
+        if self.checkpoint_dir:
+            return _executor_model_forward(self.checkpoint_dir)
+        raise NotImplementedError("ModelTagger needs forward_fn or checkpoint_dir")
+
+    # -- batched inference (predict_from_file evaluate() shape) ------------- #
+
+    def tag_batch(self, sentences: List[Tuple[Sequence[str], Sequence[str]]]
+                  ) -> List[List[str]]:
+        """Tag many sentences with fixed-size forward batches. Words beyond
+        the wordpiece budget get 'O' (the reference's writer *drops* them,
+        softner_ner_predict_from_file.py:641-643 — a Tagger must stay total,
+        so the truncated tail is padded instead; disclosed divergence)."""
+        import numpy as np
+
+        from ..kernel import wordpiece as wp
+
+        forward = self._resolve_forward()
+        feats = [
+            wp.convert_example(toks, ["O"] * len(toks), [0] * len(toks),
+                               ["O"] * len(toks), self.vocab, self.label_map,
+                               self.max_seq_length)
+            for toks, _md in sentences
+        ]
+        out: List[List[str]] = []
+        for i in range(0, len(feats), self.batch_size):
+            chunk = feats[i:i + self.batch_size]
+            ids = np.array([f.input_ids for f in chunk], dtype=np.int64)
+            mask = np.array([f.input_mask for f in chunk], dtype=np.int64)
+            logits = np.asarray(forward(ids, mask))
+            pred_ids = logits.argmax(axis=-1)
+            for f, row, (toks, _md) in zip(chunk, pred_ids,
+                                           sentences[i:i + self.batch_size]):
+                kept = wp.unpad_predictions(f.label_ids, [int(x) for x in row])
+                tags = [self.labels[p] for p in kept]
+                tags += ["O"] * (len(toks) - len(tags))
+                out.append(tags[:len(toks)])
+        return out
+
+    def tag(self, tokens: Sequence[str], md_tags: Sequence[str]) -> List[str]:
+        return self.tag_batch([(list(tokens), list(md_tags))])[0]
+
+
+_EXECUTOR_MODELS: Dict[str, object] = {}
+
+
+def _executor_model_forward(checkpoint_dir: str):
+    """Executor-singleton checkpoint load: one model per worker process,
+    shared across all Arrow batches (the reference loads once per run,
+    softner_ner_predict_from_file.py:534-560)."""
+    def forward(input_ids, input_mask):  # pragma: no cover - needs weights
+        model = _EXECUTOR_MODELS.get(checkpoint_dir)
+        if model is None:
+            try:
+                import torch
+                from transformers import AutoModelForTokenClassification
+            except ImportError as e:
+                raise NotImplementedError(
+                    "checkpoint-backed ModelTagger needs torch+transformers "
+                    f"(external downloads): {e}")
+            model = AutoModelForTokenClassification.from_pretrained(checkpoint_dir)
+            model.eval()
+            _EXECUTOR_MODELS[checkpoint_dir] = model
+        import torch
+        with torch.no_grad():
+            return model(input_ids=torch.as_tensor(input_ids),
+                         attention_mask=torch.as_tensor(input_mask)
+                         ).logits.numpy()
+    return forward
+
+
+def model_tag_stage(sentences, tagger: "ModelTagger"):
+    """sentences (url, sent_idx, tokens, md_tags, ...) -> same rows plus a
+    ``model_tags`` column: ONE Arrow-batched mapInPandas whose inner loop is
+    the tagger's fixed-size forward batching — the Spark shape of the
+    reference's batched-eval harness."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("sent_idx", T.IntegerType()),
+        T.StructField("tokens", T.ArrayType(T.StringType())),
+        T.StructField("md_tags", T.ArrayType(T.StringType())),
+        T.StructField("model_tags", T.ArrayType(T.StringType())),
+    ])
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            sents = [(list(t), list(m))
+                     for t, m in zip(pdf["tokens"], pdf["md_tags"])]
+            tags = tagger.tag_batch(sents) if sents else []
+            yield pd.DataFrame({
+                "url": pdf["url"], "sent_idx": pdf["sent_idx"],
+                "tokens": pdf["tokens"], "md_tags": pdf["md_tags"],
+                "model_tags": pd.Series(tags, dtype=object, index=pdf.index),
+            })
+
+    return sentences.select("url", "sent_idx", "tokens", "md_tags").mapInPandas(
+        run, schema=schema)
