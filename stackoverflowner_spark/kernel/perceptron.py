@@ -260,9 +260,65 @@ class StructuredPerceptron:
         self.trans = t_totals / max(step, 1)
         self.trans[pinned] = self.NEG
 
+    # -- inference fast path ------------------------------------------------ #
+
+    _STATIC_CACHE_MAX = 200_000
+
+    def __getstate__(self):
+        # the word-static cache is executor-local; never ship it in the
+        # task-closure pickle
+        d = dict(self.__dict__)
+        d.pop("_static_cache", None)
+        return d
+
+    def _static_vec(self, w: str) -> np.ndarray:
+        """Summed emission weights of the word's context-free features
+        (w=, suffixes, prefix, shape, flags, bias) — cached per word, since
+        web-text token frequency is Zipfian. Executor-local, size-capped."""
+        cache = self.__dict__.get("_static_cache")
+        if cache is None:
+            cache = self.__dict__["_static_cache"] = {}
+        v = cache.get(w)
+        if v is None:
+            lw = w.lower()
+            v = np.zeros(len(self.labels))
+            for f in ("b", "w=" + lw, "suf3=" + lw[-3:], "suf2=" + lw[-2:],
+                      "pre2=" + lw[:2], "shape=" + _shape(w),
+                      "dot=" + ("1" if "." in w else "0"),
+                      "dig=" + ("1" if any(c.isdigit() for c in w) else "0"),
+                      "up=" + ("1" if w[:1].isupper() else "0"),
+                      "paren=" + ("1" if "(" in w or ")" in w else "0")):
+                vec = self.w.get(f)
+                if vec is not None:
+                    v = v + vec
+            if len(cache) >= self._STATIC_CACHE_MAX:
+                cache.clear()
+            cache[w] = v
+        return v
+
     def tag_sentence(self, words: Sequence[str], mds: Sequence[str],
                      gazs: Sequence[str]) -> List[str]:
+        """Same model, same features as ``_emissions`` — the word-static
+        feature subtotal is cached per word and only the 6 context features
+        (pw/nw/pw2/nw2/md/gaz) are looked up per occurrence. Up to
+        float-summation order this is the identical emission matrix; Spark
+        and local inference share this code path (equality gated in tests)."""
         if not words:
             return []
-        E, _ = self._emissions(words, mds, gazs)
+        n = len(words)
+        L = len(self.labels)
+        get = self.w.get
+        E = np.zeros((n, L))
+        lws = [w.lower() for w in words]
+        for i in range(n):
+            lw = lws[i]
+            prev_w = lws[i - 1] if i > 0 else "<S>"
+            next_w = lws[i + 1] if i + 1 < n else "</S>"
+            E[i] = self._static_vec(words[i])
+            for f in ("pw=" + prev_w, "nw=" + next_w,
+                      "pw2=" + prev_w + "|" + lw, "nw2=" + lw + "|" + next_w,
+                      "md=" + mds[i], "gaz=" + gazs[i]):
+                vec = get(f)
+                if vec is not None:
+                    E[i] += vec
         return [self.labels[j] for j in self._viterbi(E)]

@@ -173,3 +173,24 @@ def test_seg_aux_channel_two_pass_flow(tmp_path):
     t.save(p)
     t2 = PerceptronTagger.load(p)
     assert t2.use_seg_channel and t2.tag(toks, ["O"] * 5) == tags
+
+
+def test_fast_inference_path_matches_emission_path():
+    """tag_sentence's cached word-static fast path must reproduce the
+    full _emissions + _viterbi decode on the gold test split."""
+    import numpy as np
+    from stackoverflowner_spark.operators.tagger import default_tagger, PerceptronTagger
+    t = default_tagger()
+    assert isinstance(t, PerceptronTagger)
+    m = t.model
+    data, _ = _small_data(GOLD_TEST, 400)
+    checked = 0
+    for w, md, gaz, _g in data:
+        if not w:
+            continue
+        E, _ = m._emissions(w, md, gaz)
+        ref = [m.labels[j] for j in m._viterbi(E)]
+        got = m.tag_sentence(w, md, gaz)
+        assert got == ref, (w, got, ref)
+        checked += 1
+    assert checked > 300
