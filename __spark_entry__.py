@@ -298,6 +298,83 @@ def q_tpch_q5ish(spark, sf):
     )
 
 
+def q_tpch_q3ish(spark, sf):
+    # shipping-priority: top 10 unshipped BUILDING orders by revenue
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01"))
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q10ish(spark, sf):
+    # returned-item report: top 20 customers by returned revenue
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q14ish(spark, sf):
+    # promotion effect: % of January-1997 revenue from PROMO parts
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01")))
+    part = _t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.round(100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                                   .otherwise(0.0)) / F.sum(rev), 4)
+             .alias("promo_pct"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+def q_tpch_q16ish(spark, sf):
+    # parts/supplier relationship: distinct suppliers per brand/type
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(
+        F.col("p_size").isin(1, 5, 9, 13) & (F.col("p_brand") != "Brand#3"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q18ish(spark, sf):
+    # large-volume orders: customers whose order exceeds 200 total quantity
+    li = _t(spark, sf, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+           .filter(F.col("total_qty") > 200))
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "l_orderkey",
+                F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty")
+    )
+
+
 def q_conll_chunk_agg(spark, sf):
     # A10: distributed conlleval chunk counting over a derived tag stream
     from stackoverflowner_spark.operators.evalops import chunk_counts, spans_table
@@ -525,6 +602,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
         "tpch_q5ish": q_tpch_q5ish,
+        "tpch_q3ish": q_tpch_q3ish,
+        "tpch_q10ish": q_tpch_q10ish,
+        "tpch_q14ish": q_tpch_q14ish,
+        "tpch_q16ish": q_tpch_q16ish,
+        "tpch_q18ish": q_tpch_q18ish,
         "nation_revenue": q_nation_revenue,
         "conll_chunk_agg": q_conll_chunk_agg,
         "eval_rollup": q_eval_rollup,
@@ -807,6 +889,50 @@ def oracle_sql() -> dict[str, str]:
             join nation on c_nationkey = n_nationkey
             join region on n_regionkey = r_regionkey
             group by r_name, n_name""",
+        "tpch_q3ish": """
+            select l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            where c_mktsegment = 'BUILDING'
+              and o_orderdate < timestamp '1998-01-01 00:00:00'
+              and l_shipdate > timestamp '1998-01-01 00:00:00'
+            group by l_orderkey, o_orderdate
+            order by revenue desc, l_orderkey asc
+            limit 10""",
+        "tpch_q10ish": """
+            select c_custkey, c_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            where l_returnflag = 'R'
+            group by c_custkey, c_name
+            order by revenue desc, c_custkey asc
+            limit 20""",
+        "tpch_q14ish": """
+            select round(100.0 * sum(case when p_type = 'PROMO'
+                       then l_extendedprice * (1 - l_discount) else 0 end)
+                   / sum(l_extendedprice * (1 - l_discount)), 4) as promo_pct,
+                   count(*) as n_lines
+            from lineitem join part on l_partkey = p_partkey
+            where l_shipdate >= timestamp '1997-01-01 00:00:00'
+              and l_shipdate < timestamp '1997-02-01 00:00:00'""",
+        "tpch_q16ish": """
+            select p_brand, p_type, count(distinct l_suppkey) as supplier_cnt
+            from lineitem join part on l_partkey = p_partkey
+            where p_size in (1, 5, 9, 13) and p_brand <> 'Brand#3'
+            group by p_brand, p_type""",
+        "tpch_q18ish": """
+            with big as (select l_orderkey, round(sum(l_quantity), 2) as total_qty
+                         from lineitem group by l_orderkey
+                         having sum(l_quantity) > 200)
+            select c_custkey, c_name, l_orderkey,
+                   round(o_totalprice, 2) as o_totalprice, total_qty
+            from big
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey""",
         "nation_revenue": """
             select n_name,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
