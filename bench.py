@@ -121,8 +121,9 @@ def main() -> None:
         sf_val = 0.1
 
     headline = ["tpch_q1", "nation_revenue", "vocab_mapping", "exact_dedup",
-                "minhash", "lsh_pairs", "embedding_topk", "conll_chunk_agg",
-                "quality", "lang_id", "token_count", "simhash"]
+                "minhash", "lsh_pairs", "lsh_pairs_fast", "embedding_topk",
+                "conll_chunk_agg", "quality", "lang_id", "token_count",
+                "simhash"]
 
     spark = _fresh_spark(CPUS)
     qtimes: dict[str, float] = {}

@@ -66,6 +66,23 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def minhash_signatures_fast(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3, k: int = 8
+                            ) -> DataFrame:
+    """Scale variant of ``minhash_signatures``: JVM ``xxhash64(shingle, lane)``
+    longs instead of md5 strings — one cheap codegen hash per lane vs k md5
+    string passes (~4x less CPU, 8-byte min-agg keys instead of 32-char
+    strings). Same (doc, seed, minhash) shape; minhash is a LONG. The md5
+    variant remains the cross-engine-oracle path (r01 trade, documented)."""
+    shingles = word_shingles(df, id_col, text_col, n)
+    seeded = shingles.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+    return (
+        seeded.withColumn("h", F.xxhash64("shingle", "seed"))
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         rows_per_band: int = 2) -> DataFrame:
     """Band the signature rows and self-join on (band, band_hash)."""

@@ -191,3 +191,19 @@ def test_extraction_error_flagged_not_fatal(spark):
     by_url = {r.url: r for r in ex}
     assert by_url["u1"].ok is False and "extract:" in by_url["u1"].err
     assert by_url["u2"].ok is True
+
+
+def test_minhash_fast_matches_md5_candidates(spark):
+    """The xxhash64 scale variant must surface the same near-duplicate
+    candidate pairs as the oracle-verified md5 variant."""
+    from stackoverflowner_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures, minhash_signatures_fast)
+    base = "the quick brown fox jumps over the lazy dog again and again forever"
+    rows = [(1, base), (2, base + " extra"), (3, "totally unrelated words here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    slow = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(
+        minhash_signatures(df, k=8), rows_per_band=2).collect()}
+    fast = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(
+        minhash_signatures_fast(df, k=8), rows_per_band=2).collect()}
+    assert (1, 2) in fast
+    assert fast == slow
