@@ -22,7 +22,12 @@ import time
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", help="pages parquet/Iceberg path")
+    ap.add_argument("--posts-xml", help="Stack Exchange Posts.xml dump path "
+                                        "(the reference's input format)")
     ap.add_argument("--synth", type=int, default=0, help="generate N synthetic pages")
+    ap.add_argument("--emit-conll", metavar="DIR",
+                    help="also write the extracted sentences as 4-col CoNLL "
+                         "text (reference corpus format) under DIR")
     ap.add_argument("--out", required=True)
     ap.add_argument("--mode", choices=["fused", "checkpointed"], default="checkpointed")
     ap.add_argument("--buckets", type=int, default=64)
@@ -63,14 +68,31 @@ def main(argv=None) -> int:
     spark = get_spark(app_name="sokg-pipeline", master=args.master)
     if args.pages:
         pages = spark.read.parquet(args.pages)
+    elif args.posts_xml:
+        from stackoverflowner_spark.sources.posts_xml import (posts_as_pages,
+                                                              posts_xml)
+        pages = posts_as_pages(posts_xml(spark, args.posts_xml))
     elif args.synth:
         pages = synth_pages(spark, args.synth)
     else:
-        ap.error("need --pages or --synth")
+        ap.error("need --pages, --posts-xml or --synth")
 
     pipe = KGPipeline(spark, args.out, n_buckets=args.buckets, tagger=tagger,
                       lang_filter=args.lang, link_strategy=args.link)
     t0 = time.time()
+
+    if args.emit_conll:
+        from pyspark.sql import functions as F
+
+        from stackoverflowner_spark.operators.document_kernel import (
+            extract_stage, sentences_stage)
+        from stackoverflowner_spark.sources.sinks import write_conll
+        sents = (sentences_stage(extract_stage(pages, args.lang))
+                 .filter(F.col("sent_idx") >= 0)
+                 .select(F.col("url").alias("file"), "sent_idx",
+                         F.col("tokens").alias("words"), "md_tags"))
+        # gold column = markdown sentinel channel (no human labels at ingest)
+        write_conll(sents.withColumn("tags", F.col("md_tags")), args.emit_conll)
     if args.mode == "fused":
         triples = pipe.run_fused(pages)
         out_path = args.out + "/triples"
