@@ -530,6 +530,22 @@ def q_multimodal_features(spark, sf):
         feat_md5.alias("feat_md5"))
 
 
+def q_multimodal_values(spark, sf):
+    # FULL oracle for the stub decode: the synthetic payload is
+    # sha256(seed:i) bytes repeated (4 + i%8) times, and the stub feature j
+    # is the mean of chunk j / 255 as float32 — all byte arithmetic DuckDB
+    # can replay from its own sha256(). Proves the multimodal plumbing
+    # end-to-end (payload gen -> Arrow batch -> decode -> features), not
+    # just its row counts.
+    from stackoverflowner_spark.operators.multimodal import extract_features, synth_media
+    feats = extract_features(synth_media(spark, 100))
+    return feats.select(
+        "media_id",
+        F.posexplode("features").alias("dim_idx", "v"),
+    ).select("media_id", F.col("dim_idx").cast("long").alias("dim_idx"),
+             F.round(F.col("v").cast("double"), 4).alias("value"))
+
+
 def q_multimodal_meta(spark, sf):
     # multimodal metadata columns are pure arithmetic of media_id ->
     # fully DuckDB-oracleable (payload length, kind cycle, meta struct).
@@ -579,6 +595,25 @@ def q_freq_vector(spark, sf):
 # ring + chain, deterministic; shared with the recursive-CTE oracle
 _COMPONENT_EDGES = ([(f"n{i}", f"n{(i + 1) % 6}") for i in range(6)]
                     + [(f"m{i}", f"m{i + 1}") for i in range(4)])
+
+
+def q_streaming_triples(spark, sf):
+    # rows-only: Structured Streaming ingest (readStream over the pages
+    # table -> fused kernel -> foreachBatch triple sink, availableNow).
+    # Batch/stream parity is additionally gated in tests; here the driver
+    # sees the streaming path actually run.
+    import tempfile
+
+    from stackoverflowner_spark.sources.pages import synth_pages
+    from stackoverflowner_spark.streaming.ingest import start_triples_stream
+
+    root = tempfile.mkdtemp(prefix="sokg_stream_q_")
+    pages_dir = root + "/pages"
+    synth_pages(spark, 120).write.parquet(pages_dir)
+    q = start_triples_stream(spark, pages_dir, root + "/out", root + "/ckpt")
+    q.awaitTermination(300)
+    return (spark.read.parquet(root + "/out")
+            .select("subj", "pred", "obj", "url").distinct())
 
 
 def q_components(spark, sf):
@@ -635,8 +670,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
         "kg_mentions_documents": q_kg_mentions_documents,
+        "streaming_triples": q_streaming_triples,
         "multimodal_features": q_multimodal_features,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_values": q_multimodal_values,
     }
 
 
@@ -959,6 +996,28 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) as total_value
             from events
             group by grouping sets ((event_type), ())""",
+        "multimodal_values": """
+            with m as (select unnest(generate_series(0, 99)) as i),
+            params as (select i, 4 + i % 8 as reps,
+                              sha256('42:' || i) as hx from m),
+            dims as (select unnest(generate_series(0, 15)) as j),
+            ts as (select unnest(generate_series(0, 21)) as t),
+            bytes as (
+              select p.i, d.j,
+                     16 * instr('123456789abcdef',
+                          substr(p.hx, 2 * ((2 * p.reps * d.j + ts.t) % 32) + 1, 1))
+                     + instr('123456789abcdef',
+                          substr(p.hx, 2 * ((2 * p.reps * d.j + ts.t) % 32) + 2, 1))
+                     as bv
+              from params p, dims d, ts
+              where ts.t < 2 * p.reps),
+            means as (select i, j,
+                             cast(sum(bv) as double) / (2 * (4 + i % 8)) / 255.0
+                             as mv
+                      from bytes group by i, j)
+            select i as media_id, cast(j as bigint) as dim_idx,
+                   round(cast(cast(mv as real) as double), 4) as value
+            from means""",
         "multimodal_meta": """
             with m as (select unnest(generate_series(0, 199)) as i)
             select i as media_id,
