@@ -88,7 +88,9 @@ def windowed_mention_counts(pages_stream: DataFrame, tagger=None,
                         out.append((url, ts, " ".join(tokens[a:b]).lower()))
             yield pd.DataFrame(out, columns=["url", "warc_ts", "surface_norm"])
 
-    mentions_ts = pages_stream.select("url", "warc_ts", "html", "text").mapInPandas(
+    mentions_ts = pages_stream.select(
+        "url", "warc_ts", "html",
+        F.when(F.col("html").isNull(), F.col("text")).alias("text")).mapInPandas(
         run, schema="url string, warc_ts timestamp, surface_norm string")
     return (
         mentions_ts.withWatermark("warc_ts", watermark)
