@@ -212,3 +212,53 @@ def test_catalog_fallback_roundtrip(spark, tmp_path):
     assert {(r.k, r.v) for r in got.collect()} == {(1, "a"), (2, "b")}
     with _pytest.raises(ValueError):
         read_table(spark, loc, snapshot_id=42)
+
+
+def test_components_large_random_graph_vs_union_find(spark):
+    """Canonicalization at size: 30k nodes / 40k random edges + a 500-spoke
+    star (head-entity skew shape). Oracle = local union-find."""
+    import random
+    rng = random.Random(11)
+    edges = [(f"v{rng.randrange(30000)}", f"v{rng.randrange(30000)}")
+             for _ in range(40000)]
+    edges += [("hub", f"s{i}") for i in range(500)]
+    comps = connected_components(
+        spark.createDataFrame(edges, ["src", "dst"]), max_iter=60)
+    got = {r.node: r.component for r in comps.collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {}
+    for n in list(parent):
+        want.setdefault(find(n), set()).add(n)
+    # same partition of nodes into components (labels may differ)
+    got_groups = {}
+    for n, c in got.items():
+        got_groups.setdefault(c, set()).add(n)
+    assert set(map(frozenset, got_groups.values())) == \
+        set(map(frozenset, want.values()))
+
+
+def test_lang_partition_pruning(spark, tmp_path):
+    """Pages written partitioned by lang: the flagship's lang filter must
+    prune partitions at scan planning (PartitionFilters), the on-disk shape
+    the 100 TB deployment relies on."""
+    pages = synth_pages(spark, 300)
+    loc = str(tmp_path / "pages_by_lang")
+    pages.write.partitionBy("lang").parquet(loc)
+    df = spark.read.parquet(loc).filter(F.col("lang") == "en")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+    n_en = pages.filter(F.col("lang") == "en").count()
+    assert df.count() == n_en
