@@ -125,7 +125,14 @@ def _balanced_paren_words_t2(line: str) -> List[str]:
                 seen = True
                 stack.append(ch)
             if ch in _CLOSERS:
-                prev = stack.pop()  # IndexError on e.g. ")(": reference crash
+                # the reference pops unguarded and CRASHES on a closer with
+                # an empty stack (stokenizer.py:849, e.g. 'order())') — such
+                # a word is unbalanced either way, so conclude that instead
+                # of dying; a total tokenizer is non-negotiable at 10^12 docs
+                if not stack:
+                    balanced = False
+                    break
+                prev = stack.pop()
                 balanced = _PAIR[ch] == prev
                 if not balanced:
                     break

@@ -78,3 +78,13 @@ def test_t2_vs_t1_documented_differences():
     # T2 keeps spaces inside protected function calls
     toks = tokenize_t2("call foo(a, b) now")
     assert "foo(a, b)" in toks
+
+
+def test_t2_total_on_unbalanced_closers():
+    """The reference crashes on a closer with an empty stack
+    (stokenizer.py:849, e.g. 'order())'); a total tokenizer concludes
+    'unbalanced' instead. These are real gold-corpus tokens."""
+    for w in ["order())", "getCheckedItemPositions())",
+              "$('input[type=submit]').length)", ")("]:
+        toks = tokenize_t2(f"method {w} here")
+        assert toks and all(isinstance(t, str) for t in toks)
