@@ -176,8 +176,10 @@ def _unmask_t2(tokens: List[str], masks: Dict[str, str]) -> List[str]:
 
 
 def _split_final_sentence_punct_t2(tokens: List[str]) -> List[str]:
-    # NO list-length guard in T2: empty input crashes like the reference
-    if len(tokens[-1]) == 1:
+    # the reference crashes on an empty token list (Split_End_of_Sentence_
+    # Punc indexes tokens[-1] unguarded); empty in -> empty out instead —
+    # totality, same as the unbalanced-closer guard above
+    if not tokens or len(tokens[-1]) == 1:
         return tokens
     if ARBITRARY_ABBREV_RE.findall(tokens[-1]):
         return tokens

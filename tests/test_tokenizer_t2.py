@@ -88,3 +88,9 @@ def test_t2_total_on_unbalanced_closers():
               "$('input[type=submit]').length)", ")("]:
         toks = tokenize_t2(f"method {w} here")
         assert toks and all(isinstance(t, str) for t in toks)
+
+
+def test_t2_total_on_empty_and_whitespace():
+    assert tokenize_t2("") == []
+    assert tokenize_t2("   ") == []
+    assert tokenize_t2(".") == ["."]
