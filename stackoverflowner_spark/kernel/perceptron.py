@@ -185,12 +185,15 @@ class StructuredPerceptron:
     def _viterbi(self, E: np.ndarray) -> List[int]:
         n, L = E.shape
         T = self.trans
+        TL = T[:L]
+        cols = np.arange(L)
         dp = T[L] + E[0]          # from START
         back = np.zeros((n, L), dtype=np.int64)
         for i in range(1, n):
-            cand = dp[:, None] + T[:L]     # (L, L)
-            back[i] = cand.argmax(axis=0)
-            dp = cand.max(axis=0) + E[i]
+            cand = dp[:, None] + TL        # (L, L)
+            bi = cand.argmax(axis=0)
+            back[i] = bi
+            dp = cand[bi, cols] + E[i]     # gather beats a second max pass
         path = [int(dp.argmax())]
         for i in range(n - 1, 0, -1):
             path.append(int(back[i][path[-1]]))

@@ -35,6 +35,11 @@ class GazetteerTagger(Tagger):
         self.alias_map = alias_map if alias_map is not None else gazetteer_map()
         self.max_ngram = max_ngram
         self.tag_urls = tag_urls
+        # first words of multi-word aliases: an n>1 lookup can only hit when
+        # the position's word starts one, so the common case probes 1-grams
+        # only (same results, ~2x fewer dict probes)
+        self._multi_first = {k.split(" ", 1)[0]
+                             for k in self.alias_map if " " in k}
 
     def tag(self, tokens: Sequence[str], md_tags: Sequence[str]) -> List[str]:
         n = len(tokens)
@@ -52,7 +57,10 @@ class GazetteerTagger(Tagger):
                 continue
             matched = 0
             mtype = None
-            for ln in range(min(self.max_ngram, n - i), 0, -1):
+            max_ln = min(self.max_ngram, n - i)
+            if max_ln > 1 and tokens[i].lower() not in self._multi_first:
+                max_ln = 1
+            for ln in range(max_ln, 0, -1):
                 if any(tags[j] != "O" for j in range(i, i + ln)):
                     continue
                 key = " ".join(tokens[i:i + ln]).lower()
