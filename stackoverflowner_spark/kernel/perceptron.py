@@ -299,15 +299,12 @@ class StructuredPerceptron:
             cache[w] = v
         return v
 
-    def tag_sentence(self, words: Sequence[str], mds: Sequence[str],
-                     gazs: Sequence[str]) -> List[str]:
+    def _fast_emissions(self, words, mds, gazs) -> np.ndarray:
         """Same model, same features as ``_emissions`` — the word-static
         feature subtotal is cached per word and only the 6 context features
         (pw/nw/pw2/nw2/md/gaz) are looked up per occurrence. Up to
         float-summation order this is the identical emission matrix; Spark
         and local inference share this code path (equality gated in tests)."""
-        if not words:
-            return []
         n = len(words)
         L = len(self.labels)
         get = self.w.get
@@ -324,4 +321,50 @@ class StructuredPerceptron:
                 vec = get(f)
                 if vec is not None:
                     E[i] += vec
+        return E
+
+    def tag_sentence(self, words: Sequence[str], mds: Sequence[str],
+                     gazs: Sequence[str]) -> List[str]:
+        if not words:
+            return []
+        E = self._fast_emissions(words, mds, gazs)
         return [self.labels[j] for j in self._viterbi(E)]
+
+    def tag_sentences(self, sentences) -> List[List[str]]:
+        """Batched inference: sentences of equal length share one vectorized
+        Viterbi (the DP is per-sentence independent, so the batched float
+        ops are BITWISE identical to ``tag_sentence`` — gated in tests).
+        The per-sentence numpy-call overhead dominates at L=41/n~12; the
+        (B, L, L) formulation amortizes it across the Arrow batch."""
+        out: List[Optional[List[str]]] = [None] * len(sentences)
+        by_len: Dict[int, List[int]] = {}
+        for k, (words, _m, _g) in enumerate(sentences):
+            if not words:
+                out[k] = []
+            else:
+                by_len.setdefault(len(words), []).append(k)
+        L = len(self.labels)
+        T = self.trans
+        TL = T[:L]
+        cols = np.arange(L)
+        for n, idxs in by_len.items():
+            E = np.stack([
+                self._fast_emissions(*sentences[k]) for k in idxs])  # (B,n,L)
+            B = len(idxs)
+            dp = T[L] + E[:, 0]                     # (B, L)
+            back = np.zeros((B, n, L), dtype=np.int64)
+            rows = np.arange(B)[:, None]
+            for i in range(1, n):
+                cand = dp[:, :, None] + TL          # (B, L, L)
+                bi = cand.argmax(axis=1)            # (B, L)
+                back[:, i] = bi
+                dp = cand[rows, bi, cols] + E[:, i]
+            last = dp.argmax(axis=1)                # (B,)
+            paths = np.zeros((B, n), dtype=np.int64)
+            paths[:, n - 1] = last
+            r = np.arange(B)
+            for i in range(n - 1, 0, -1):
+                paths[:, i - 1] = back[r, i, paths[:, i]]
+            for b, k in enumerate(idxs):
+                out[k] = [self.labels[j] for j in paths[b]]
+        return out  # type: ignore[return-value]

@@ -173,9 +173,14 @@ def pages_to_mentions_fused(pages: DataFrame, tagger,
         "url", "html",
         F.when(F.col("html").isNull(), F.col("text")).alias("text"))
 
+    batch_tag = getattr(tagger, "tag_sentences", None)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
+            # phase 1: extract + sentencize the whole Arrow batch, collecting
+            # every sentence so taggers with a batched decode amortize their
+            # per-sentence numpy overhead across the batch
+            sents = []  # (url, sent_idx, tokens, md_tags)
             for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
                 try:
                     if html is not None:
@@ -193,12 +198,20 @@ def pages_to_mentions_fused(pages: DataFrame, tagger,
                 for r in conll:
                     by_sent.setdefault(r.sent_idx, []).append(r)
                 for sent_idx, rs in by_sent.items():
-                    tokens = [r.token for r in rs]
-                    tags = tagger.tag(tokens, [r.tag for r in rs])
-                    for typ, a, b in extract_chunks(tags):
-                        surface = " ".join(tokens[a:b])
-                        out.append((url, sent_idx, a, b, surface,
-                                    surface.lower(), typ))
+                    sents.append((url, sent_idx, [r.token for r in rs],
+                                  [r.tag for r in rs]))
+            # phase 2: tag (batched when supported — same outputs, gated)
+            if batch_tag is not None:
+                all_tags = batch_tag([(toks, mds) for _, _, toks, mds in sents])
+            else:
+                all_tags = [tagger.tag(toks, mds) for _, _, toks, mds in sents]
+            # phase 3: chunk extraction
+            out = []
+            for (url, sent_idx, tokens, _mds), tags in zip(sents, all_tags):
+                for typ, a, b in extract_chunks(tags):
+                    surface = " ".join(tokens[a:b])
+                    out.append((url, sent_idx, a, b, surface,
+                                surface.lower(), typ))
             yield pd.DataFrame(out, columns=[
                 "url", "sent_idx", "tok_start", "tok_end", "surface",
                 "surface_norm", "tag_type"])

@@ -120,7 +120,7 @@ class PerceptronTagger(Tagger):
             out.append(c)
         return out
 
-    def tag(self, tokens: Sequence[str], md_tags: Sequence[str]) -> List[str]:
+    def _model_inputs(self, tokens: Sequence[str], md_tags: Sequence[str]):
         seg = None
         if self.use_seg_channel:
             # at inference on arbitrary pages the segmenter channel comes
@@ -132,8 +132,20 @@ class PerceptronTagger(Tagger):
                     k: ("x", v) for k, v in self.alias_types.items()})
             bio = self._seg_base.tag(tokens, md_tags)
             seg = ["Name" if t != "O" else "O" for t in bio]
-        return self.model.tag_sentence(list(tokens), list(md_tags),
-                                       self._aux_channel(tokens, seg))
+        return (list(tokens), list(md_tags), self._aux_channel(tokens, seg))
+
+    def tag(self, tokens: Sequence[str], md_tags: Sequence[str]) -> List[str]:
+        return self.model.tag_sentence(*self._model_inputs(tokens, md_tags))
+
+    def tag_sentences(self, sentences: List[Tuple[Sequence[str], Sequence[str]]]
+                      ) -> List[List[str]]:
+        """Batched decode when the underlying model supports it (the fused
+        kernel hands over all sentences of an Arrow batch); identical
+        outputs to per-sentence ``tag`` (gated in tests)."""
+        inputs = [self._model_inputs(t, m) for t, m in sentences]
+        if hasattr(self.model, "tag_sentences"):
+            return self.model.tag_sentences(inputs)
+        return [self.model.tag_sentence(*x) for x in inputs]
 
     # -- training / persistence -------------------------------------------- #
 

@@ -194,3 +194,15 @@ def test_fast_inference_path_matches_emission_path():
         assert got == ref, (w, got, ref)
         checked += 1
     assert checked > 300
+
+
+def test_batched_viterbi_equals_per_sentence():
+    """tag_sentences (vectorized (B,L,L) DP over equal-length groups) must
+    be bitwise-identical to per-sentence tag on the gold test split."""
+    from stackoverflowner_spark.operators.tagger import default_tagger
+    t = default_tagger()
+    data, _ = _small_data(GOLD_TEST, 400)
+    sents = [(w, md) for w, md, _g, _ in data if w]
+    batched = t.tag_sentences(sents)
+    single = [t.tag(w, md) for w, md in sents]
+    assert batched == single
