@@ -186,6 +186,36 @@ def q_jaccard_pairs(spark, sf):
     return ngram_jaccard_pairs(docs, pairs, n=1, threshold=0.5)
 
 
+def q_hash_sample(spark, sf):
+    # deterministic md5-keyed sampling: stable under reruns/backfills,
+    # bit-reproducible cross-engine (operators/sampling.py)
+    from stackoverflowner_spark.operators.sampling import hash_sample
+    return hash_sample(_t(spark, sf, "documents"), 0.3).select("doc_id")
+
+
+_SPLIT_WEIGHTS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def q_hash_split(spark, sf):
+    from stackoverflowner_spark.operators.sampling import hash_split
+    return hash_split(_t(spark, sf, "documents"), _SPLIT_WEIGHTS).select(
+        "doc_id", "split")
+
+
+def q_dedup_clusters(spark, sf):
+    # end-to-end dedup decision: verified near-dup pairs -> connected
+    # components -> canonical keeper (min string id) per cluster
+    from stackoverflowner_spark.operators.dedup import ngram_jaccard_pairs
+    from stackoverflowner_spark.operators.sampling import dedup_clusters
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    ids = docs.select("doc_id")
+    cand = (ids.select(F.col("doc_id").alias("id_a"))
+            .crossJoin(ids.select(F.col("doc_id").alias("id_b")))
+            .filter(F.col("id_a") < F.col("id_b")))
+    pairs = ngram_jaccard_pairs(docs, cand, n=1, threshold=0.5)
+    return dedup_clusters(pairs, ids)
+
+
 def q_fingerprint(spark, sf):
     from stackoverflowner_spark.operators.textstats import with_fingerprint
     return with_fingerprint(_t(spark, sf, "documents")).select("doc_id", "fingerprint")
@@ -639,6 +669,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash": q_minhash,
         "jaccard_pairs": q_jaccard_pairs,
+        "hash_sample": q_hash_sample,
+        "hash_split": q_hash_split,
+        "dedup_clusters": q_dedup_clusters,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
         "quality": q_quality,
@@ -868,6 +901,49 @@ def oracle_sql() -> dict[str, str]:
             join sizes sa on sa.doc_id = id_a
             join sizes sb on sb.doc_id = id_b
             where n_inter / (sa.n + sb.n - n_inter) >= 0.5""",
+        "hash_sample": """
+            select doc_id from documents
+            where cast('0x' || substr(md5('sample:' || doc_id), 1, 15) as bigint)
+                  / 1152921504606846976.0 < 0.3""",
+        "hash_split": """
+            with u as (select doc_id,
+                   cast('0x' || substr(md5('split:' || doc_id), 1, 15) as bigint)
+                   / 1152921504606846976.0 as x
+                 from documents)
+            select doc_id,
+                   case when x < 0.8 then 'train'
+                        when x < 0.9 then 'val'
+                        else 'test' end as split
+            from u""",
+        "dedup_clusters": f"""
+            with recursive d as (select doc_id, {norm} as nt from documents
+                                 where doc_id < 40),
+            sh as (select distinct doc_id,
+                   unnest(list_filter(string_split(nt, ' '), x -> x <> '')) as shingle
+                 from d),
+            sizes as (select doc_id, count(*) as n from sh group by doc_id),
+            inter as (select a.doc_id as id_a, b.doc_id as id_b, count(*) as ni
+                      from sh a join sh b using (shingle)
+                      where a.doc_id < b.doc_id group by 1, 2),
+            pairs as (select id_a, id_b from inter
+                      join sizes sa on sa.doc_id = id_a
+                      join sizes sb on sb.doc_id = id_b
+                      where ni / (sa.n + sb.n - ni) >= 0.5),
+            sym as (select cast(id_a as varchar) as a, cast(id_b as varchar) as b
+                    from pairs
+                    union
+                    select cast(id_b as varchar), cast(id_a as varchar) from pairs),
+            reach(node, r) as (
+                select a, a from sym
+                union
+                select reach.node, sym.b from reach, sym where sym.a = reach.r),
+            comp as (select node, min(r) as component from reach group by node)
+            select d.doc_id,
+                   coalesce(cast(comp.component as bigint), d.doc_id) as keep_id,
+                   cast(case when coalesce(cast(comp.component as bigint),
+                                           d.doc_id) <> d.doc_id
+                             then 1 else 0 end as int) as is_dup
+            from d left join comp on cast(d.doc_id as varchar) = comp.node""",
         "fingerprint": f"select doc_id, md5({norm}) as fingerprint from documents",
         "token_count": r"""
             select doc_id,
