@@ -112,11 +112,14 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
         pairs.join(a, "id_a").join(b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
     )
+    # sizes is corpus-sized (one row per doc) — no broadcast hint; AQE
+    # broadcasts it only when it measures small (the intersect side is the
+    # candidate set, usually far smaller)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a").join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(F.col("n_inter") /
