@@ -328,6 +328,19 @@ def q_tpch_q5ish(spark, sf):
     )
 
 
+def q_salted_join(spark, sf):
+    # J8/north-rule skew handling as a verifiable relational op: the salted
+    # replicate join must produce exactly the plain join's result (salts
+    # only route rows); oracle = the unsalted SQL join.
+    from stackoverflowner_spark.operators.link import salted_join
+    orders = _t(spark, sf, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    return (salted_join(orders, cust, "c_custkey", n_salts=8)
+            .groupBy("c_custkey", "c_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_spend")))
+
+
 def q_tpch_q3ish(spark, sf):
     # shipping-priority: top 10 unshipped BUILDING orders by revenue
     li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
@@ -662,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_feature": q_cap_feature,
         "ctc_dict_join": q_ctc_dict_join,
         "semi_join": q_semi_join,
+        "salted_join": q_salted_join,
         "union_distinct": q_union_distinct,
         "window_top3": q_window_top3,
         "lag_gap": q_lag_gap,
@@ -843,6 +857,11 @@ def oracle_sql() -> dict[str, str]:
         "semi_join": """
             select c_custkey, c_name from customer
             where exists (select 1 from orders where o_custkey = c_custkey)""",
+        "salted_join": """
+            select c_custkey, c_name, count(*) as n_orders,
+                   round(sum(o_totalprice), 2) as total_spend
+            from orders join customer on o_custkey = c_custkey
+            group by c_custkey, c_name""",
         "union_distinct": """
             with a as (select unnest(string_split(text, ' ')) as word from documents),
                  b as (select unnest(string_split(p_name, ' ')) as word from part)

@@ -82,6 +82,21 @@ def link_salted(mentions: DataFrame, dictionary: DataFrame,
     return _with_scores(joined).filter(F.col("link_score") >= min_score).select(*LINKED_COLS)
 
 
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                n_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Generic skew-defeating equi-join: the big side gets a random salt,
+    the small side is replicated once per salt, and the join key becomes
+    (key, salt) — a hot key's rows spread over ``n_salts`` reducers instead
+    of one. Results are salt-independent (oracled in the driver contract);
+    use when the small side is too large to broadcast but a key is hot."""
+    b = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).cast("int"))
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    out = b.join(s.hint("shuffle_hash"), [key, "_salt"], how)
+    return out.drop("_salt")
+
+
 def link(mentions: DataFrame, dictionary: DataFrame, strategy: str = "broadcast",
          **kw) -> DataFrame:
     if strategy == "salted":
