@@ -579,11 +579,14 @@ def _split_url_end_paren(word: str) -> List[str]:
     return [word]
 
 
-def _wrapper_passes(tokens: List[str]) -> List[str]:
-    tokens = _split_final_sentence_punct(tokens)
-    stage: List[str] = []
-    for w in tokens:
-        stage.extend(_split_final_word_punct(w))
+@lru_cache(maxsize=262144)
+def _word_wrapper_chain(word: str) -> Tuple[str, ...]:
+    """The six per-word wrapper stages composed for ONE input word. Every
+    stage maps a word to pieces independently of its neighbors, so the
+    list-level pipeline equals the concatenation of per-word chains — which
+    makes the whole chain LRU-cacheable by word (Zipfian repeats).
+    Equivalence to the staged pipeline is property-gated."""
+    stage = _split_final_word_punct(word)
     nxt: List[str] = []
     for w in stage:
         pieces = _split_multi_dot(w)
@@ -606,9 +609,19 @@ def _wrapper_passes(tokens: List[str]) -> List[str]:
     stage = []
     for w in nxt:
         stage.extend(_split_url_end_paren(w))
+    return tuple(stage)
+
+
+def _wrapper_passes(tokens: List[str]) -> List[str]:
+    # only the first pass (_split_final_sentence_punct) is list-level — it
+    # touches the LAST token only; everything after is per-word and cached
+    tokens = _split_final_sentence_punct(tokens)
+    out: List[str] = []
+    for w in tokens:
+        out.extend(_word_wrapper_chain(w))
     # The reference builds a whitespace-normalized copy here but returns the
     # un-normalized list (stokenizer.py:874-892); we do the same.
-    return stage
+    return out
 
 
 # --------------------------------------------------------------------------- #
