@@ -181,10 +181,9 @@ def main() -> None:
     pairs = {}
     for lo_cores, hi_cores, n_p, path in (
             (2, 8, n_small, small_path), (8, CPUS, n_scale, scale_path)):
-        # lo-cores runs are long (>=100 s) so in-run noise averages out;
-        # hi-cores runs are short and cheap, so a transient spike is both
-        # more damaging and cheaper to retry
-        t_lo = _pinned_flagship_sec(lo_cores, n_p, path, rounds=1)
+        # same number of rounds on both sides of a pair: min-of-2 on only
+        # one side would bias the speedup ratio even under symmetric noise
+        t_lo = _pinned_flagship_sec(lo_cores, n_p, path, rounds=2)
         t_hi = _pinned_flagship_sec(hi_cores, n_p, path, rounds=2)
         pairs[f"{lo_cores}to{hi_cores}"] = {
             "cores_lo": lo_cores, "cores_hi": hi_cores, "pages": n_p,

@@ -157,7 +157,7 @@ def embedding_near_dup_pairs(vectors: DataFrame, dim: int, threshold: float = 0.
             F.round(
                 _dot_col(F.col("v_a"), F.col("v_b"))
                 / (F.greatest(_norm_col(F.col("v_a")), F.lit(1e-12))
-                   * F.greatest(_norm_col(F.col("v_b")), F.lit(1e-12))), 6))
+                   * F.greatest(_norm_col(F.col("v_b")), F.lit(1e-12))), 4))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

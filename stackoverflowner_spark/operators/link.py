@@ -88,7 +88,18 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     the small side is replicated once per salt, and the join key becomes
     (key, salt) — a hot key's rows spread over ``n_salts`` reducers instead
     of one. Results are salt-independent (oracled in the driver contract);
-    use when the small side is too large to broadcast but a key is hot."""
+    use when the small side is too large to broadcast but a key is hot.
+
+    ``how`` is restricted to the join types whose semantics survive
+    replicating the small side: an unmatched small-side row would otherwise
+    be emitted once per salt under right/full-outer."""
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the small side is "
+            f"replicated {n_salts}x, so right/full-outer would duplicate "
+            f"unmatched small rows; use one of {sorted(allowed)}")
     b = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).cast("int"))
     s = small.withColumn(

@@ -113,11 +113,12 @@ def prepare_dataset(sentences: DataFrame, spark: SparkSession,
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def char_ids_of(words: pd.Series) -> pd.Series:
         cmap = bc.value
-        return words.map(lambda w: [cmap[c] for c in w if c in cmap])
+        return words.map(
+            lambda w: [] if w is None else [cmap[c] for c in w if c in cmap])
 
     @F.pandas_udf(T.IntegerType())
     def cap_of(words: pd.Series) -> pd.Series:
-        return words.map(cap_class).astype("int32")
+        return words.map(lambda w: 0 if w is None else cap_class(w)).astype("int32")
 
     tag_items = [x for kv in tag_map.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
     tag_lookup = F.create_map(*tag_items) if tag_items else F.create_map()
@@ -146,7 +147,7 @@ def prepare_dataset(sentences: DataFrame, spark: SparkSession,
         .agg(F.sort_array(F.collect_list(F.struct(
             "pos", "word", "word_id", "cids", "cap", "tag_id"))).alias("ts"))
     )
-    return grouped.select(
+    out = grouped.select(
         "file", "sent_idx",
         F.expr("transform(ts, t -> t.word)").alias("str_words"),
         F.expr("transform(ts, t -> t.word_id)").alias("word_ids"),
@@ -154,3 +155,16 @@ def prepare_dataset(sentences: DataFrame, spark: SparkSession,
         F.expr("transform(ts, t -> t.cap)").alias("caps"),
         F.expr("transform(ts, t -> t.tag_id)").alias("tag_ids"),
     )
+    # posexplode emits no rows for an empty words array, so the regroup
+    # would silently drop empty sentences; re-emit them with empty arrays
+    # (narrow union — no extra shuffle, unlike a keys left-join).
+    empties = sentences.filter(
+        F.coalesce(F.size("words"), F.lit(0)) == 0).select(
+        "file", "sent_idx",
+        F.expr("cast(array() as array<string>)").alias("str_words"),
+        F.expr("cast(array() as array<int>)").alias("word_ids"),
+        F.expr("cast(array() as array<array<int>>)").alias("char_ids"),
+        F.expr("cast(array() as array<int>)").alias("caps"),
+        F.expr("cast(array() as array<int>)").alias("tag_ids"),
+    )
+    return out.unionByName(empties)

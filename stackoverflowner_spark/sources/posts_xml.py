@@ -31,12 +31,19 @@ POSTS_SCHEMA = T.StructType([
     T.StructField("tags", T.StringType(), True),
     T.StructField("creation_date", T.StringType(), True),
     T.StructField("body", T.StringType(), True),          # unescaped HTML
+    T.StructField("ok", T.BooleanType(), False),
+    T.StructField("err", T.StringType(), True),           # parse failures
 ])
 
 
 def posts_xml(spark: SparkSession, path: str) -> DataFrame:
     """Parse a Posts.xml dump into post rows (read_so_post_info.py:230-265
-    semantics: answers get ``parent_child`` ids)."""
+    semantics: answers get ``parent_child`` ids).
+
+    Malformed lines are NOT silently dropped: they surface as ``ok=false``
+    rows carrying the error and a line prefix in ``err`` so a dump-scale
+    ingest keeps lineage over every input line (same ok/err discipline as
+    ``extract_stage``). Downstream adapters filter ``ok``."""
     lines = spark.read.text(path).filter(F.col("value").contains("<row"))
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -45,7 +52,9 @@ def posts_xml(spark: SparkSession, path: str) -> DataFrame:
             for line in pdf["value"]:
                 try:
                     row = ET.fromstring("<posts>" + line + "</posts>")[0]
-                except ET.ParseError:
+                except ET.ParseError as e:
+                    out.append(("", "", None, None, None, None, None, None,
+                                False, f"xml:{e}:{line[:120]}"))
                     continue
                 raw_id = (row.get("Id") or "").strip()
                 ptype = row.get("PostTypeId")
@@ -57,10 +66,11 @@ def posts_xml(spark: SparkSession, path: str) -> DataFrame:
                 out.append((post_id, raw_id, ptype,
                             parent.strip() if parent else None,
                             row.get("Title"), row.get("Tags"),
-                            row.get("CreationDate"), row.get("Body")))
+                            row.get("CreationDate"), row.get("Body"),
+                            True, None))
             yield pd.DataFrame(out, columns=[
                 "post_id", "raw_id", "post_type_id", "parent_id", "title",
-                "tags", "creation_date", "body"])
+                "tags", "creation_date", "body", "ok", "err"])
 
     return lines.mapInPandas(parse, schema=POSTS_SCHEMA)
 
@@ -69,6 +79,8 @@ def posts_as_pages(posts: DataFrame) -> DataFrame:
     """Adapt post rows to the pages shape the document kernel consumes
     (url, warc_ts, html, text, lang) — Posts.xml ingest feeds the exact same
     fused pipeline as Common-Crawl pages."""
+    if "ok" in posts.columns:
+        posts = posts.filter(F.col("ok"))
     return posts.select(
         F.concat(F.lit("so://post/"), F.col("post_id")).alias("url"),
         F.to_timestamp("creation_date").alias("warc_ts"),
@@ -90,6 +102,9 @@ def posts_final_text(posts: DataFrame, with_header: bool = True) -> DataFrame:
     post-id header, byte-identical to the shipped goldens (gated in tests)."""
     from ..kernel.htmltext import ExtractionError, extract_text
     from ..kernel.sentencize import sentencize
+
+    if "ok" in posts.columns:
+        posts = posts.filter(F.col("ok"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
