@@ -182,18 +182,31 @@ class StructuredPerceptron:
                     E[i] += vec
         return E, feats_per_tok
 
+    def _trans_f32(self) -> np.ndarray:
+        t = self.__dict__.get("_t32")
+        if t is None:
+            t = self.__dict__["_t32"] = self.trans.astype(np.float32)
+        return t
+
     def _viterbi(self, E: np.ndarray) -> List[int]:
         n, L = E.shape
-        T = self.trans
-        TL = T[:L]
+        # dtype follows E: the float32 inference path halves the O(n*L^2)
+        # lattice's memory traffic (the saturated-core bottleneck); the
+        # float64 training/reference decode is unchanged. Tag equality of
+        # the two is gated in tests on the gold split and a large corpus.
+        T = self._trans_f32() if E.dtype == np.float32 else self.trans
+        # transposed layout: cand[b, a] = dp[a] + T[a, b]; the argmax then
+        # scans the CONTIGUOUS last axis (same additions, same first-index
+        # tie-breaks over a -> bitwise-identical paths, ~3x less argmax time)
+        TT = np.ascontiguousarray(T[:L].T)
         cols = np.arange(L)
         dp = T[L] + E[0]          # from START
         back = np.zeros((n, L), dtype=np.int64)
         for i in range(1, n):
-            cand = dp[:, None] + TL        # (L, L)
-            bi = cand.argmax(axis=0)
+            cand = dp[None, :] + TT        # (L, L): [b, a]
+            bi = cand.argmax(axis=1)
             back[i] = bi
-            dp = cand[bi, cols] + E[i]     # gather beats a second max pass
+            dp = cand[cols, bi] + E[i]     # gather beats a second max pass
         path = [int(dp.argmax())]
         for i in range(n - 1, 0, -1):
             path.append(int(back[i][path[-1]]))
@@ -268,10 +281,11 @@ class StructuredPerceptron:
     _STATIC_CACHE_MAX = 200_000
 
     def __getstate__(self):
-        # the word-static cache is executor-local; never ship it in the
-        # task-closure pickle
+        # the word-static cache and the re-keyed context maps are
+        # executor-local; never ship them in the task-closure pickle
         d = dict(self.__dict__)
         d.pop("_static_cache", None)
+        d.pop("_ctx", None)
         return d
 
     def _static_vec(self, w: str) -> np.ndarray:
@@ -294,31 +308,55 @@ class StructuredPerceptron:
                 vec = self.w.get(f)
                 if vec is not None:
                     v = v + vec
+            v = v.astype(np.float32)  # decode runs in float32
             if len(cache) >= self._STATIC_CACHE_MAX:
                 cache.clear()
             cache[w] = v
         return v
 
+    def _ctx_vecs(self):
+        """Context-feature weight vectors re-keyed by their VALUE instead of
+        the full feature string ("pw=foo" -> ctx["pw"]["foo"]) — built once
+        per process from ``self.w``, so the per-token hot loop hashes short
+        keys and builds one temporary string (the pw2/nw2 pair key) instead
+        of six prefixed ones. Pure re-indexing: the vectors are the same
+        objects, summed in the same order -> bitwise-identical emissions."""
+        ctx = self.__dict__.get("_ctx")
+        if ctx is None:
+            ctx = {k: {} for k in ("pw", "nw", "pw2", "nw2", "md", "gaz")}
+            for f, vec in self.w.items():
+                eq = f.find("=")
+                if eq > 0:
+                    d = ctx.get(f[:eq])
+                    if d is not None:
+                        d[f[eq + 1:]] = vec.astype(np.float32)
+            self.__dict__["_ctx"] = ctx
+        return ctx
+
     def _fast_emissions(self, words, mds, gazs) -> np.ndarray:
         """Same model, same features as ``_emissions`` — the word-static
         feature subtotal is cached per word and only the 6 context features
-        (pw/nw/pw2/nw2/md/gaz) are looked up per occurrence. Up to
-        float-summation order this is the identical emission matrix; Spark
-        and local inference share this code path (equality gated in tests)."""
+        (pw/nw/pw2/nw2/md/gaz) are looked up per occurrence, via the
+        value-keyed ``_ctx_vecs`` maps. Up to float-summation order this is
+        the identical emission matrix; Spark and local inference share this
+        code path (equality gated in tests)."""
         n = len(words)
-        L = len(self.labels)
-        get = self.w.get
-        E = np.zeros((n, L))
+        ctx = self._ctx_vecs()
+        pw_g, nw_g = ctx["pw"].get, ctx["nw"].get
+        pw2_g, nw2_g = ctx["pw2"].get, ctx["nw2"].get
+        md_g, gaz_g = ctx["md"].get, ctx["gaz"].get
+        E = np.zeros((n, len(self.labels)), dtype=np.float32)
         lws = [w.lower() for w in words]
         for i in range(n):
             lw = lws[i]
             prev_w = lws[i - 1] if i > 0 else "<S>"
             next_w = lws[i + 1] if i + 1 < n else "</S>"
             E[i] = self._static_vec(words[i])
-            for f in ("pw=" + prev_w, "nw=" + next_w,
-                      "pw2=" + prev_w + "|" + lw, "nw2=" + lw + "|" + next_w,
-                      "md=" + mds[i], "gaz=" + gazs[i]):
-                vec = get(f)
+            # same feature order as before (pw, nw, pw2, nw2, md, gaz) so
+            # the float summation order — and hence the bits — is unchanged
+            for vec in (pw_g(prev_w), nw_g(next_w),
+                        pw2_g(prev_w + "|" + lw), nw2_g(lw + "|" + next_w),
+                        md_g(mds[i]), gaz_g(gazs[i])):
                 if vec is not None:
                     E[i] += vec
         return E
@@ -330,6 +368,63 @@ class StructuredPerceptron:
         E = self._fast_emissions(words, mds, gazs)
         return [self.labels[j] for j in self._viterbi(E)]
 
+    def _batch_emissions(self, inputs) -> np.ndarray:
+        """Flat ``(total_tokens, L)`` emission matrix for a whole batch.
+
+        Same model, same features, same per-element summation order as
+        ``_fast_emissions`` (static, pw, nw, pw2, nw2, md, gaz) — the Python
+        loop only interns each distinct feature VALUE to a dense id; the L
+        floats per token move in seven C-side gather/adds instead of ~7
+        numpy row ops per token. An absent feature contributes registry row
+        0 (an IEEE zero add, which cannot change any downstream comparison).
+        Tag-level equality with ``tag_sentence`` is gated in tests."""
+        L = len(self.labels)
+        ctx = self._ctx_vecs()
+        pw_g, nw_g = ctx["pw"].get, ctx["nw"].get
+        pw2_g, nw2_g = ctx["pw2"].get, ctx["nw2"].get
+        md_g, gaz_g = ctx["md"].get, ctx["gaz"].get
+        svecs: List[np.ndarray] = []
+        sindex: Dict[str, int] = {}
+        sids: List[int] = []
+        chans = []
+        for _ in range(6):
+            chans.append(({}, [np.zeros(L, dtype=np.float32)], []))  # index, vecs, ids
+        for words, mds, gazs in inputs:
+            n = len(words)
+            lws = [w.lower() for w in words]
+            for i in range(n):
+                w = words[i]
+                lw = lws[i]
+                prev_w = lws[i - 1] if i else "<S>"
+                next_w = lws[i + 1] if i + 1 < n else "</S>"
+                j = sindex.get(w)
+                if j is None:
+                    j = sindex[w] = len(svecs)
+                    svecs.append(self._static_vec(w))
+                sids.append(j)
+                for (index, vecs, ids), get, key in (
+                        (chans[0], pw_g, prev_w),
+                        (chans[1], nw_g, next_w),
+                        (chans[2], pw2_g, prev_w + "|" + lw),
+                        (chans[3], nw2_g, lw + "|" + next_w),
+                        (chans[4], md_g, mds[i]),
+                        (chans[5], gaz_g, gazs[i])):
+                    jj = index.get(key)
+                    if jj is None:
+                        v = get(key)
+                        if v is None:
+                            jj = 0
+                        else:
+                            jj = len(vecs)
+                            vecs.append(v)
+                        index[key] = jj
+                    ids.append(jj)
+        E = np.asarray(svecs)[np.asarray(sids)]
+        for index, vecs, ids in chans:
+            if len(vecs) > 1:
+                E += np.asarray(vecs)[np.asarray(ids)]
+        return E
+
     def tag_sentences(self, sentences) -> List[List[str]]:
         """Batched inference: sentences of equal length share one vectorized
         Viterbi (the DP is per-sentence independent, so the batched float
@@ -337,28 +432,44 @@ class StructuredPerceptron:
         The per-sentence numpy-call overhead dominates at L=41/n~12; the
         (B, L, L) formulation amortizes it across the Arrow batch."""
         out: List[Optional[List[str]]] = [None] * len(sentences)
-        by_len: Dict[int, List[int]] = {}
+        nonempty: List[int] = []
         for k, (words, _m, _g) in enumerate(sentences):
             if not words:
                 out[k] = []
             else:
-                by_len.setdefault(len(words), []).append(k)
+                nonempty.append(k)
+        if not nonempty:
+            return out  # type: ignore[return-value]
         L = len(self.labels)
-        T = self.trans
-        TL = T[:L]
+        T = self._trans_f32()  # float32 decode (gated vs float64 in tests)
+        TT = np.ascontiguousarray(T[:L].T)  # contiguous-argmax layout
         cols = np.arange(L)
+        # one flat vectorized emission pass over the whole batch, then
+        # per-length gathers into the (B, n, L) lattice
+        E_flat = self._batch_emissions([sentences[k] for k in nonempty])
+        starts: Dict[int, int] = {}
+        off = 0
+        by_len: Dict[int, List[int]] = {}
+        for k in nonempty:
+            starts[k] = off
+            off += len(sentences[k][0])
+            by_len.setdefault(len(sentences[k][0]), []).append(k)
         for n, idxs in by_len.items():
-            E = np.stack([
-                self._fast_emissions(*sentences[k]) for k in idxs])  # (B,n,L)
             B = len(idxs)
+            row0 = np.asarray([starts[k] for k in idxs])
+            E = E_flat[row0[:, None] + np.arange(n)]  # (B, n, L) gather
             dp = T[L] + E[:, 0]                     # (B, L)
             back = np.zeros((B, n, L), dtype=np.int64)
             rows = np.arange(B)[:, None]
-            for i in range(1, n):
-                cand = dp[:, :, None] + TL          # (B, L, L)
-                bi = cand.argmax(axis=1)            # (B, L)
+            cand = np.empty((B, L, L), dtype=np.float32)  # reused buffer
+            for i in range(1, n):                   # no per-step allocation
+                # cand[b, j, a] = dp[b, a] + T[a, j]: argmax over the
+                # contiguous last axis, same values/tie-breaks as the
+                # (a, j) layout (gated bitwise in tests)
+                np.add(dp[:, None, :], TT[None], out=cand)
+                bi = cand.argmax(axis=2)            # (B, L)
                 back[:, i] = bi
-                dp = cand[rows, bi, cols] + E[:, i]
+                dp = cand[rows, cols[None, :], bi] + E[:, i]
             last = dp.argmax(axis=1)                # (B,)
             paths = np.zeros((B, n), dtype=np.int64)
             paths[:, n - 1] = last

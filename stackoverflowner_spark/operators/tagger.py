@@ -49,26 +49,35 @@ class GazetteerTagger(Tagger):
         for i, md in enumerate(md_tags):
             if md != "O" and md.split("-", 1)[-1] in _SENTINEL_TYPES:
                 tags[i] = md
-        # 2. greedy longest-match gazetteer
+        # 2. greedy longest-match gazetteer. Hot-loop shape: lowercase once
+        #    per sentence and probe the 1-gram dict directly — the n>1 join/
+        #    overlap scan only runs when the token starts a multi-word alias
+        #    (same results as the general loop, gated in tests).
+        lws = [t.lower() for t in tokens]
+        amap_get = self.alias_map.get
+        multi_first = self._multi_first
         i = 0
         while i < n:
             if tags[i] != "O":
                 i += 1
                 continue
+            lw = lws[i]
             matched = 0
             mtype = None
-            max_ln = min(self.max_ngram, n - i)
-            if max_ln > 1 and tokens[i].lower() not in self._multi_first:
-                max_ln = 1
-            for ln in range(max_ln, 0, -1):
-                if any(tags[j] != "O" for j in range(i, i + ln)):
-                    continue
-                key = " ".join(tokens[i:i + ln]).lower()
-                hit = self.alias_map.get(key)
+            if lw in multi_first and n - i > 1:
+                for ln in range(min(self.max_ngram, n - i), 0, -1):
+                    if any(tags[j] != "O" for j in range(i, i + ln)):
+                        continue
+                    hit = amap_get(" ".join(lws[i:i + ln]))
+                    if hit:
+                        matched = ln
+                        mtype = hit[1]
+                        break
+            else:
+                hit = amap_get(lw)
                 if hit:
-                    matched = ln
+                    matched = 1
                     mtype = hit[1]
-                    break
             if matched:
                 tags[i] = "B-" + mtype
                 for j in range(i + 1, i + matched):
@@ -76,11 +85,13 @@ class GazetteerTagger(Tagger):
                 i += matched
             else:
                 i += 1
-        # 3. rule overlay
+        # 3. rule overlay (cheapest predicate first — the prefix test kills
+        #    almost every token before the regex/number checks run)
         if self.tag_urls:
             for i, tok in enumerate(tokens):
-                if tags[i] == "O" and len(tok) > 4 and not is_number_token(tok) \
-                        and is_url_token(tok) and tok.lower().startswith(("http", "www.")):
+                if tags[i] == "O" and len(tok) > 4 \
+                        and lws[i].startswith(("http", "www.")) \
+                        and not is_number_token(tok) and is_url_token(tok):
                     tags[i] = "B-Website"
         return tags
 
@@ -137,15 +148,53 @@ class PerceptronTagger(Tagger):
     def tag(self, tokens: Sequence[str], md_tags: Sequence[str]) -> List[str]:
         return self.model.tag_sentence(*self._model_inputs(tokens, md_tags))
 
+    _SENT_CACHE_MAX = 100_000
+
+    def __getstate__(self):
+        # executor-local caches never ride in the task-closure pickle
+        d = dict(self.__dict__)
+        d.pop("_sent_cache", None)
+        d["_seg_base"] = None
+        return d
+
     def tag_sentences(self, sentences: List[Tuple[Sequence[str], Sequence[str]]]
                       ) -> List[List[str]]:
         """Batched decode when the underlying model supports it (the fused
         kernel hands over all sentences of an Arrow batch); identical
-        outputs to per-sentence ``tag`` (gated in tests)."""
-        inputs = [self._model_inputs(t, m) for t, m in sentences]
-        if hasattr(self.model, "tag_sentences"):
-            return self.model.tag_sentences(inputs)
-        return [self.model.tag_sentence(*x) for x in inputs]
+        outputs to per-sentence ``tag`` (gated in tests).
+
+        Whole-sentence memo: web text is full of repeated boilerplate
+        sentences (~25% of the synthetic corpus, more on real crawls), and
+        the tagger is a pure function of (tokens, md_tags) — repeats skip
+        the seg/aux channels, the emission lookups and the Viterbi lattice
+        entirely. Executor-local, size-capped, never pickled."""
+        cache = self.__dict__.get("_sent_cache")
+        if cache is None:
+            cache = self.__dict__["_sent_cache"] = {}
+        out: List[Optional[List[str]]] = [None] * len(sentences)
+        pending: Dict[tuple, List[int]] = {}
+        for k, (t, m) in enumerate(sentences):
+            key = (tuple(t), tuple(m))
+            hit = cache.get(key)
+            if hit is not None:
+                out[k] = list(hit)
+            else:
+                # within-batch dedup: identical sentences decode once
+                pending.setdefault(key, []).append(k)
+        if pending:
+            reps = [ks[0] for ks in pending.values()]
+            inputs = [self._model_inputs(*sentences[k]) for k in reps]
+            if hasattr(self.model, "tag_sentences"):
+                tagged = self.model.tag_sentences(inputs)
+            else:
+                tagged = [self.model.tag_sentence(*x) for x in inputs]
+            if len(cache) >= self._SENT_CACHE_MAX:
+                cache.clear()
+            for (key, ks), tags in zip(pending.items(), tagged):
+                cache[key] = tags
+                for k in ks:
+                    out[k] = list(tags)
+        return out  # type: ignore[return-value]
 
     # -- training / persistence -------------------------------------------- #
 

@@ -99,3 +99,63 @@ def test_fast_candidates_verify_to_same_duplicate_set(spark, fixture_df):
     assert v_fast <= truth and v_slow <= truth
     assert len(v_fast) / len(truth) >= 0.9
     assert len(v_fast ^ v_slow) <= 0.1 * len(truth)
+
+
+def test_gazetteer_fast_loop_matches_reference_semantics():
+    """The gazetteer hot loop (1-gram direct probe + multi-first pre-screen
+    + reordered URL predicates) must reproduce a plain greedy
+    longest-match reference implementation on randomized sentences."""
+    from stackoverflowner_spark.kernel.ctc import is_number_token, is_url_token
+    from stackoverflowner_spark.operators.tagger import (
+        _SENTINEL_TYPES, GazetteerTagger)
+
+    amap = {"spark": ("e1", "Library"), "apache spark": ("e2", "Library"),
+            "visual studio code": ("e3", "Application"),
+            "go": ("e4", "Language"), "c++": ("e5", "Language"),
+            "studio": ("e6", "Application")}
+
+    def reference_tag(tokens, md_tags, max_ngram=3):
+        n = len(tokens)
+        tags = ["O"] * n
+        for i, md in enumerate(md_tags):
+            if md != "O" and md.split("-", 1)[-1] in _SENTINEL_TYPES:
+                tags[i] = md
+        i = 0
+        while i < n:
+            if tags[i] != "O":
+                i += 1
+                continue
+            matched, mtype = 0, None
+            for ln in range(min(max_ngram, n - i), 0, -1):
+                if any(tags[j] != "O" for j in range(i, i + ln)):
+                    continue
+                hit = amap.get(" ".join(tokens[i:i + ln]).lower())
+                if hit:
+                    matched, mtype = ln, hit[1]
+                    break
+            if matched:
+                tags[i] = "B-" + mtype
+                for j in range(i + 1, i + matched):
+                    tags[j] = "I-" + mtype
+                i += matched
+            else:
+                i += 1
+        for i, tok in enumerate(tokens):
+            if tags[i] == "O" and len(tok) > 4 and not is_number_token(tok) \
+                    and is_url_token(tok) and tok.lower().startswith(("http", "www.")):
+                tags[i] = "B-Website"
+        return tags
+
+    import random
+    rng = random.Random(7)
+    vocab = ["apache", "spark", "visual", "studio", "code", "Go", "c++",
+             "the", "fast", "http://x.io/a", "www.ex.com/p", "12345",
+             "Spark", "STUDIO", "run", "of"]
+    gz = GazetteerTagger(alias_map=amap)
+    for _ in range(400):
+        n = rng.randrange(1, 12)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        mds = ["O"] * n
+        if rng.random() < 0.3:
+            mds[rng.randrange(n)] = "B-Code_Block"
+        assert gz.tag(toks, mds) == reference_tag(toks, mds), (toks, mds)

@@ -206,3 +206,37 @@ def test_batched_viterbi_equals_per_sentence():
     batched = t.tag_sentences(sents)
     single = [t.tag(w, md) for w, md in sents]
     assert batched == single
+
+
+def test_float32_decode_matches_float64_on_web_corpus():
+    """The shipped artifact decodes in float32 (halved lattice memory
+    traffic at saturated cores); this pins tag-level equality against the
+    float64 training-path decode on ~2.5k kernel-produced web sentences —
+    a wider net than the 400-gold-sentence gate above."""
+    from stackoverflowner_spark.kernel.bio import text_to_conll_rows
+    from stackoverflowner_spark.kernel.htmltext import extract_text
+    from stackoverflowner_spark.kernel.sentencize import sentencize
+    from stackoverflowner_spark.operators.tagger import default_tagger, PerceptronTagger
+    t = default_tagger()
+    assert isinstance(t, PerceptronTagger)
+    m = t.model
+    from stackoverflowner_spark.sources.pages import synth_page
+    sents = []
+    for i in range(300):
+        final, anns = sentencize(
+            extract_text(synth_page(i)["html"].decode()), str(i))
+        by = {}
+        for r in text_to_conll_rows(final, anns):
+            by.setdefault(r.sent_idx, []).append(r)
+        for _k, rs in by.items():
+            sents.append(([r.token for r in rs], [r.tag for r in rs]))
+    batched = t.tag_sentences(sents)
+    checked = 0
+    for (toks, mds), got in zip(sents, batched):
+        w, md, gaz = t._model_inputs(toks, mds)
+        if not w:
+            continue
+        E, _ = m._emissions(w, md, gaz)  # float64 reference path
+        assert got == [m.labels[j] for j in m._viterbi(E)]
+        checked += 1
+    assert checked > 2000
