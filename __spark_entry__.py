@@ -50,11 +50,15 @@ def _words(df: DataFrame, col: str = "text") -> DataFrame:
 
 
 def q_vocab_mapping(spark, sf):
-    # A1+A2: create_dico + create_mapping (utils_so.py:53-76)
+    # A1+A2: create_dico + create_mapping (utils_so.py:53-76). Ids via the
+    # two-pass partition-offset rank — no single-partition window (the
+    # vocab is corpus-derived, 10^7-10^8 rows at 100 TB).
+    from stackoverflowner_spark.operators.prepare import partitioned_rank
     docs = _t(spark, sf, "documents")
     dico = _words(docs).groupBy("word").agg(F.count("*").alias("freq"))
-    w = Window.orderBy(F.desc("freq"), F.asc("word"))
-    return dico.withColumn("word_id", F.row_number().over(w).cast("long"))
+    return partitioned_rank(
+        dico, [F.desc("freq"), F.asc("word")], id_col="word_id"
+    ).withColumn("word_id", F.col("word_id").cast("long"))
 
 
 def q_vocab_pruned(spark, sf):
@@ -151,10 +155,12 @@ def q_word_ids(spark, sf):
     # fallback (loader_so.py:480-495); pruned vocab per A3.
     docs = _t(spark, sf, "documents")
     words = _words(docs.withColumn("text", F.lower(F.col("text"))))
+    from stackoverflowner_spark.operators.prepare import partitioned_rank
     vocab = (words.groupBy("word").agg(F.count("*").alias("freq"))
              .filter(F.col("freq") >= 3))
-    w = Window.orderBy(F.desc("freq"), F.asc("word"))
-    mapping = vocab.withColumn("word_id", F.row_number().over(w).cast("long"))
+    mapping = partitioned_rank(
+        vocab, [F.desc("freq"), F.asc("word")], id_col="word_id"
+    ).withColumn("word_id", F.col("word_id").cast("long"))
     distinct_words = words.distinct()
     # no broadcast hint: the mapping is corpus-derived (unbounded at 100 TB);
     # AQE decides broadcast vs shuffle from its measured size at runtime.

@@ -127,7 +127,11 @@ def main() -> None:
 
     spark = _fresh_spark(CPUS)
     qtimes: dict[str, float] = {}
-    qs = entry.queries()
+    qs = dict(entry.queries())
+    # perf-only row: the xxhash64 scale twin left the 50-query driver
+    # surface (its correctness gate lives in tests/test_dedup_fast.py) but
+    # stays benchmarked every round as the documented 100-TB dedup path
+    qs["lsh_pairs_fast"] = entry.q_lsh_pairs_fast
     for name in headline:
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -419,10 +419,23 @@ class StructuredPerceptron:
                             vecs.append(v)
                         index[key] = jj
                     ids.append(jj)
-        E = np.asarray(svecs)[np.asarray(sids)]
-        for index, vecs, ids in chans:
-            if len(vecs) > 1:
-                E += np.asarray(vecs)[np.asarray(ids)]
+        sv = np.asarray(svecs)
+        sid_arr = np.asarray(sids)
+        mats = [(np.asarray(vecs), np.asarray(ids))
+                for _index, vecs, ids in chans if len(vecs) > 1]
+        N = len(sid_arr)
+        E = np.empty((N, len(self.labels)), dtype=np.float32)
+        # row-tiled accumulation: each ~670 KB tile takes all seven channel
+        # adds while cache-resident instead of streaming the full (N, L)
+        # array from DRAM once per channel; per-element add order is
+        # unchanged (static, then channels in feature order) -> same bits
+        TILE = 4096
+        for t0 in range(0, N, TILE):
+            sl = slice(t0, t0 + TILE)
+            tile = sv[sid_arr[sl]]
+            for vecs, ids in mats:
+                tile += vecs[ids[sl]]
+            E[sl] = tile
         return E
 
     def tag_sentences(self, sentences) -> List[List[str]]:
@@ -454,28 +467,38 @@ class StructuredPerceptron:
             starts[k] = off
             off += len(sentences[k][0])
             by_len.setdefault(len(sentences[k][0]), []).append(k)
+        # B-tiling keeps the per-step (B, L, L) lattice buffer L2-resident
+        # (128*41*41*4 ≈ 860 KB): with thousands of equal-length sentences
+        # per Arrow batch an untiled buffer is tens of MB and every DP step
+        # round-trips DRAM — at 32 concurrent Python workers that saturates
+        # memory bandwidth long before the cores. Per-sentence float ops and
+        # tie-breaks are unchanged -> bitwise-identical paths (gated).
+        TILE = 128
+        bp_dtype = np.int8 if L <= 127 else np.int64
         for n, idxs in by_len.items():
-            B = len(idxs)
-            row0 = np.asarray([starts[k] for k in idxs])
-            E = E_flat[row0[:, None] + np.arange(n)]  # (B, n, L) gather
-            dp = T[L] + E[:, 0]                     # (B, L)
-            back = np.zeros((B, n, L), dtype=np.int64)
-            rows = np.arange(B)[:, None]
-            cand = np.empty((B, L, L), dtype=np.float32)  # reused buffer
-            for i in range(1, n):                   # no per-step allocation
-                # cand[b, j, a] = dp[b, a] + T[a, j]: argmax over the
-                # contiguous last axis, same values/tie-breaks as the
-                # (a, j) layout (gated bitwise in tests)
-                np.add(dp[:, None, :], TT[None], out=cand)
-                bi = cand.argmax(axis=2)            # (B, L)
-                back[:, i] = bi
-                dp = cand[rows, cols[None, :], bi] + E[:, i]
-            last = dp.argmax(axis=1)                # (B,)
-            paths = np.zeros((B, n), dtype=np.int64)
-            paths[:, n - 1] = last
-            r = np.arange(B)
-            for i in range(n - 1, 0, -1):
-                paths[:, i - 1] = back[r, i, paths[:, i]]
-            for b, k in enumerate(idxs):
-                out[k] = [self.labels[j] for j in paths[b]]
+            for t0 in range(0, len(idxs), TILE):
+                tile = idxs[t0:t0 + TILE]
+                B = len(tile)
+                row0 = np.asarray([starts[k] for k in tile])
+                E = E_flat[row0[:, None] + np.arange(n)]  # (B, n, L) gather
+                dp = T[L] + E[:, 0]                     # (B, L)
+                back = np.zeros((B, n, L), dtype=bp_dtype)
+                rows = np.arange(B)[:, None]
+                cand = np.empty((B, L, L), dtype=np.float32)  # reused buffer
+                for i in range(1, n):                   # no per-step alloc
+                    # cand[b, j, a] = dp[b, a] + T[a, j]: argmax over the
+                    # contiguous last axis, same values/tie-breaks as the
+                    # (a, j) layout (gated bitwise in tests)
+                    np.add(dp[:, None, :], TT[None], out=cand)
+                    bi = cand.argmax(axis=2)            # (B, L)
+                    back[:, i] = bi
+                    dp = cand[rows, cols[None, :], bi] + E[:, i]
+                last = dp.argmax(axis=1)                # (B,)
+                paths = np.zeros((B, n), dtype=np.int64)
+                paths[:, n - 1] = last
+                r = np.arange(B)
+                for i in range(n - 1, 0, -1):
+                    paths[:, i - 1] = back[r, i, paths[:, i]]
+                for b, k in enumerate(tile):
+                    out[k] = [self.labels[j] for j in paths[b]]
         return out  # type: ignore[return-value]

@@ -393,28 +393,51 @@ class ModelTagger(Tagger):
 _EXECUTOR_MODELS: Dict[str, object] = {}
 
 
-def _executor_model_forward(checkpoint_dir: str):
-    """Executor-singleton checkpoint load: one model per worker process,
-    shared across all Arrow batches (the reference loads once per run,
-    softner_ner_predict_from_file.py:534-560)."""
-    def forward(input_ids, input_mask):  # pragma: no cover - needs weights
-        model = _EXECUTOR_MODELS.get(checkpoint_dir)
-        if model is None:
-            try:
-                import torch
-                from transformers import AutoModelForTokenClassification
-            except ImportError as e:
-                raise NotImplementedError(
-                    "checkpoint-backed ModelTagger needs torch+transformers "
-                    f"(external downloads): {e}")
-            model = AutoModelForTokenClassification.from_pretrained(checkpoint_dir)
-            model.eval()
-            _EXECUTOR_MODELS[checkpoint_dir] = model
+def _load_checkpoint_forward(checkpoint_dir: str):
+    """Resolve a checkpoint directory to a forward callable. Two formats:
+
+    * numpy checkpoint (``numpy_model.npz`` + ``config.json``,
+      kernel/np_transformer.py) — loads without torch; this is the format
+      the in-repo end-to-end gate uses, so the singleton/load/forward path
+      has real test coverage in this container.
+    * HF torch checkpoint — the reference's real SoftNER/segmenter weights
+      (external downloads, code/Readme.md:4-8); needs torch+transformers.
+    """
+    import os
+
+    from ..kernel import np_transformer as npt
+
+    if os.path.exists(os.path.join(checkpoint_dir, npt.WEIGHTS)):
+        return npt.NumpyTokenClassifier.load(checkpoint_dir).forward
+    try:  # pragma: no cover - needs external weights + torch
+        import torch  # noqa: F401
+        from transformers import AutoModelForTokenClassification
+    except ImportError as e:
+        raise NotImplementedError(
+            "checkpoint-backed ModelTagger needs torch+transformers "
+            f"(external downloads): {e}")
+    model = AutoModelForTokenClassification.from_pretrained(checkpoint_dir)
+    model.eval()
+
+    def torch_forward(input_ids, input_mask):  # pragma: no cover
         import torch
         with torch.no_grad():
             return model(input_ids=torch.as_tensor(input_ids),
                          attention_mask=torch.as_tensor(input_mask)
                          ).logits.numpy()
+    return torch_forward
+
+
+def _executor_model_forward(checkpoint_dir: str):
+    """Executor-singleton checkpoint load: one model per worker process,
+    shared across all Arrow batches (the reference loads once per run,
+    softner_ner_predict_from_file.py:534-560)."""
+    def forward(input_ids, input_mask):
+        fwd = _EXECUTOR_MODELS.get(checkpoint_dir)
+        if fwd is None:
+            fwd = _load_checkpoint_forward(checkpoint_dir)
+            _EXECUTOR_MODELS[checkpoint_dir] = fwd
+        return fwd(input_ids, input_mask)
     return forward
 
 

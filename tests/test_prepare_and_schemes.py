@@ -134,3 +134,52 @@ def test_segmenter_stage_and_report(spark):
     assert tsv.splitlines()[0].startswith("type\tPrecision")
     tex = format_report(report, "latex")
     assert tex.startswith("\\begin{tabular}")
+
+
+def test_partitioned_rank_matches_global_window(spark):
+    """Two-pass partition-offset ids (VERDICT r02 #5) must be bit-identical
+    to a global row_number over the same (unique) total order, and the plan
+    must contain no single-partition Exchange."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from stackoverflowner_spark.operators.prepare import partitioned_rank
+
+    df = spark.range(0, 5000).select(
+        F.concat(F.lit("w"), F.col("id")).alias("word"),
+        (F.pmod(F.xxhash64("id"), F.lit(97))).alias("freq"))
+    order = [F.desc("freq"), F.asc("word")]
+    got = {r.word: r.rank for r in
+           partitioned_rank(df, order, partitions=8).collect()}
+    ref = {r.word: r.rank for r in df.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))).collect()}
+    assert got == ref
+
+    plan = (partitioned_rank(df, order, partitions=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+
+
+def test_word_mapping_two_pass_plan_and_empty_sentences(spark):
+    from pyspark.sql import functions as F
+
+    from stackoverflowner_spark.operators.prepare import (
+        build_char_mapping, build_tag_mapping, prepare_dataset,
+        word_mapping_df)
+
+    rows = [("f", 0, ["a", "b", "a"], ["O", "O", "O"]),
+            ("f", 1, [], []),                       # ADVICE: must survive
+            ("f", 2, ["a", "b", "a"], ["O", "O", "O"]),
+            ("f", 3, ["a", "c", "a"], ["O", "O", "O"])]
+    df = spark.createDataFrame(
+        rows, "file string, sent_idx int, words array<string>, tags array<string>")
+    wm = word_mapping_df(df, min_freq=3)
+    plan = wm._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    out = {r.sent_idx: r for r in
+           prepare_dataset(df, spark, wm, build_char_mapping(df),
+                           build_tag_mapping(df)).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[1].str_words == [] and out[1].word_ids == []
+    assert out[0].word_ids[0] == 2                 # ids start at 2
