@@ -45,6 +45,14 @@ Checklist: shingling + seed explosion stay JVM-side (`Generate` nodes, no
 Python); the only shuffle is `HashAggregate(min(h))` on (doc_id, seed) —
 shuffle volume O(docs x k), independent of document length.
 """,
+    "rank": """## 5. Two-pass word-mapping ids (partitioned_rank)
+
+Checklist: NO `Exchange SinglePartition` anywhere (the r02 scale flag) —
+the plan shows `Exchange rangepartitioning(freq DESC, word ASC)` feeding a
+`Window` partitioned by `_pid` (parallel per-partition row_number), plus the
+tiny per-partition-count job at build time. Ids are bit-identical to a
+global row_number (gated in tests/test_prepare_and_schemes.py).
+""",
 }
 
 
@@ -91,6 +99,15 @@ def main() -> None:
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     sections.append(HEADERS["minhash"] + "\n```\n"
                     + formatted(minhash_signatures(docs, k=4))[:3500] + "\n```\n")
+    from stackoverflowner_spark.operators.prepare import partitioned_rank
+    vocab = (docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count("*").alias("freq")))
+    ranked = partitioned_rank(vocab, [F.desc("freq"), F.asc("word")],
+                              id_col="word_id", partitions=8)
+    plan = formatted(ranked)
+    assert "SinglePartition" not in plan
+    sections.append(HEADERS["rank"] + "\n```\n" + plan[:3500] + "\n```\n")
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "PLANS.md")
