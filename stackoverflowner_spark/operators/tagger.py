@@ -167,7 +167,15 @@ class PerceptronTagger(Tagger):
         sentences (~25% of the synthetic corpus, more on real crawls), and
         the tagger is a pure function of (tokens, md_tags) — repeats skip
         the seg/aux channels, the emission lookups and the Viterbi lattice
-        entirely. Executor-local, size-capped, never pickled."""
+        entirely. Executor-local, size-capped, never pickled.
+
+        Deliberately TASK-local, not process-level: sharing the memo (and
+        even the numeric weight caches) across tasks via a module-level
+        registry measured 1.7x SLOWER end-to-end in interleaved A/B runs —
+        the long-lived tracked containers make CPython's gen-2 GC passes
+        expensive exactly while the extraction kernel allocates heavily.
+        Cold-cache cost per task is ~0.7 core-ms/page; the GC tax was
+        bigger."""
         cache = self.__dict__.get("_sent_cache")
         if cache is None:
             cache = self.__dict__["_sent_cache"] = {}
