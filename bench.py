@@ -143,8 +143,18 @@ def main() -> None:
         os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp"),
         f"sokg_bench_pages_{n_pages}")
     materialize_pages(spark, n_pages, pages_path)
-    big_elapsed, n_triples = _flagship_elapsed(spark, n_pages,
-                                               pages_path=pages_path)
+    # fresh session for the flagship phase: 13 headline queries leave JVM/
+    # python-worker state (cache blocks, GC pressure) that measured up to
+    # 3x on the flagship row; the scaling legs already run in fresh pinned
+    # processes, so this aligns the in-session row with the same hygiene
+    spark = _fresh_spark(CPUS)
+    # min of two timed runs (the pinned scaling legs already do this): the
+    # first large run pays one-off JVM heap growth + page-cache fill and
+    # measures bimodally 1.3-2.6x slower than steady state
+    e_a, n_triples = _flagship_elapsed(spark, n_pages, pages_path=pages_path)
+    e_b, _ = _flagship_elapsed(spark, n_pages, warmup=False,
+                               pages_path=pages_path)
+    big_elapsed = min(e_a, e_b)
     qtimes["kg_pipeline"] = round(big_elapsed, 3)
 
     # continuity row: same flagship with the zero-artifact gazetteer tagger

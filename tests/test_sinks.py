@@ -86,3 +86,29 @@ def test_conll_sink_global_order(spark, tmp_path):
     # every sentence is "w\tO\tw\tO" — count and positions are all we check
     blocks = [b for b in open(merged).read().split("\t\n") if b.strip()]
     assert len(blocks) == 15
+
+
+TRAIN = "/root/reference/resources/annotated_ner_data/StackOverflow/train.txt"
+
+
+@pytest.mark.skipif(not (os.path.exists(REF_LOADER) and os.path.exists(TRAIN)),
+                    reason="reference fixtures absent")
+def test_conll_sink_roundtrip_full_train_split(spark, tmp_path):
+    """Same round-trip gate on the FULL train split (180,996 lines, ~3x the
+    dev split the gate above uses) — the whole official corpus survives
+    write_conll/merge and re-loads identically through the reference's own
+    loader."""
+    mod = _ref_loader()
+    src = str(tmp_path / "train.txt")
+    shutil.copy(TRAIN, src)
+    ref = mod.loader_so_text(src, merge_tag=True, replace_low_freq_tags=True)
+
+    gold = gold_conll(spark, TRAIN)
+    out_dir = str(tmp_path / "conll_out_train")
+    write_conll(gold, out_dir, tags_col="tags", md_col="md_tags")
+    merged = merge_conll_files(out_dir, str(tmp_path / "merged_train.txt"))
+    ours = mod.loader_so_text(merged, merge_tag=True, replace_low_freq_tags=True)
+
+    assert len(ref) == len(ours) and len(ref) > 5000
+    for a, b in zip(ref, ours):
+        assert a == b
