@@ -1,0 +1,82 @@
+"""Gates for the composed curation pipeline (operators/curation.py).
+
+The fixture plants one specimen per drop reason plus survivors, so every
+stage's decision is individually observable, and the whole flow is
+re-verified against an independent straightforward recomputation.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from stackoverflowner_spark.operators.curation import (curate_documents,
+                                                       curation_report)
+from stackoverflowner_spark.session import get_spark
+
+GOOD = ("the quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps for a while in the sun with a bone it found this morning")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(app_name="sokg-curation", master="local[8]",
+                  shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, GOOD + " one"),                      # survivor
+        (2, "today we walk to the market and buy some bread and milk "
+            "for the family breakfast that we all share at the big table "
+            "near the window in the morning light"),   # survivor
+        (3, "el perro y el gato es en la casa de la abuela con el pan"),  # lang drop
+        (4, "the 1234 5678 !!!! ???? 9999 0000 ....,,,, 1111 2222"
+            " 3333"),                            # en but junk -> quality drop
+        (5, GOOD + " one"),                      # exact dup of 1 -> drop
+        (6, GOOD + " one extra word here"),      # near dup of 1 -> drop
+        (7, "a completely different story about the sea and the ships that "
+            "sail on it every day with the wind in their sails and the sun"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_curation_stages_drop_the_right_documents(spark, docs):
+    out = {r.doc_id: r for r in curate_documents(
+        docs, min_quality=0.3, jaccard_threshold=0.5).collect()}
+    assert set(out) == {1, 2, 7}
+    assert all(r.split in ("train", "val", "test") for r in out.values())
+    assert all(r.lang_pred == "en" for r in out.values())
+
+
+def test_curation_report_attributes_every_drop(spark, docs):
+    rep = {r.stage: r for r in curation_report(
+        docs, min_quality=0.3, jaccard_threshold=0.5).collect()}
+    assert rep["lang_filter"].rows_in == 7
+    assert rep["lang_filter"].dropped == 1       # doc 3
+    assert rep["quality_filter"].dropped == 1    # doc 4
+    assert rep["exact_dedup"].dropped == 1       # doc 5
+    assert rep["near_dup"].dropped == 1          # doc 6
+    assert rep["near_dup"].rows_out == 3
+    # conservation: stage frontiers chain exactly
+    assert rep["quality_filter"].rows_in == rep["lang_filter"].rows_out
+    assert rep["exact_dedup"].rows_in == rep["quality_filter"].rows_out
+    assert rep["near_dup"].rows_in == rep["exact_dedup"].rows_out
+
+
+def test_curation_is_backfill_stable(spark, docs):
+    """Adding new documents must not change the split or survival of the
+    old ones (pure content-hash decisions) — the property that keeps
+    incremental crawls consistent."""
+    base = {r.doc_id: (r.split,) for r in curate_documents(
+        docs, min_quality=0.3, jaccard_threshold=0.5).collect()}
+    more = docs.union(spark.createDataFrame(
+        [(100, "an entirely new document about mountains and the snow that "
+               "falls on them in the winter when the air is cold and the sky")],
+        "doc_id long, text string"))
+    again = {r.doc_id: (r.split,) for r in curate_documents(
+        more, min_quality=0.3, jaccard_threshold=0.5).collect()}
+    for k, v in base.items():
+        assert again[k] == v
+    assert 100 in again
