@@ -62,6 +62,13 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
         labels = merged.select("node", "label")
         if changed == 0:
             break
+    else:
+        # never return silently-wrong components: a graph whose diameter
+        # exceeds max_iter has not converged (alias graphs are shallow, so
+        # hitting this means the input is not the graph the caller thinks)
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} "
+            f"iterations — raise max_iter for high-diameter graphs")
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -262,3 +262,17 @@ def test_lang_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
     n_en = pages.filter(F.col("lang") == "en").count()
     assert df.count() == n_en
+
+
+def test_components_raise_instead_of_silent_wrong_answer(spark):
+    """A graph whose diameter exceeds max_iter must raise, never return
+    partially-propagated (wrong) components."""
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(30)], ["src", "dst"])
+    out = {r.node: r.component
+           for r in connected_components(edges).collect()}
+    assert set(out.values()) == {"n000"}          # converges fine at default
+    with _pytest.raises(RuntimeError, match="not converged"):
+        connected_components(edges, max_iter=3)
