@@ -159,3 +159,18 @@ def test_gazetteer_fast_loop_matches_reference_semantics():
         if rng.random() < 0.3:
             mds[rng.randrange(n)] = "B-Code_Block"
         assert gz.tag(toks, mds) == reference_tag(toks, mds), (toks, mds)
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    """ADVICE r02: the replicated small side would emit unmatched rows
+    n_salts times under right/full-outer — those modes must be rejected."""
+    from stackoverflowner_spark.operators.link import salted_join
+
+    big = spark.createDataFrame([(1, "a")], ["k", "x"])
+    small = spark.createDataFrame([(1, "b")], ["k", "y"])
+    assert salted_join(big, small, "k", n_salts=4, how="inner").count() == 1
+    assert salted_join(big, small, "k", n_salts=4, how="left").count() == 1
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(big, small, "k", how="full_outer")
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(big, small, "k", how="right")

@@ -61,3 +61,22 @@ def test_posts_as_pages_feeds_the_kernel(spark):
     assert got, "post bodies must yield mentions"
     urls = {r.url for r in pages.select("url").collect()}
     assert "so://post/1528_1533" in urls
+
+def test_malformed_lines_surface_as_err_rows_not_silent_drops(spark, tmp_path):
+    """ADVICE r02: a dump-scale ingest must keep lineage over every input
+    line — malformed XML becomes an ok=false row carrying the error, and
+    the page adapter filters it out without losing the count."""
+    p = str(tmp_path / "posts.xml")
+    with open(p, "w") as f:
+        f.write('<posts>\n'
+                '<row Id="1" PostTypeId="1" Body="&lt;p&gt;ok&lt;/p&gt;" />\n'
+                '<row Id="2" PostTypeId="1" Body="broken &lt; unclosed\n'
+                '<row Id="3" PostTypeId="2" ParentId="1" Body="&lt;p&gt;a&lt;/p&gt;" />\n'
+                '</posts>\n')
+    rows = posts_xml(spark, p).collect()
+    ok = [r for r in rows if r.ok]
+    err = [r for r in rows if not r.ok]
+    assert {r.post_id for r in ok} == {"1", "1_3"}
+    assert len(err) == 1 and err[0].err.startswith("xml:")
+    # adapters keep only parsed rows but the err row stayed countable above
+    assert posts_as_pages(posts_xml(spark, p)).count() == 2
