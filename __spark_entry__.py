@@ -791,11 +791,29 @@ def _plane_lit(p: list[float]) -> str:
     return "[" + ", ".join(repr(float(v)) for v in p) + "]"
 
 
+# embeddings are 64-dim throughout the fixtures
+_EMB_DIM = 64
+
+
+def _dot_sql(a: str, b: str, dim: int = _EMB_DIM) -> str:
+    """Strictly SEQUENTIAL left-to-right double fold of the dot product —
+    the same op order as Spark's ``F.aggregate(zip_with(...))`` in
+    operators/similarity._dot_col, so the two engines produce bitwise-equal
+    doubles and any rounding digit is safe. DuckDB's ``list_dot_product``
+    uses a different summation order; with float32-origin inputs the ~1e-7
+    discrepancy flips a 4-dp rounding boundary about twice per thousand
+    output rows (observed at sf0.1), which the driver's bitwise hash
+    catches. Bitwise fold-equality is asserted in
+    tests/test_oracle_dot_fold.py."""
+    return (f"list_reduce(list_transform(range(1, {dim + 1}), i -> "
+            f"{a}[i]::double * {b}[i]::double), (x, y) -> x + y)")
+
+
 def _sig_sql(vec: str, planes) -> str:
     """Concat-of-sign-bits LSH signature; identical float64 fold to Spark's
     ``lsh_signature_col`` (sequential dot product, >= 0 decision)."""
     return "concat(" + ", ".join(
-        f"case when list_dot_product({vec}, {_plane_lit(p)}) >= 0 "
+        f"case when {_dot_sql(vec, '(' + _plane_lit(p) + '::double[])')} >= 0 "
         "then '1' else '0' end" for p in planes) + ")"
 
 
@@ -806,9 +824,9 @@ def _band_match_sql(a: str, b: str, bands: int, rows: int) -> str:
 
 
 def _cosine_sql(a: str, b: str, digits: int) -> str:
-    return (f"round(list_dot_product({a}, {b}) / "
-            f"(greatest(sqrt(list_dot_product({a}, {a})), 1e-12) * "
-            f"greatest(sqrt(list_dot_product({b}, {b})), 1e-12)), {digits})")
+    return (f"round({_dot_sql(a, b)} / "
+            f"(greatest(sqrt({_dot_sql(a, a)}), 1e-12) * "
+            f"greatest(sqrt({_dot_sql(b, b)}), 1e-12)), {digits})")
 
 
 def _simhash_sql(norm: str, bits: int = 64) -> str:
@@ -838,8 +856,8 @@ def oracle_sql() -> dict[str, str]:
     nd_planes = hyperplanes(64, NEAR_DUP_BANDS * NEAR_DUP_ROWS)
     cents = ivf_centroids(64, 8)
     cent_scores = ", ".join(
-        f"list_dot_product(embedding, {_plane_lit(c)}) / "
-        f"greatest(sqrt(list_dot_product(embedding, embedding)), 1e-12) as s{i}"
+        f"{_dot_sql('embedding', '(' + _plane_lit(c) + '::double[])')} / "
+        f"greatest(sqrt({_dot_sql('embedding', 'embedding')}), 1e-12) as s{i}"
         for i, c in enumerate(cents))
     cent_best = "greatest(" + ", ".join(f"s{i}" for i in range(8)) + ")"
     cent_case = ("case " + " ".join(
@@ -1058,13 +1076,10 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, hits_en, hits_es, hits_fr, hits_de,
                    {lang_case} as lang_pred
             from h""",
-        "embedding_topk": """
+        "embedding_topk": f"""
             with scored as (
               select q.vec_id as q_id, c.vec_id,
-                round(list_dot_product(q.embedding, c.embedding)
-                  / (greatest(sqrt(list_dot_product(q.embedding, q.embedding)), 1e-12)
-                   * greatest(sqrt(list_dot_product(c.embedding, c.embedding)), 1e-12)),
-                  4) as cosine
+                {_cosine_sql('q.embedding', 'c.embedding', 4)} as cosine
               from embeddings c, (select * from embeddings where vec_id < 5) q),
             ranked as (
               select *, row_number() over (partition by q_id
