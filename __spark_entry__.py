@@ -18,7 +18,24 @@ from pyspark.sql.window import Window
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    import os
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    # the driver fixtures are single-row-group files, so Spark cannot split
+    # them and every scan collapses to ONE task regardless of
+    # maxPartitionBytes (600k lineitem rows decoded on one core). Re-balance
+    # big-enough tables when the scan is narrower than the cluster — a
+    # no-op on properly written tables (128 MB row groups split on their
+    # own at any scale); tiny dimension tables skip the pointless shuffle.
+    # Row-local/aggregation results are partitioning-independent.
+    try:
+        sz = os.path.getsize(path)
+    except OSError:
+        sz = 0
+    if sz > 1_500_000 and \
+            df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # --------------------------------------------------------------------------- #

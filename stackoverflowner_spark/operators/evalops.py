@@ -47,20 +47,23 @@ def spans_table(tagged_sentences: DataFrame, gold_col: str = "gold_tags",
 
 
 def chunk_counts(spans: DataFrame) -> DataFrame:
-    """Per-type guessed / truth / correct counts (distributed)."""
-    gold = spans.filter(F.col("side") == "gold").drop("side")
-    pred = spans.filter(F.col("side") == "pred").drop("side")
-    truth = gold.groupBy("entity_type").agg(F.count("*").alias("truth"))
-    guessed = pred.groupBy("entity_type").agg(F.count("*").alias("guessed"))
-    correct = (
-        gold.join(pred, ["url", "sent_idx", "entity_type", "tok_start", "tok_end"])
-        .groupBy("entity_type").agg(F.count("*").alias("correct"))
-    )
-    return (
-        truth.join(guessed, "entity_type", "full")
-        .join(correct, "entity_type", "full")
-        .fillna(0, subset=["truth", "guessed", "correct"])
-    )
+    """Per-type guessed / truth / correct counts (distributed).
+
+    Single two-level aggregation instead of the earlier
+    filter-twice + self-join shape: span keys are unique per (sentence,
+    side) — extract_chunks cannot emit two chunks starting at the same
+    offset — so "correct" is exactly the span keys seen on BOTH sides.
+    One pass also means the upstream Python span extraction runs once;
+    the branchy version re-executed it up to 4x past the mapInPandas."""
+    per_span = spans.groupBy(
+        "url", "sent_idx", "entity_type", "tok_start", "tok_end").agg(
+        F.sum(F.when(F.col("side") == "gold", 1).otherwise(0)).alias("g"),
+        F.sum(F.when(F.col("side") == "pred", 1).otherwise(0)).alias("p"))
+    return per_span.groupBy("entity_type").agg(
+        F.sum("g").alias("truth"),
+        F.sum("p").alias("guessed"),
+        F.sum(((F.col("g") > 0) & (F.col("p") > 0)).cast("long"))
+        .alias("correct"))
 
 
 def conll_report(counts: DataFrame) -> dict:
