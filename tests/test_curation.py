@@ -80,3 +80,38 @@ def test_curation_is_backfill_stable(spark, docs):
     for k, v in base.items():
         assert again[k] == v
     assert 100 in again
+
+
+def test_curation_stress_bulk_docs(spark):
+    """Scale-shape gate: the composed pipeline over 8.5k documents with a
+    seeded 10% near-dup rate finishes in bounded time and removes the
+    seeded duplicates without touching the unique majority."""
+    import random
+    import time
+
+    rng = random.Random(42)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "the", "and", "of", "to"]
+    rows = []
+    n_unique, n_dup_pairs = 8000, 500
+    for i in range(n_unique):
+        rows.append((i, " ".join(rng.choice(words) + str(rng.randrange(200))
+                                 if rng.random() < 0.5 else rng.choice(words)
+                                 for _ in range(40))))
+    for j in range(n_dup_pairs):
+        base = rows[j][1].split()
+        base[rng.randrange(40)] = "changed"
+        rows.append((100000 + j, " ".join(base)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    t0 = time.time()
+    out = curate_documents(docs, min_quality=0.2, jaccard_threshold=0.7)
+    n = out.count()
+    elapsed = time.time() - t0
+    # near-dups collapse to one survivor per pair; uniques survive
+    assert n_unique * 0.95 <= n <= n_unique + n_dup_pairs * 0.2
+    splits = dict(out.groupBy("split").count().collect()
+                  and [(r.split, r["count"]) for r in
+                       out.groupBy("split").count().collect()])
+    assert splits.get("train", 0) > 0.8 * n
+    assert elapsed < 120, f"curation of 8.5k docs took {elapsed:.0f}s"
