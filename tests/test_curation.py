@@ -115,3 +115,33 @@ def test_curation_stress_bulk_docs(spark):
                        out.groupBy("split").count().collect()])
     assert splits.get("train", 0) > 0.8 * n
     assert elapsed < 120, f"curation of 8.5k docs took {elapsed:.0f}s"
+
+
+def test_curate_cli_end_to_end(spark, tmp_path):
+    """tools/curate.py writes split-partitioned curated parquet + a stage
+    report and prints a JSON summary (in-process; session reused)."""
+    import importlib.util
+    import io
+    import json
+    import os
+    from contextlib import redirect_stdout
+
+    spec = importlib.util.spec_from_file_location(
+        "curate_cli", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "curate.py"))
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    out = str(tmp_path / "curated_out")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main(["--docs", "/root/testdata/sf0.001/documents.parquet",
+                       "--out", out])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["curated"] > 0
+    assert set(summary["stages"]) == {"lang_filter", "quality_filter",
+                                      "exact_dedup", "near_dup"}
+    curated = spark.read.parquet(os.path.join(out, "curated"))
+    assert curated.count() == summary["curated"]
+    assert set(r.split for r in curated.select("split").distinct().collect()) \
+        <= {"train", "val", "test"}
