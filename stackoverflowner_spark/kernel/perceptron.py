@@ -11,10 +11,22 @@ iteration order, no RNG), fit once driver-side and broadcast.
 
 from __future__ import annotations
 
+import os
 from collections import defaultdict
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+# Decode precision switch: the inference fast path runs in float32 (halves
+# the Viterbi lattice's memory traffic — the saturated-core bottleneck) and
+# is gated tag-for-tag against the float64 reference decode on the gold
+# split and a 26k-sentence corpus. Those gates are empirical, not a proof:
+# a near-tie lattice score on unseen data could still flip a tag vs the
+# float64 path. SOKG_DECODE_DTYPE=float64 flips every inference buffer to
+# the reference dtype so such a divergence is diagnosable by re-running,
+# not silent. Read once at import; set it before executors start.
+_DECODE_DTYPE = (np.float64 if os.environ.get("SOKG_DECODE_DTYPE") == "float64"
+                 else np.float32)
 
 
 def _shape(word: str) -> str:
@@ -213,6 +225,12 @@ class StructuredPerceptron:
         return path[::-1]
 
     def fit(self, sentences, epochs: int = 3) -> None:
+        # refitting invalidates every derived inference cache (float32
+        # transitions, value-keyed context maps, per-word static vectors) —
+        # without this a model that already decoded would keep serving
+        # stale weights after fit()
+        for k in ("_t32", "_ctx", "_static_cache"):
+            self.__dict__.pop(k, None)
         data = list(sentences)
         self.labels = sorted({t for _, _, _, g in data for t in g})
         L = len(self.labels)
@@ -286,6 +304,7 @@ class StructuredPerceptron:
         d = dict(self.__dict__)
         d.pop("_static_cache", None)
         d.pop("_ctx", None)
+        d.pop("_t32", None)  # float32 copy of trans: derived, rebuilt lazily
         return d
 
     def _static_vec(self, w: str) -> np.ndarray:
@@ -308,7 +327,7 @@ class StructuredPerceptron:
                 vec = self.w.get(f)
                 if vec is not None:
                     v = v + vec
-            v = v.astype(np.float32)  # decode runs in float32
+            v = v.astype(_DECODE_DTYPE)  # decode dtype (float32 default)
             if len(cache) >= self._STATIC_CACHE_MAX:
                 cache.clear()
             cache[w] = v
@@ -329,7 +348,7 @@ class StructuredPerceptron:
                 if eq > 0:
                     d = ctx.get(f[:eq])
                     if d is not None:
-                        d[f[eq + 1:]] = vec.astype(np.float32)
+                        d[f[eq + 1:]] = vec.astype(_DECODE_DTYPE)
             self.__dict__["_ctx"] = ctx
         return ctx
 
@@ -345,7 +364,7 @@ class StructuredPerceptron:
         pw_g, nw_g = ctx["pw"].get, ctx["nw"].get
         pw2_g, nw2_g = ctx["pw2"].get, ctx["nw2"].get
         md_g, gaz_g = ctx["md"].get, ctx["gaz"].get
-        E = np.zeros((n, len(self.labels)), dtype=np.float32)
+        E = np.zeros((n, len(self.labels)), dtype=_DECODE_DTYPE)
         lws = [w.lower() for w in words]
         for i in range(n):
             lw = lws[i]
@@ -388,7 +407,7 @@ class StructuredPerceptron:
         sids: List[int] = []
         chans = []
         for _ in range(6):
-            chans.append(({}, [np.zeros(L, dtype=np.float32)], []))  # index, vecs, ids
+            chans.append(({}, [np.zeros(L, dtype=_DECODE_DTYPE)], []))  # index, vecs, ids
         for words, mds, gazs in inputs:
             n = len(words)
             lws = [w.lower() for w in words]
@@ -424,7 +443,7 @@ class StructuredPerceptron:
         mats = [(np.asarray(vecs), np.asarray(ids))
                 for _index, vecs, ids in chans if len(vecs) > 1]
         N = len(sid_arr)
-        E = np.empty((N, len(self.labels)), dtype=np.float32)
+        E = np.empty((N, len(self.labels)), dtype=_DECODE_DTYPE)
         # row-tiled accumulation: each ~670 KB tile takes all seven channel
         # adds while cache-resident instead of streaming the full (N, L)
         # array from DRAM once per channel; per-element add order is
@@ -454,7 +473,10 @@ class StructuredPerceptron:
         if not nonempty:
             return out  # type: ignore[return-value]
         L = len(self.labels)
-        T = self._trans_f32()  # float32 decode (gated vs float64 in tests)
+        # float32 decode by default (gated vs float64 in tests); the
+        # SOKG_DECODE_DTYPE=float64 escape hatch runs the reference dtype
+        T = (self._trans_f32() if _DECODE_DTYPE is np.float32 else
+             self.trans.astype(np.float64))
         TT = np.ascontiguousarray(T[:L].T)  # contiguous-argmax layout
         cols = np.arange(L)
         # one flat vectorized emission pass over the whole batch, then
@@ -484,7 +506,7 @@ class StructuredPerceptron:
                 dp = T[L] + E[:, 0]                     # (B, L)
                 back = np.zeros((B, n, L), dtype=bp_dtype)
                 rows = np.arange(B)[:, None]
-                cand = np.empty((B, L, L), dtype=np.float32)  # reused buffer
+                cand = np.empty((B, L, L), dtype=T.dtype)  # reused buffer
                 for i in range(1, n):                   # no per-step alloc
                     # cand[b, j, a] = dp[b, a] + T[a, j]: argmax over the
                     # contiguous last axis, same values/tie-breaks as the

@@ -212,3 +212,58 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         for b in reversed(range(bits))
     ])
     return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  bits: int = 64, bands: int = 4, max_hamming: int = 3
+                  ) -> DataFrame:
+    """Hamming-distance near-duplicate pairs over ``simhash`` fingerprints.
+
+    Band the ``bits``-char fingerprint into ``bands`` equal bit-blocks and
+    self-join on exact block equality — the same bucketed-LSH shape as
+    ``lsh_candidate_pairs``, so candidate volume is sum-of-bucket^2, never
+    corpus^2. By pigeonhole the banding is EXACT, not approximate, whenever
+    ``max_hamming < bands``: a pair within ``max_hamming`` differing bits
+    can corrupt at most ``max_hamming`` blocks, so at least one block
+    matches and the pair is guaranteed to surface (recall 1.0 — which is
+    what makes the operator fully DuckDB-oracleable rather than
+    recall-gated). Verification popcounts the full fingerprint with JVM
+    higher-order functions; one narrow filter, no Python.
+
+    At 100 TB: block width ``bits // bands`` controls bucket sizes (16-bit
+    blocks -> 65536 bucket values per band); raise ``bands`` (and accept a
+    lower exactness bound) or feed a pre-partitioned corpus if head buckets
+    still skew — AQE skew-join handles the residual.
+    """
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands}: the pigeonhole "
+            "recall guarantee needs max_hamming < bands")
+    block = bits // bands
+    sig = simhash(df, id_col, text_col, bits)
+    banded = sig.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.substring("simhash", i * block + 1, block)
+                     .alias("block"))
+            for i in range(bands)])).alias("t"),
+    ).select(id_col, "simhash", "t.band", "t.block")
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("sim_a"), "band", "block")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("sim_b"), "band", "block")
+    hamming = F.size(F.filter(
+        F.zip_with(F.split(F.col("sim_a"), ""), F.split(F.col("sim_b"), ""),
+                   lambda x, y: x != y),
+        lambda d: d))
+    return (
+        a.join(b, ["band", "block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

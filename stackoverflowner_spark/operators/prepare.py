@@ -30,6 +30,10 @@ UNK = "<UNK>"
 PAD = "<PAD>"
 UNK_ID = 1  # <PAD>=0, <UNK>=1; corpus words start at 2 (loader_so.py:319-336)
 
+# most-recent partitioned_rank frontier still persisted (see cleanup note
+# in partitioned_rank)
+_LIVE_CACHED: list = []
+
 
 def partitioned_rank(df: DataFrame, order_by, id_col: str = "rank",
                      offset: int = 0, partitions: int | None = None
@@ -51,10 +55,17 @@ def partitioned_rank(df: DataFrame, order_by, id_col: str = "rank",
     spark = df.sparkSession
     p = partitions or spark.sparkContext.defaultParallelism
     # persist the post-shuffle rows: the sizes job and the main pass both
-    # read them, and they are vocab-sized, never corpus-sized
+    # read them, and they are vocab-sized, never corpus-sized. Generation
+    # cleanup: a long-lived session calling this repeatedly would otherwise
+    # accumulate one cached vocab frontier per call — unpersist the previous
+    # call's frontier here (its consumers recompute deterministically from
+    # the shuffle if re-used later).
+    while _LIVE_CACHED:
+        _LIVE_CACHED.pop().unpersist(blocking=False)
     ranged = (df.repartitionByRange(p, *order_by)
               .withColumn("_pid", F.spark_partition_id())
               .persist())
+    _LIVE_CACHED.append(ranged)
     sizes = {r["_pid"]: r["cnt"] for r in
              ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets = {}

@@ -11,6 +11,7 @@ are not in this sandbox; the plug point is ``ModelTagger``).
 
 from __future__ import annotations
 
+import itertools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from ..kernel.ctc import is_number_token, is_url_token
@@ -196,8 +197,14 @@ class PerceptronTagger(Tagger):
                 tagged = self.model.tag_sentences(inputs)
             else:
                 tagged = [self.model.tag_sentence(*x) for x in inputs]
-            if len(cache) >= self._SENT_CACHE_MAX:
-                cache.clear()
+            # evict only as many oldest entries as the insert overshoots the
+            # cap (dict preserves insertion order) — a wholesale clear would
+            # discard every accumulated hit and let the cache overshoot by
+            # the batch's distinct-sentence count
+            overflow = len(cache) + len(pending) - self._SENT_CACHE_MAX
+            if overflow > 0:
+                for old in list(itertools.islice(iter(cache), overflow)):
+                    del cache[old]
             for (key, ks), tags in zip(pending.items(), tagged):
                 cache[key] = tags
                 for k in ks:

@@ -85,7 +85,7 @@ def build_dictionary_rows(extra_entities: List[Tuple[str, str]] | None = None
     return rows
 
 
-def dictionary_df(spark):
+def dictionary_df(spark, extra_entities: List[Tuple[str, str]] | None = None):
     from pyspark.sql import types as T
 
     schema = T.StructType([
@@ -96,7 +96,7 @@ def dictionary_df(spark):
         T.StructField("embedding", T.ArrayType(T.FloatType())),
         T.StructField("freq_rank", T.IntegerType()),
     ])
-    return spark.createDataFrame(build_dictionary_rows(), schema)
+    return spark.createDataFrame(build_dictionary_rows(extra_entities), schema)
 
 
 def gazetteer_map() -> dict:

@@ -30,21 +30,23 @@ def main(argv=None) -> int:
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
-    from stackoverflowner_spark.operators.curation import (curate_documents,
-                                                           curation_report)
+    from stackoverflowner_spark.operators.curation import curate_with_report
     from stackoverflowner_spark.session import get_spark
 
     spark = get_spark(app_name="sokg-curate", master=args.master)
     docs = spark.read.parquet(args.docs)
     t0 = time.time()
-    curated = curate_documents(docs, lang=args.lang,
-                               min_quality=args.min_quality,
-                               jaccard_threshold=args.jaccard)
-    curated.write.mode("overwrite").partitionBy("split") \
-        .parquet(os.path.join(args.out, "curated"))
-    report = curation_report(docs, lang=args.lang,
-                             min_quality=args.min_quality,
-                             jaccard_threshold=args.jaccard)
+
+    def write_curated(curated):
+        curated.write.mode("overwrite").partitionBy("split") \
+            .parquet(os.path.join(args.out, "curated"))
+
+    # one shared pipeline pass: the write and the stage counts both read the
+    # persisted frontiers (the near-dup stage executes once, not twice)
+    report = curate_with_report(docs, lang=args.lang,
+                                min_quality=args.min_quality,
+                                jaccard_threshold=args.jaccard,
+                                materialize=write_curated)
     report.write.mode("overwrite").parquet(os.path.join(args.out, "report"))
     n = spark.read.parquet(os.path.join(args.out, "curated")).count()
     rep = {r["stage"]: (r["rows_in"], r["rows_out"])
