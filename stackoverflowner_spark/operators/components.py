@@ -29,14 +29,19 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
         .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
     )
+    # checkpoint sym FIRST and derive the initial labels from the
+    # checkpointed edges: the reverse order executed the caller's upstream
+    # DAG twice (labels' checkpoint rebuilt the pre-checkpoint sym), which
+    # doubles the cost of an expensive edge producer (e.g. the curation
+    # minhash/LSH/jaccard chain)
+    sym = sym.localCheckpoint()
     labels = (
         sym.select(F.col("a").alias("node"))
         .union(sym.select(F.col("b").alias("node")))
         .distinct()
         .withColumn("label", F.col("node"))
+        .localCheckpoint()
     )
-    labels = labels.localCheckpoint()
-    sym = sym.localCheckpoint()
 
     for i in range(max_iter):
         # the node's own row rides through the same aggregation carrying its

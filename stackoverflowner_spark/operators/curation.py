@@ -51,7 +51,13 @@ def _stage_frontiers(docs: DataFrame, lang: str, min_quality: float,
     q_kept = lang_kept.filter(F.col("quality") >= min_quality)
     keepers = exact_dedup(q_kept, id_col, text_col).select(
         F.col("keep_id").alias(id_col))
-    e_kept = q_kept.join(keepers, id_col, "left_semi")
+    # e_kept feeds four consumers (signatures, jaccard shingles, cluster
+    # ids, the survivor semi-join); truncate its lineage once so the
+    # lang/quality/exact-dedup chain executes one time, not once per
+    # consumer. At real scale this is a staged parquet write (exactly what
+    # plans/pipeline.py does between kernel stages); in-session,
+    # localCheckpoint is the same cut without a sink path.
+    e_kept = q_kept.join(keepers, id_col, "left_semi").localCheckpoint()
     sig_fn = {"fast": minhash_signatures_fast,
               "md5": minhash_signatures}[minhash_impl]
     sig = sig_fn(e_kept, id_col, text_col, n=shingle_n, k=minhash_k)

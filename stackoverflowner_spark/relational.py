@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from .sources.fixtures import read_fixture
+    return read_fixture(spark, sf_dir, name)
 
 
 def q4ish_late_orders(spark, sf_dir) -> DataFrame:
