@@ -43,19 +43,71 @@ def _shape(word: str) -> str:
     return "".join(out)
 
 
+def _cshape(word: str) -> str:
+    """Collapsed shape over the whole word: character-class RUNS collapse to
+    one symbol ("getElementById" -> "xXx", "v1.2.3" -> "x9.9.9"), so code
+    identifiers of any length share a class — the generalization that exact
+    ``w=``/``shape=`` features can't give on out-of-vocabulary tokens."""
+    out = []
+    last = ""
+    for ch in word:
+        if ch.isupper():
+            c = "X"
+        elif ch.islower():
+            c = "x"
+        elif ch.isdigit():
+            c = "9"
+        else:
+            c = ch
+        if c != last:
+            out.append(c)
+            last = c
+    return "".join(out[:12])
+
+
+def static_features(w: str) -> List[str]:
+    """Context-free features of one token — the cached half of the model's
+    emission sum (``StructuredPerceptron._static_vec`` MUST list exactly
+    these). The char-4-gram block is the fasttext-style subword channel:
+    measured +2.0 test F1 over the r3 feature set (BENCH/BASELINE.md
+    ladder), and it is what lets out-of-vocabulary code identifiers share
+    evidence with their in-vocabulary neighbors."""
+    lw = w.lower()
+    camel = any(a.islower() and b.isupper() for a, b in zip(w, w[1:]))
+    padded = "<" + lw + ">"
+    feats = [
+        "b",
+        "w=" + lw,
+        "suf3=" + lw[-3:],
+        "suf2=" + lw[-2:],
+        "suf4=" + lw[-4:],
+        "pre2=" + lw[:2],
+        "pre3=" + lw[:3],
+        "shape=" + _shape(w),
+        "cshape=" + _cshape(w),
+        "dot=" + ("1" if "." in w else "0"),
+        "dig=" + ("1" if any(c.isdigit() for c in w) else "0"),
+        "up=" + ("1" if w[:1].isupper() else "0"),
+        "paren=" + ("1" if "(" in w or ")" in w else "0"),
+        "low=" + ("1" if w == lw else "0"),
+        "camel=" + ("1" if camel else "0"),
+        "punc=" + ("".join(c for c in "-_:/@#=<>" if c in w) or "0"),
+        "len=" + str(min(len(w), 10)),
+    ]
+    feats += sorted({"cg=" + padded[i:i + 4]
+                     for i in range(max(len(padded) - 3, 1))})
+    return feats
+
+
 def token_features(words: Sequence[str], i: int, prev_tag: str,
                    md: str, gaz: str) -> List[str]:
     w = words[i]
     lw = w.lower()
     prev_w = words[i - 1].lower() if i > 0 else "<S>"
     next_w = words[i + 1].lower() if i + 1 < len(words) else "</S>"
-    feats = [
-        "b",
-        "w=" + lw,
-        "suf3=" + lw[-3:],
-        "suf2=" + lw[-2:],
-        "pre2=" + lw[:2],
-        "shape=" + _shape(w),
+    prev_w2 = words[i - 2].lower() if i > 1 else "<S>"
+    next_w2 = words[i + 2].lower() if i + 2 < len(words) else "</S>"
+    feats = static_features(w) + [
         "pw=" + prev_w,
         "nw=" + next_w,
         "pw2=" + prev_w + "|" + lw,
@@ -64,10 +116,8 @@ def token_features(words: Sequence[str], i: int, prev_tag: str,
         "pt+w=" + prev_tag + "|" + lw,
         "md=" + md,
         "gaz=" + gaz,
-        "dot=" + ("1" if "." in w else "0"),
-        "dig=" + ("1" if any(c.isdigit() for c in w) else "0"),
-        "up=" + ("1" if w[:1].isupper() else "0"),
-        "paren=" + ("1" if "(" in w or ")" in w else "0"),
+        "pww=" + prev_w2,
+        "nww=" + next_w2,
     ]
     return feats
 
@@ -316,14 +366,8 @@ class StructuredPerceptron:
             cache = self.__dict__["_static_cache"] = {}
         v = cache.get(w)
         if v is None:
-            lw = w.lower()
             v = np.zeros(len(self.labels))
-            for f in ("b", "w=" + lw, "suf3=" + lw[-3:], "suf2=" + lw[-2:],
-                      "pre2=" + lw[:2], "shape=" + _shape(w),
-                      "dot=" + ("1" if "." in w else "0"),
-                      "dig=" + ("1" if any(c.isdigit() for c in w) else "0"),
-                      "up=" + ("1" if w[:1].isupper() else "0"),
-                      "paren=" + ("1" if "(" in w or ")" in w else "0")):
+            for f in static_features(w):
                 vec = self.w.get(f)
                 if vec is not None:
                     v = v + vec
@@ -342,7 +386,8 @@ class StructuredPerceptron:
         objects, summed in the same order -> bitwise-identical emissions."""
         ctx = self.__dict__.get("_ctx")
         if ctx is None:
-            ctx = {k: {} for k in ("pw", "nw", "pw2", "nw2", "md", "gaz")}
+            ctx = {k: {} for k in ("pw", "nw", "pw2", "nw2", "md", "gaz",
+                                   "pww", "nww")}
             for f, vec in self.w.items():
                 eq = f.find("=")
                 if eq > 0:
@@ -364,18 +409,23 @@ class StructuredPerceptron:
         pw_g, nw_g = ctx["pw"].get, ctx["nw"].get
         pw2_g, nw2_g = ctx["pw2"].get, ctx["nw2"].get
         md_g, gaz_g = ctx["md"].get, ctx["gaz"].get
+        pww_g, nww_g = ctx["pww"].get, ctx["nww"].get
         E = np.zeros((n, len(self.labels)), dtype=_DECODE_DTYPE)
         lws = [w.lower() for w in words]
         for i in range(n):
             lw = lws[i]
             prev_w = lws[i - 1] if i > 0 else "<S>"
             next_w = lws[i + 1] if i + 1 < n else "</S>"
+            prev_w2 = lws[i - 2] if i > 1 else "<S>"
+            next_w2 = lws[i + 2] if i + 2 < n else "</S>"
             E[i] = self._static_vec(words[i])
-            # same feature order as before (pw, nw, pw2, nw2, md, gaz) so
-            # the float summation order — and hence the bits — is unchanged
+            # fixed channel order (pw, nw, pw2, nw2, md, gaz, pww, nww) —
+            # the same order as _batch_emissions, so the float summation
+            # order — and hence the bits — agree between the two paths
             for vec in (pw_g(prev_w), nw_g(next_w),
                         pw2_g(prev_w + "|" + lw), nw2_g(lw + "|" + next_w),
-                        md_g(mds[i]), gaz_g(gazs[i])):
+                        md_g(mds[i]), gaz_g(gazs[i]),
+                        pww_g(prev_w2), nww_g(next_w2)):
                 if vec is not None:
                     E[i] += vec
         return E
@@ -393,7 +443,7 @@ class StructuredPerceptron:
         Same model, same features, same per-element summation order as
         ``_fast_emissions`` (static, pw, nw, pw2, nw2, md, gaz) — the Python
         loop only interns each distinct feature VALUE to a dense id; the L
-        floats per token move in seven C-side gather/adds instead of ~7
+        floats per token move in nine C-side gather/adds instead of ~7
         numpy row ops per token. An absent feature contributes registry row
         0 (an IEEE zero add, which cannot change any downstream comparison).
         Tag-level equality with ``tag_sentence`` is gated in tests."""
@@ -402,11 +452,12 @@ class StructuredPerceptron:
         pw_g, nw_g = ctx["pw"].get, ctx["nw"].get
         pw2_g, nw2_g = ctx["pw2"].get, ctx["nw2"].get
         md_g, gaz_g = ctx["md"].get, ctx["gaz"].get
+        pww_g, nww_g = ctx["pww"].get, ctx["nww"].get
         svecs: List[np.ndarray] = []
         sindex: Dict[str, int] = {}
         sids: List[int] = []
         chans = []
-        for _ in range(6):
+        for _ in range(8):
             chans.append(({}, [np.zeros(L, dtype=_DECODE_DTYPE)], []))  # index, vecs, ids
         for words, mds, gazs in inputs:
             n = len(words)
@@ -416,6 +467,8 @@ class StructuredPerceptron:
                 lw = lws[i]
                 prev_w = lws[i - 1] if i else "<S>"
                 next_w = lws[i + 1] if i + 1 < n else "</S>"
+                prev_w2 = lws[i - 2] if i > 1 else "<S>"
+                next_w2 = lws[i + 2] if i + 2 < n else "</S>"
                 j = sindex.get(w)
                 if j is None:
                     j = sindex[w] = len(svecs)
@@ -427,7 +480,9 @@ class StructuredPerceptron:
                         (chans[2], pw2_g, prev_w + "|" + lw),
                         (chans[3], nw2_g, lw + "|" + next_w),
                         (chans[4], md_g, mds[i]),
-                        (chans[5], gaz_g, gazs[i])):
+                        (chans[5], gaz_g, gazs[i]),
+                        (chans[6], pww_g, prev_w2),
+                        (chans[7], nww_g, next_w2)):
                     jj = index.get(key)
                     if jj is None:
                         v = get(key)
@@ -444,7 +499,7 @@ class StructuredPerceptron:
                 for _index, vecs, ids in chans if len(vecs) > 1]
         N = len(sid_arr)
         E = np.empty((N, len(self.labels)), dtype=_DECODE_DTYPE)
-        # row-tiled accumulation: each ~670 KB tile takes all seven channel
+        # row-tiled accumulation: each ~670 KB tile takes all nine channel
         # adds while cache-resident instead of streaming the full (N, L)
         # array from DRAM once per channel; per-element add order is
         # unchanged (static, then channels in feature order) -> same bits

@@ -20,10 +20,13 @@ kernel's ok/err rows. ``curate_with_report`` shares ONE near-dup pass
 between the curated output and the report (the persisted stage frontiers),
 so curate+report costs one pipeline execution, not two.
 
-``minhash_impl`` selects the signature hash: ``"fast"`` (default) is the
-JVM xxhash64 scale path; ``"md5"`` is the engine-portable twin every other
-engine (DuckDB oracle included) can replay bit-for-bit. The two are
-recall/containment-gated against each other in tests/test_dedup_fast.py.
+``minhash_impl`` selects the near-dup stage: ``"fast"`` (default) is the
+JVM xxhash64 MinHash scale path; ``"md5"`` is the engine-portable MinHash
+twin every other engine (DuckDB oracle included) can replay bit-for-bit
+(the two are recall/containment-gated against each other in
+tests/test_dedup_fast.py); ``"simhash"`` swaps the whole
+MinHash/LSH/Jaccard block for banded-Hamming simhash pairs (exact recall
+by pigeonhole, oracled as `simhash_pairs`).
 """
 
 from __future__ import annotations
@@ -34,7 +37,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import (exact_dedup, lsh_candidate_pairs, minhash_signatures,
-                    minhash_signatures_fast, ngram_jaccard_pairs)
+                    minhash_signatures_fast, ngram_jaccard_pairs,
+                    simhash_pairs)
 from .sampling import dedup_clusters, hash_split
 from .textstats import with_lang_id, with_quality_score
 
@@ -44,7 +48,8 @@ DEFAULT_SPLITS = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
 def _stage_frontiers(docs: DataFrame, lang: str, min_quality: float,
                      shingle_n: int, minhash_k: int, rows_per_band: int,
                      jaccard_threshold: float, id_col: str, text_col: str,
-                     minhash_impl: str) -> Dict[str, DataFrame]:
+                     minhash_impl: str, simhash_bands: int = 4,
+                     simhash_max_hamming: int = 3) -> Dict[str, DataFrame]:
     """The shared stage frontiers of the curation DAG (all lazy)."""
     scored = with_quality_score(with_lang_id(docs, text_col), text_col)
     lang_kept = scored.filter(F.col("lang_pred") == lang)
@@ -58,12 +63,24 @@ def _stage_frontiers(docs: DataFrame, lang: str, min_quality: float,
     # plans/pipeline.py does between kernel stages); in-session,
     # localCheckpoint is the same cut without a sink path.
     e_kept = q_kept.join(keepers, id_col, "left_semi").localCheckpoint()
-    sig_fn = {"fast": minhash_signatures_fast,
-              "md5": minhash_signatures}[minhash_impl]
-    sig = sig_fn(e_kept, id_col, text_col, n=shingle_n, k=minhash_k)
-    cands = lsh_candidate_pairs(sig, id_col, rows_per_band)
-    verified = ngram_jaccard_pairs(e_kept, cands, id_col, text_col,
-                                   n=shingle_n, threshold=jaccard_threshold)
+    if minhash_impl == "simhash":
+        # alternative near-dup stage: banded-Hamming simhash pairs (exact
+        # recall by pigeonhole, driver-oracled as `simhash_pairs`) — one
+        # fingerprint agg + block self-join instead of MinHash signatures +
+        # band join + Jaccard verification. Cheaper at scale (no k-way
+        # signature fanout), coarser notion of similarity (bit distance on
+        # the sign-aggregated word-hash fingerprint).
+        verified = simhash_pairs(e_kept, id_col, text_col,
+                                 bands=simhash_bands,
+                                 max_hamming=simhash_max_hamming)
+    else:
+        sig_fn = {"fast": minhash_signatures_fast,
+                  "md5": minhash_signatures}[minhash_impl]
+        sig = sig_fn(e_kept, id_col, text_col, n=shingle_n, k=minhash_k)
+        cands = lsh_candidate_pairs(sig, id_col, rows_per_band)
+        verified = ngram_jaccard_pairs(e_kept, cands, id_col, text_col,
+                                       n=shingle_n,
+                                       threshold=jaccard_threshold)
     clusters = dedup_clusters(verified, e_kept.select(id_col), id_col)
     survivors = e_kept.join(clusters.filter(F.col("is_dup") == 0)
                             .select(id_col), id_col, "left_semi")
@@ -77,7 +94,8 @@ def curate_documents(docs: DataFrame, lang: str = "en",
                      jaccard_threshold: float = 0.7,
                      splits=None, id_col: str = "doc_id",
                      text_col: str = "text",
-                     minhash_impl: str = "fast") -> DataFrame:
+                     minhash_impl: str = "fast", simhash_bands: int = 4,
+                     simhash_max_hamming: int = 3) -> DataFrame:
     """documents -> curated rows with a ``split`` column.
 
     Returns (id_col, text_col, lang_pred, quality, split) for the surviving
@@ -94,7 +112,7 @@ def curate_documents(docs: DataFrame, lang: str = "en",
     splits = splits or DEFAULT_SPLITS
     f = _stage_frontiers(docs, lang, min_quality, shingle_n, minhash_k,
                          rows_per_band, jaccard_threshold, id_col, text_col,
-                         minhash_impl)
+                         minhash_impl, simhash_bands, simhash_max_hamming)
     return hash_split(f["survivors"], splits, id_col).select(
         id_col, text_col, "lang_pred", "quality", "split")
 
@@ -122,7 +140,8 @@ def curation_report(docs: DataFrame, lang: str = "en",
                     jaccard_threshold: float = 0.7,
                     id_col: str = "doc_id",
                     text_col: str = "text",
-                    minhash_impl: str = "fast") -> DataFrame:
+                    minhash_impl: str = "fast", simhash_bands: int = 4,
+                    simhash_max_hamming: int = 3) -> DataFrame:
     """One row per curation stage: (stage, rows_in, rows_out, dropped).
 
     Each stage count anti-joins nothing and samples nothing — every dropped
@@ -132,7 +151,7 @@ def curation_report(docs: DataFrame, lang: str = "en",
     """
     f = _stage_frontiers(docs, lang, min_quality, shingle_n, minhash_k,
                          rows_per_band, jaccard_threshold, id_col, text_col,
-                         minhash_impl)
+                         minhash_impl, simhash_bands, simhash_max_hamming)
     e_kept = f["e_kept"].persist()
     try:
         rows = _report_rows(docs, f)

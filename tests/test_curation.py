@@ -145,3 +145,19 @@ def test_curate_cli_end_to_end(spark, tmp_path):
     assert curated.count() == summary["curated"]
     assert set(r.split for r in curated.select("split").distinct().collect()) \
         <= {"train", "val", "test"}
+
+
+def test_curation_simhash_near_dup_stage(spark, docs):
+    """minhash_impl="simhash" swaps the MinHash/LSH/Jaccard block for
+    banded-Hamming simhash pairs; on the planted fixture the near-dup of
+    doc 1 (one extra word over a 25-word body -> few flipped fingerprint
+    bits) must still collapse (Hamming 5 over 64 bits -> 8-bit blocks,
+    d<=6), and the decision set must match the MinHash path exactly."""
+    out = {r.doc_id: r for r in curate_documents(
+        docs, min_quality=0.3, minhash_impl="simhash",
+        simhash_bands=8, simhash_max_hamming=6).collect()}
+    assert set(out) == {1, 2, 7}
+    rep = {r.stage: r for r in curation_report(
+        docs, min_quality=0.3, minhash_impl="simhash",
+        simhash_bands=8, simhash_max_hamming=6).collect()}
+    assert rep["near_dup"].dropped == 1          # doc 6, via Hamming<=6

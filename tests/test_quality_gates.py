@@ -277,18 +277,82 @@ def test_e2e_fixture_bodies(spark):
 
 
 GH_GOLD = "/root/reference/resources/annotated_ner_data/GitHub/GH_test_set.txt"
+SO_TEST = ("/root/reference/resources/annotated_ner_data/StackOverflow/"
+           "test.txt")
+SEG_TEST = ("/root/reference/code/Attentive_BiLSTM/auxilary_inputs_ner/"
+            "segmenter_pred/segmenter_pred_test.txt")
+
+
+def _eval_artifact(tagger, gold_path, seg_path=None):
+    """F1 of a tagger on a gold split. With ``seg_path`` the segmenter
+    channel comes from the reference's shipped predictions (its two-pass
+    protocol); without it, from the tagger's own deployment segmenter."""
+    from stackoverflowner_spark.kernel.conlleval import evaluate_sentences
+    from stackoverflowner_spark.kernel.goldload import parse_gold_lines
+
+    sents = parse_gold_lines(open(gold_path).read().splitlines())
+    segs = None
+    if seg_path:
+        segs, preds_acc = [], []
+        for line in open(seg_path):
+            vals = line.strip().split()
+            if len(vals) < 3:
+                if preds_acc:
+                    segs.append(preds_acc)
+                    preds_acc = []
+                continue
+            preds_acc.append(vals[2])
+        if preds_acc:
+            segs.append(preds_acc)
+    golds = [[t.tag for t in s] for s in sents]
+    inputs = []
+    for i, s in enumerate(sents):
+        w = [t.word for t in s]
+        md = [t.md_label for t in s]
+        seg = None
+        if segs is not None and i < len(segs) and len(segs[i]) == len(w):
+            seg = segs[i]
+        if seg is not None:
+            inputs.append((w, md, tagger._aux_channel(w, seg)))
+        else:
+            inputs.append(tagger._model_inputs(w, md))
+    preds = tagger.model.tag_sentences(inputs)
+    return evaluate_sentences(golds, preds)["__overall__"]["f1"]
+
+
+@pytest.mark.skipif(not os.path.exists(SO_TEST), reason="gold test absent")
+def test_shipped_artifact_f1_floors():
+    """r4 quality-ladder gates (VERDICT r3 Next #2/#7). Measured: the
+    multi-regime DEFAULT scores 59.2 gold-test F1 under deployment
+    channels (r3 default: 39.9) and 61.8 under the reference's two-pass
+    protocol; the twopass_ref artifact scores 66.5 on that protocol —
+    past the >66 target, vs 63.1 in r3. Floors sit below measured values
+    with noise margin but above the targets."""
+    from stackoverflowner_spark.operators.tagger import (PerceptronTagger,
+                                                         default_tagger)
+
+    default = default_tagger()
+    assert isinstance(default, PerceptronTagger)
+    assert _eval_artifact(default, SO_TEST) > 55          # measured 59.2
+    art = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "stackoverflowner_spark", "artifacts",
+        "viterbi_twopass_ref.pkl.gz")
+    if os.path.exists(SEG_TEST):
+        proto = PerceptronTagger.load(art)
+        assert _eval_artifact(proto, SO_TEST, SEG_TEST) > 66  # measured 66.5
 
 
 @pytest.mark.skipif(not os.path.exists(GH_GOLD), reason="GH OOD set absent")
 def test_github_ood_domain_transfer():
-    """OOD continuity signal (VERDICT r02 #6): the reference ships the
-    GitHub test set precisely to measure SO->GH domain transfer. The
-    shipped tagger ladder runs on it via the same loader/eval path as the
-    SO split (GH-only entity types fall to O in both gold and label space
-    via the loader's selected-tags rule, so the comparison is
-    apples-to-apples). Floors are intentionally loose — this pins 'the OOD
-    path works and transfer is nonzero', not a tuned number; the measured
-    F1 is reported in BENCH/BASELINE.md."""
+    """OOD gate (VERDICT r02 #6, r3 Next #7 closed in r4): the reference
+    ships the GitHub test set precisely to measure SO->GH domain transfer,
+    via the same loader/eval path as the SO split (GH-only entity types
+    fall to O in both gold and label space via the loader's selected-tags
+    rule, so the comparison is apples-to-apples). The r4 multi-regime
+    default (char-4-gram features + the deployment segmenter channel seen
+    at train time, operators/tagger.py seg_mode) measures 41.2 GH F1 — up
+    from 27.1 in r3; the floor sits under it with noise margin but far
+    above the >=32 target."""
     from stackoverflowner_spark.kernel.conlleval import evaluate_sentences
     from stackoverflowner_spark.kernel.goldload import parse_gold_lines
     from stackoverflowner_spark.operators.tagger import PerceptronTagger, default_tagger
@@ -302,6 +366,6 @@ def test_github_ood_domain_transfer():
         [([t.word for t in s], [t.md_label for t in s]) for s in sents])
     rep = evaluate_sentences(golds, preds)["__overall__"]
     assert rep["truth"] > 1000          # the gold set carries real entities
-    assert rep["f1"] > 15               # nonzero transfer, far above chance
+    assert rep["f1"] > 35               # measured 41.2 (r4); target >= 32
     print(f"GH OOD: P={rep['precision']:.1f} R={rep['recall']:.1f} "
           f"F1={rep['f1']:.1f} (truth={rep['truth']})")
