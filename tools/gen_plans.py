@@ -37,13 +37,23 @@ AQE skew join stays on as backstop.
     "q1": """## 3. TPC-H Q1-style aggregation (pure JVM path)
 
 Checklist: date filter in `PushedFilters`, two-phase `HashAggregate` around
-one Exchange, whole-stage codegen throughout.
+one Exchange, whole-stage codegen throughout. The scan reads the splittable
+fixture copy (sources/fixtures.py): NO repartition Exchange after the scan —
+the r3 `_t()` RDD-probe rebalance is gone from measured plans.
 """,
     "minhash": """## 4. MinHash signatures (dedup scale path)
 
 Checklist: shingling + seed explosion stay JVM-side (`Generate` nodes, no
 Python); the only shuffle is `HashAggregate(min(h))` on (doc_id, seed) —
 shuffle volume O(docs x k), independent of document length.
+""",
+    "simhash_pairs": """## 6. SimHash Hamming pairs (banded near-dup)
+
+Checklist: fingerprint construction is one `HashAggregate` pair (64 bit-sum
+columns) on doc_id; banding is a `Generate` (explode), the candidate join is
+a bucket equi-join on (band, block) — sum-of-bucket^2 candidates, never
+corpus^2 — and the popcount verify is JVM higher-order functions, no Python
+anywhere.
 """,
     "rank": """## 5. Two-pass word-mapping ids (partitioned_rank)
 
@@ -91,7 +101,8 @@ def main() -> None:
     sections.append(HEADERS["salted"] + "\n```\n"
                     + formatted(link_salted(mentions, dictionary_df(spark),
                                             n_salts=16))[:4500] + "\n```\n")
-    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    from stackoverflowner_spark.sources.fixtures import read_fixture
+    li = read_fixture(spark, "/root/testdata/sf0.01", "lineitem")
     q1 = (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n")))
@@ -108,6 +119,11 @@ def main() -> None:
     plan = formatted(ranked)
     assert "SinglePartition" not in plan
     sections.append(HEADERS["rank"] + "\n```\n" + plan[:3500] + "\n```\n")
+    from stackoverflowner_spark.operators.dedup import simhash_pairs
+    sp_plan = formatted(simhash_pairs(docs))
+    assert "PythonUDF" not in sp_plan and "MapInPandas" not in sp_plan
+    sections.append(HEADERS["simhash_pairs"] + "\n```\n"
+                    + sp_plan[:4000] + "\n```\n")
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "PLANS.md")
