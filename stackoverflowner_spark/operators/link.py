@@ -16,15 +16,17 @@ Two physical strategies, same logical result:
   join remains enabled as a backstop (session.py).
 
 Scoring: cosine between the hashed surface-form embedding of the mention and
-the dictionary alias embedding — vectorized numpy per Arrow batch (the
-fasttext stand-in; same operator shape as the reference-mandated scoring).
+the dictionary alias embedding (the fasttext stand-in; same operator shape
+as the reference-mandated scoring). Embeddings are computed once per
+distinct alias on the dictionary-sized side and broadcast; the per-row
+cosine is a JVM higher-order-function fold — no Python in the row-scale
+path (see _with_scores).
 """
 
 from __future__ import annotations
 
 from typing import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -38,23 +40,46 @@ LINKED_COLS = [
 ]
 
 
-def _with_scores(joined: DataFrame) -> DataFrame:
-    @F.pandas_udf(T.DoubleType())
-    def cosine_score(surface: pd.Series, emb: pd.Series) -> pd.Series:
-        if len(surface) == 0:
-            return pd.Series([], dtype="float64")
-        # head entities repeat massively: embed each distinct surface once
-        # per batch, then gather (orders of magnitude fewer hash computations)
-        codes, uniques = pd.factorize(surface.fillna(""))
-        q_uniq = hashed_embedding(list(uniques), dim=64)
-        q = q_uniq[codes]
-        d = np.array([np.asarray(e, dtype=np.float64) for e in emb])
-        dn = np.linalg.norm(d, axis=1)
-        dn[dn == 0] = 1.0
-        scores = (q * (d / dn[:, None])).sum(axis=1)
-        return pd.Series(scores)
+def _with_scores(joined: DataFrame, dict_side: DataFrame) -> DataFrame:
+    """Cosine between the hashed surface-form embedding and the dictionary
+    alias embedding.
 
-    return joined.withColumn("link_score", cosine_score("surface_norm", "embedding"))
+    Scale shape (reworked r4): the joined stream's ``surface_norm`` domain
+    is BOUNDED BY THE DICTIONARY (every joined row matched an alias on
+    surface_norm = alias_norm), so the Python embedding runs once per
+    *distinct alias* on the dictionary-sized side — whose lineage is the
+    tiny dictionary, NOT the page kernel — is broadcast back, and the
+    per-row cosine is a pure JVM ``zip_with``/``aggregate`` fold. The r3
+    version scored every row OCCURRENCE in a pandas UDF — hundreds of
+    thousands of Python rows per 48k pages, and Catalyst additionally
+    evaluated the UDF under both the filter and the projection (two
+    ArrowEvalPython nodes, measured 20-30 s of the flagship at local[32]);
+    this plan runs Python on ~2k rows regardless of corpus size."""
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def embed_surface(surface: pd.Series) -> pd.Series:
+        if len(surface) == 0:
+            return pd.Series([], dtype="object")
+        q = hashed_embedding(list(surface.fillna("")), dim=64)
+        return pd.Series([list(map(float, row)) for row in q])
+
+    surf_emb = (dict_side.select(F.col("alias_norm").alias("surface_norm"))
+                .distinct()
+                .withColumn("surf_emb", embed_surface("surface_norm")))
+    # dot(q, d / max(||d||, eps)) with q L2-normalized by construction —
+    # the same arithmetic the r3 numpy UDF ran, as a strict left-to-right
+    # JVM fold (bitwise-stable across engines, cf. similarity._dot_col)
+    dot = F.aggregate(
+        F.zip_with("surf_emb", "embedding",
+                   lambda a, b: a * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    dnorm = F.sqrt(F.aggregate(
+        F.zip_with("embedding", "embedding",
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    score = dot / F.greatest(dnorm, F.lit(1e-12))
+    return (joined.join(F.broadcast(surf_emb), "surface_norm")
+            .withColumn("link_score", score)
+            .drop("surf_emb"))
 
 
 def link_broadcast(mentions: DataFrame, dictionary: DataFrame,
@@ -62,7 +87,8 @@ def link_broadcast(mentions: DataFrame, dictionary: DataFrame,
     dict_side = dictionary.select("alias_norm", "canonical_id", "entity_type", "embedding")
     joined = mentions.join(
         F.broadcast(dict_side), mentions.surface_norm == dict_side.alias_norm, "inner")
-    return _with_scores(joined).filter(F.col("link_score") >= min_score).select(*LINKED_COLS)
+    return (_with_scores(joined, dict_side)
+            .filter(F.col("link_score") >= min_score).select(*LINKED_COLS))
 
 
 def link_salted(mentions: DataFrame, dictionary: DataFrame,
@@ -79,7 +105,8 @@ def link_salted(mentions: DataFrame, dictionary: DataFrame,
         & (salted_mentions.salt == salted_dict.salt),
         "inner",
     )
-    return _with_scores(joined).filter(F.col("link_score") >= min_score).select(*LINKED_COLS)
+    return (_with_scores(joined, dictionary)
+            .filter(F.col("link_score") >= min_score).select(*LINKED_COLS))
 
 
 def salted_join(big: DataFrame, small: DataFrame, key: str,
