@@ -654,6 +654,19 @@ def q_curation_report(spark, sf):
     return curation_report(_t(spark, sf, "documents"), minhash_impl="md5")
 
 
+def q_gopher_rules(spark, sf):
+    # Gopher-style repetition/composition filters (Rae et al. 2021 A1.1):
+    # the published training-data accept rules as one declarative operator.
+    # The only shuffle is the per-(doc, bigram) count -> per-doc max; every
+    # ratio and the composed keep decision replay exactly in SQL.
+    from stackoverflowner_spark.operators.textstats import with_repetition_stats
+    docs = _t(spark, sf, "documents")
+    return with_repetition_stats(docs).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "dup_word_frac", "top_bigram_frac",
+        F.col("keep").cast("long").alias("keep"))
+
+
 def q_tpch_q4ish(spark, sf):
     from stackoverflowner_spark.relational import q4ish_late_orders
     return q4ish_late_orders(spark, sf)
@@ -794,7 +807,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ctc_dict_join": q_ctc_dict_join,
         "semi_join": q_semi_join,
         "salted_join": q_salted_join,
-        "union_distinct": q_union_distinct,
         "window_top3": q_window_top3,
         "lag_gap": q_lag_gap,
         "word_ids": q_word_ids,
@@ -804,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "dedup_clusters": q_dedup_clusters,
         "quality": q_quality,
+        "gopher_rules": q_gopher_rules,
         "embedding_topk": q_embedding_topk,
         "tpch_q1": q_tpch_q1,
         "tpch_q5ish": q_tpch_q5ish,
@@ -847,7 +860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cousins of quality and exact_dedup), hash_sample (single-bucket
         # case of hash_split), ivf_assign (strict sub-stage of ivf_search),
         # multimodal_meta (pure-arithmetic subset of the multimodal_values
-        # decode oracle), tpch_q6 (filter-agg subset of q1/q14ish).
+        # decode oracle), tpch_q6 (filter-agg subset of q1/q14ish),
+        # union_distinct (set-op coverage remains via semi_join + the q4
+        # EXISTS and q22 anti-join rows) -> slot for gopher_rules.
         "ctc_predict": q_ctc_predict,
         "kg_triples": q_kg_triples,
         "streaming_triples": q_streaming_triples,
@@ -1094,6 +1109,36 @@ def oracle_sql() -> dict[str, str]:
                   union all select 'quality_filter', n1, n2 from counts
                   union all select 'exact_dedup', n2, n3 from counts
                   union all select 'near_dup', n3, n4 from counts)""",
+        "gopher_rules": """
+            with w as (select doc_id, text,
+                              list_filter(string_split(text, ' '), x -> x <> '') as ws
+                       from documents),
+                 base as (select doc_id, ws,
+                     cast(len(ws) as bigint) as n_words,
+                     round(length(array_to_string(ws, ''))
+                           / greatest(len(ws), 1), 6) as mean_word_len,
+                     round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                           / greatest(length(text), 1), 6) as symbol_ratio,
+                     round(1 - len(list_distinct(ws))
+                           / cast(greatest(len(ws), 1) as double), 6) as dup_word_frac
+                   from w),
+                 grams as (select doc_id, ws[i] || ' ' || ws[i+1] as bigram
+                           from w, unnest(generate_series(1, greatest(len(ws)-1, 0))) t(i)),
+                 cnt as (select doc_id, bigram, count(*) as c
+                         from grams group by 1, 2),
+                 top as (select doc_id, max(c) as top_c, sum(c) as all_c
+                         from cnt group by doc_id),
+                 j as (select b.doc_id, n_words, mean_word_len, symbol_ratio,
+                              dup_word_frac,
+                              round(coalesce(top_c / all_c, 0.0), 6) as top_bigram_frac
+                       from base b left join top using (doc_id))
+            select doc_id, n_words, mean_word_len, symbol_ratio,
+                   dup_word_frac, top_bigram_frac,
+                   cast(case when mean_word_len >= 3 and mean_word_len <= 10
+                             and symbol_ratio < 0.1 and top_bigram_frac < 0.2
+                             and dup_word_frac < 0.3
+                        then 1 else 0 end as bigint) as keep
+            from j""",
         "tpch_q4ish": Q4ISH_SQL,
         "tpch_q7ish": Q7ISH_SQL,
         "tpch_q9ish": Q9ISH_SQL,

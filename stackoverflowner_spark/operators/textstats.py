@@ -81,6 +81,56 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", F.when(best > 0, pred).otherwise(F.lit("unk")))
 
 
+def with_repetition_stats(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition / composition filters (Rae et al. 2021 §A1.1,
+    public spec): per document —
+
+    * ``mean_word_len``     mean whitespace-token length
+    * ``symbol_ratio``      non-alphanumeric-non-space chars / all chars
+    * ``top_bigram_frac``   occurrences of the most frequent word 2-gram
+                            over all 2-gram occurrences (boilerplate and
+                            template spam repeat their head bigram)
+    * ``dup_word_frac``     1 - distinct words / total words
+    * ``keep``              the composed accept decision
+
+    Everything is JVM columnar; the only shuffle is the per-(doc, bigram)
+    count -> per-doc max aggregation, O(total bigrams) — the same cost
+    class as the MinHash shingle pass, and far cheaper than embedding the
+    corpus. Thresholds follow the published Gopher ranges (mean word
+    length 3-10, symbol ratio < 0.1, top-2-gram fraction < 0.2)."""
+    t = F.col(text_col)
+    words = F.filter(F.split(t, " "), lambda x: x != "")
+    n_words = F.size(words)
+    base = (df.withColumn("n_words", n_words.cast("long"))
+            .withColumn("mean_word_len", F.round(
+                F.length(F.array_join(words, "")) /
+                F.greatest(n_words, F.lit(1)), 6))
+            .withColumn("symbol_ratio", F.round(
+                F.length(F.regexp_replace(t, "[A-Za-z0-9 ]", "")) /
+                F.greatest(F.length(t), F.lit(1)), 6))
+            .withColumn("dup_word_frac", F.round(
+                1 - F.size(F.array_distinct(words)) /
+                F.greatest(n_words, F.lit(1)).cast("double"), 6)))
+    grams = base.select(
+        F.col(id_col),
+        F.explode(F.transform(
+            F.slice(words, 1, F.greatest(n_words - 1, F.lit(0))),
+            lambda w, i: F.concat_ws(" ", w, words[i + 1]))).alias("bigram"))
+    top = (grams.groupBy(id_col, "bigram").agg(F.count("*").alias("c"))
+           .groupBy(id_col).agg(F.max("c").alias("top_c"),
+                                F.sum("c").alias("all_c")))
+    out = (base.join(top, id_col, "left")
+           .withColumn("top_bigram_frac", F.round(
+               F.coalesce(F.col("top_c") / F.col("all_c"), F.lit(0.0)), 6))
+           .drop("top_c", "all_c"))
+    keep = ((F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+            & (F.col("symbol_ratio") < 0.1)
+            & (F.col("top_bigram_frac") < 0.2)
+            & (F.col("dup_word_frac") < 0.3))
+    return out.withColumn("keep", keep)
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalization fingerprint: md5 over lowercased, space-collapsed text
     (rolling-hash stand-in that is reproducible in any engine)."""
