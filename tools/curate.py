@@ -27,6 +27,11 @@ def main(argv=None) -> int:
     ap.add_argument("--lang", default="en")
     ap.add_argument("--min-quality", type=float, default=0.3)
     ap.add_argument("--jaccard", type=float, default=0.7)
+    ap.add_argument("--near-dup", default="fast",
+                    choices=["fast", "md5", "simhash"],
+                    help="near-dup stage: xxhash64 MinHash (scale default), "
+                         "md5 MinHash (engine-portable twin), or "
+                         "banded-Hamming simhash")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -46,6 +51,7 @@ def main(argv=None) -> int:
     report = curate_with_report(docs, lang=args.lang,
                                 min_quality=args.min_quality,
                                 jaccard_threshold=args.jaccard,
+                                minhash_impl=args.near_dup,
                                 materialize=write_curated)
     report.write.mode("overwrite").parquet(os.path.join(args.out, "report"))
     n = spark.read.parquet(os.path.join(args.out, "curated")).count()
