@@ -81,7 +81,7 @@ def _jvm_control_elapsed(spark, n_rows: int) -> float:
 
     df = (spark.range(n_rows)
           .select((F.col("id") % 9973).alias("k"),
-                  (F.col("id") * 2654435761 % 1000003).alias("v")))
+                  F.pmod(F.xxhash64("id"), F.lit(1000003)).alias("v")))
     t0 = time.time()
     (df.groupBy("k").agg(F.sum("v"), F.avg("v"), F.count("*"))
      .write.format("noop").mode("overwrite").save())
@@ -108,7 +108,8 @@ _CONTROL_ROWS = int(os.environ.get("SPARK_GRAFT_CONTROL_ROWS", "4000000000"))
 
 def _pinned_flagship_sec(cores: int, n_pages: int,
                          pages_path: str | None = None,
-                         rounds: int = 1) -> tuple[float, float]:
+                         rounds: int = 1,
+                         control_rows: int | None = None) -> tuple[float, float]:
     """(flagship_sec, jvm_control_sec): min over ``rounds`` independent
     pinned subprocesses (each itself the min of two warm runs, flagship and
     control interleaved in the same session). The shared box shows
@@ -119,7 +120,7 @@ def _pinned_flagship_sec(cores: int, n_pages: int,
     repo = os.path.dirname(os.path.abspath(__file__))
     snippet = _PINNED_SNIPPET.format(cores=cores, n_pages=n_pages, repo=repo,
                                      pages_path=pages_path,
-                                     control_rows=_CONTROL_ROWS)
+                                     control_rows=control_rows or _CONTROL_ROWS)
     best = ctrl = None
     for _ in range(rounds):
         out = subprocess.run(
@@ -237,9 +238,14 @@ def main() -> None:
     for lo_cores, hi_cores, n_p, path in (
             (2, 8, n_small, small_path), (8, CPUS, n_scale, scale_path)):
         # same number of rounds on both sides of a pair: min-of-2 on only
-        # one side would bias the speedup ratio even under symmetric noise
-        t_lo, c_lo = _pinned_flagship_sec(lo_cores, n_p, path, rounds=2)
-        t_hi, c_hi = _pinned_flagship_sec(hi_cores, n_p, path, rounds=2)
+        # one side would bias the speedup ratio even under symmetric noise.
+        # The control is sized per pair (same rows on both sides — that is
+        # what the ratio needs) so the low-core leg stays ~20 s, not minutes
+        c_rows = max(_CONTROL_ROWS * lo_cores // 8, 500_000_000)
+        t_lo, c_lo = _pinned_flagship_sec(lo_cores, n_p, path, rounds=2,
+                                          control_rows=c_rows)
+        t_hi, c_hi = _pinned_flagship_sec(hi_cores, n_p, path, rounds=2,
+                                          control_rows=c_rows)
         pairs[f"{lo_cores}to{hi_cores}"] = {
             "cores_lo": lo_cores, "cores_hi": hi_cores, "pages": n_p,
             "sec_lo": round(t_lo, 3), "sec_hi": round(t_hi, 3),
