@@ -157,6 +157,39 @@ html body is ~50x the Common-Crawl median; beyond it the text is boilerplate
 with vanishing mention yield, and unbounded rows are what OOM executors."""
 
 
+# (sc id, tagger id) -> (weak tagger ref, Broadcast). Bounded; cleared
+# wholesale past the cap (taggers per session are few).
+_TAGGER_BC: dict = {}
+
+
+def _tagger_broadcast(spark, tagger):
+    """Ship the tagger as an explicit Broadcast instead of a task-closure
+    capture.
+
+    A learned tagger artifact is tens of MB of pickled numpy; captured in
+    the UDF closure it is re-deserialized PER TASK, and at local[32] the 32
+    concurrent cold unpickles (plus per-task cold feature caches) measured
+    4-10x on the whole flagship versus this path — broadcast values are
+    unpickled once per worker process and cached across tasks AND jobs, so
+    the tagger's executor-local caches survive with them. Weakly keyed per
+    (SparkContext, tagger) so repeated pipeline calls reuse one broadcast.
+    """
+    import weakref
+
+    sc = spark.sparkContext
+    key = (id(sc), id(tagger))
+    hit = _TAGGER_BC.get(key)
+    if hit is not None:
+        ref, bc = hit
+        if ref() is tagger:
+            return bc
+    if len(_TAGGER_BC) > 16:
+        _TAGGER_BC.clear()
+    bc = sc.broadcast(tagger)
+    _TAGGER_BC[key] = (weakref.ref(tagger), bc)
+    return bc
+
+
 def pages_to_mentions_fused(pages: DataFrame, tagger,
                             lang_filter: str | None = "en") -> DataFrame:
     """Single-pass hot path: pages -> mentions in ONE mapInPandas.
@@ -173,9 +206,11 @@ def pages_to_mentions_fused(pages: DataFrame, tagger,
         "url", "html",
         F.when(F.col("html").isNull(), F.col("text")).alias("text"))
 
-    batch_tag = getattr(tagger, "tag_sentences", None)
+    bc = _tagger_broadcast(pages.sparkSession, tagger)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tagger = bc.value
+        batch_tag = getattr(tagger, "tag_sentences", None)
         for pdf in batches:
             # phase 1: extract + sentencize the whole Arrow batch, collecting
             # every sentence so taggers with a batched decode amortize their
@@ -260,11 +295,14 @@ def mentions_stage(sentences: DataFrame, tagger) -> DataFrame:
 
     ``tagger`` is any ``Tagger`` from operators.tagger (gazetteer default,
     model-pluggable per SURVEY.md §7 step 5). Row-local => narrow; the tagger
-    object is shipped once per executor in the UDF closure.
+    ships as an explicit broadcast, unpickled once per worker
+    (see _tagger_broadcast).
     """
     rows = sentences.filter(F.col("sent_idx") >= 0)
+    bc = _tagger_broadcast(sentences.sparkSession, tagger)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tagger = bc.value
         for pdf in batches:
             out = []
             for url, sent_idx, tokens, md_tags in zip(

@@ -337,21 +337,35 @@ class PerceptronTagger(Tagger):
                    d.get("use_seg_channel", False))
 
 
+_DEFAULT_TAGGER: dict = {}
+
+
 def default_tagger() -> Tagger:
     """The engine's default mention tagger: the shipped multi-regime
     Viterbi+CTC+seg perceptron artifact when present (r4: 59.2 gold-test F1
     under deployment channels / 41.2 GitHub OOD, vs the gazetteer's 20.8;
-    ~2 MB gzip pickle shipped in stackoverflowner_spark/artifacts/ and
-    broadcast with the task closure; see tools/train_tagger.py), else the
-    deterministic gazetteer. Pipelines and the CLI use this unless a tagger
-    is passed explicitly."""
+    ~2 MB gzip pickle shipped in stackoverflowner_spark/artifacts/; see
+    tools/train_tagger.py), else the deterministic gazetteer.
+
+    Returns ONE cached instance per artifact version (keyed by mtime): the
+    kernel ships the tagger as a Spark broadcast keyed by object identity
+    (document_kernel._tagger_broadcast), so a shared instance lets repeated
+    pipeline runs in a session reuse one broadcast — executors unpickle the
+    model once and keep their warm feature caches — instead of paying a
+    fresh 32-worker cold start per run (measured ~20 s/run at local[32]).
+    """
     import os
 
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "artifacts", "viterbi_ctc_seg.pkl.gz")
-    if os.path.exists(path):
-        return PerceptronTagger.load(path)
-    return GazetteerTagger()
+    if not os.path.exists(path):
+        return GazetteerTagger()
+    key = (path, os.path.getmtime(path))
+    hit = _DEFAULT_TAGGER.get(key)
+    if hit is None:
+        _DEFAULT_TAGGER.clear()
+        hit = _DEFAULT_TAGGER[key] = PerceptronTagger.load(path)
+    return hit
 
 
 class SegmenterTagger(Tagger):

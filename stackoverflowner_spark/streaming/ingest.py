@@ -55,9 +55,11 @@ def windowed_mention_counts(pages_stream: DataFrame, tagger=None,
     from ..kernel.bio import text_to_conll_rows
     from ..kernel.sotok import TokenizerGuardError
 
-    tagger = tagger or GazetteerTagger()
+    from ..operators.document_kernel import _tagger_broadcast
+    bc = _tagger_broadcast(pages_stream.sparkSession, tagger or GazetteerTagger())
 
     def run(batches):
+        tagger = bc.value
         for pdf in batches:
             out = []
             for url, ts, html, text in zip(pdf["url"], pdf["warc_ts"],
