@@ -60,12 +60,23 @@ def _with_scores(joined: DataFrame, dict_side: DataFrame) -> DataFrame:
         q = hashed_embedding(list(surface.fillna("")), dim=64)
         return pd.Series([list(map(float, row)) for row in q])
 
-    surf_emb = (dict_side.select(F.col("alias_norm").alias("surface_norm"))
-                .distinct()
+    # the score is a pure function of (alias_norm, dictionary embedding):
+    # every joined row's surface_norm equals its alias_norm, and the
+    # embedding rides on that same dictionary row. So the ENTIRE scoring —
+    # surface embedding + cosine — happens on the dictionary-sized frame,
+    # and the corpus stream pays one broadcast-hash probe per row. (First
+    # attempt attached per-row zip_with/aggregate folds instead: higher-
+    # order functions are CodegenFallback, and the interpreted 2x64-element
+    # fold over ~590k joined rows burned ~20 JVM cores for seconds per 48k
+    # pages.)
+    surf_emb = (dict_side
+                .select(F.col("alias_norm").alias("surface_norm"),
+                        F.col("embedding"))
+                .dropDuplicates(["surface_norm"])
                 .withColumn("surf_emb", embed_surface("surface_norm")))
     # dot(q, d / max(||d||, eps)) with q L2-normalized by construction —
     # the same arithmetic the r3 numpy UDF ran, as a strict left-to-right
-    # JVM fold (bitwise-stable across engines, cf. similarity._dot_col)
+    # fold (bitwise-stable across engines, cf. similarity._dot_col)
     dot = F.aggregate(
         F.zip_with("surf_emb", "embedding",
                    lambda a, b: a * b.cast("double")),
@@ -74,10 +85,10 @@ def _with_scores(joined: DataFrame, dict_side: DataFrame) -> DataFrame:
         F.zip_with("embedding", "embedding",
                    lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x))
-    score = dot / F.greatest(dnorm, F.lit(1e-12))
-    return (joined.join(F.broadcast(surf_emb), "surface_norm")
-            .withColumn("link_score", score)
-            .drop("surf_emb"))
+    scores = (surf_emb
+              .withColumn("link_score", dot / F.greatest(dnorm, F.lit(1e-12)))
+              .select("surface_norm", "link_score"))
+    return joined.join(F.broadcast(scores), "surface_norm")
 
 
 def link_broadcast(mentions: DataFrame, dictionary: DataFrame,
