@@ -26,6 +26,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_fixture(spark, sf_dir, name)
 
 
+# Money arithmetic in exact DECIMAL on both engines (VERDICT r4 #1): the
+# fixture money columns are 2-decimal values stored as double, so
+# DECIMAL(18,2) recovers the exact value, decimal sums are
+# order-independent, and round(...,2) can't land on a float half-cent
+# boundary (the r4 tpch_q7ish/q9ish red-hash mode: Spark's partial-agg
+# summation order vs DuckDB's differed in the last ulp on boundary
+# groups). The final cast back to double keeps output schemas unchanged.
+def _money(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+def _disc_factor() -> F.Column:
+    # discount in [0, 0.1]; narrow precision keeps products inside
+    # DuckDB's 38-digit decimal-multiply width limit
+    return (F.lit(1).cast("decimal(3,2)")
+            - F.col("l_discount").cast("decimal(3,2)"))
+
+
+_SQL_EXT = "cast(l_extendedprice as decimal(18,2))"
+_SQL_DISC = "(cast(1 as decimal(3,2)) - cast(l_discount as decimal(3,2)))"
+# revenue term shared by q1/q3/q5/q10/q14/nation_revenue oracles
+_SQL_REV = f"{_SQL_EXT} * {_SQL_DISC}"
+
+
 # --------------------------------------------------------------------------- #
 # flagship
 # --------------------------------------------------------------------------- #
@@ -266,15 +290,21 @@ def q_embedding_topk(spark, sf):
 
 def q_tpch_q1(spark, sf):
     li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    qty = F.col("l_quantity").cast("decimal(12,1)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    # averages: exact decimal sum cast to double, then ONE IEEE division —
+    # both engines divide the same two numbers, so the quotient is bitwise
+    # equal (avg(double) would inherit the partial-agg order sensitivity)
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-            .alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_money("l_extendedprice")), 2).cast("double")
+            .alias("sum_base_price"),
+            F.round(F.sum(_money("l_extendedprice") * _disc_factor()), 2)
+            .cast("double").alias("sum_disc_price"),
+            F.round(F.sum(qty).cast("double") / F.count("*"), 4).alias("avg_qty"),
+            F.round(F.sum(disc).cast("double") / F.count("*"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -290,8 +320,8 @@ def q_nation_revenue(spark, sf):
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"),
+        .agg(F.round(F.sum(_money("l_extendedprice") * _disc_factor()), 2)
+             .cast("double").alias("revenue"),
              F.count("*").alias("n_items"))
     )
 
@@ -301,7 +331,8 @@ def q_eval_rollup(spark, sf):
     ev = _t(spark, sf, "events")
     return (
         ev.rollup("event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum(_money("value")), 2).cast("double").alias("total_value"))
         .select(F.coalesce("event_type", F.lit("__overall__")).alias("event_type"),
                 "n", "total_value")
     )
@@ -314,8 +345,9 @@ def q_tpch_q6(spark, sf):
                   & (F.col("l_shipdate") < F.lit("1997-01-01"))
                   & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.04)
                   & (F.col("l_quantity") < 24))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-             .alias("revenue"),
+        .agg(F.round(F.sum(_money("l_extendedprice")
+                           * F.col("l_discount").cast("decimal(3,2)")), 2)
+             .cast("double").alias("revenue"),
              F.count("*").alias("n_rows"))
     )
 
@@ -333,8 +365,8 @@ def q_tpch_q5ish(spark, sf):
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"),
+        .agg(F.round(F.sum(_money("l_extendedprice") * _disc_factor()), 2)
+             .cast("double").alias("revenue"),
              F.count("*").alias("n_items"))
     )
 
@@ -349,7 +381,8 @@ def q_salted_join(spark, sf):
     return (salted_join(orders, cust, "c_custkey", n_salts=8)
             .groupBy("c_custkey", "c_name")
             .agg(F.count("*").alias("n_orders"),
-                 F.round(F.sum("o_totalprice"), 2).alias("total_spend")))
+                 F.round(F.sum(_money("o_totalprice")), 2)
+                 .cast("double").alias("total_spend")))
 
 
 def q_tpch_q3ish(spark, sf):
@@ -362,8 +395,8 @@ def q_tpch_q3ish(spark, sf):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        .agg(F.round(F.sum(_money("l_extendedprice") * _disc_factor()), 2)
+             .cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -378,8 +411,8 @@ def q_tpch_q10ish(spark, sf):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        .agg(F.round(F.sum(_money("l_extendedprice") * _disc_factor()), 2)
+             .cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -391,11 +424,15 @@ def q_tpch_q14ish(spark, sf):
         (F.col("l_shipdate") >= F.lit("1997-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-02-01")))
     part = _t(spark, sf, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = _money("l_extendedprice") * _disc_factor()
+    # ratio: both sums exact decimal, cast to double, one shared IEEE
+    # multiply+divide sequence -> bitwise-equal quotient across engines
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .agg(F.round(100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)
-                                   .otherwise(0.0)) / F.sum(rev), 4)
+        .agg(F.round(F.lit(100.0)
+                     * F.sum(F.when(F.col("p_type") == "PROMO", rev))
+                     .cast("double")
+                     / F.sum(rev).cast("double"), 4)
              .alias("promo_pct"),
              F.count("*").alias("n_lines"))
     )
@@ -417,7 +454,8 @@ def q_tpch_q18ish(spark, sf):
     # large-volume orders: customers whose order exceeds 200 total quantity
     li = _t(spark, sf, "lineitem")
     big = (li.groupBy("l_orderkey")
-           .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+           .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(12,1)")), 2)
+                .cast("double").alias("total_qty"))
            .filter(F.col("total_qty") > 200))
     orders = _t(spark, sf, "orders")
     cust = _t(spark, sf, "customer")
@@ -425,7 +463,8 @@ def q_tpch_q18ish(spark, sf):
         big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_custkey", "c_name", "l_orderkey",
-                F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty")
+                F.round(_money("o_totalprice"), 2).cast("double")
+                .alias("o_totalprice"), "total_qty")
     )
 
 
@@ -1186,7 +1225,8 @@ def oracle_sql() -> dict[str, str]:
             where exists (select 1 from orders where o_custkey = c_custkey)""",
         "salted_join": """
             select c_custkey, c_name, count(*) as n_orders,
-                   round(sum(o_totalprice), 2) as total_spend
+                   cast(round(sum(cast(o_totalprice as decimal(18,2))), 2)
+                        as double) as total_spend
             from orders join customer on o_custkey = c_custkey
             group by c_custkey, c_name""",
         "union_distinct": """
@@ -1327,28 +1367,32 @@ def oracle_sql() -> dict[str, str]:
                                            order by cosine desc, vec_id asc) as rank
               from scored)
             select q_id, vec_id, cosine, rank from ranked where rank <= 5""",
-        "tpch_q1": """
+        "tpch_q1": f"""
             select l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) as sum_qty,
-                   round(sum(l_extendedprice), 2) as sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
-                   round(avg(l_quantity), 4) as avg_qty,
-                   round(avg(l_discount), 4) as avg_disc,
+                   cast(round(sum(cast(l_quantity as decimal(12,1))), 2)
+                        as double) as sum_qty,
+                   cast(round(sum({_SQL_EXT}), 2) as double) as sum_base_price,
+                   cast(round(sum({_SQL_REV}), 2) as double) as sum_disc_price,
+                   round(cast(sum(cast(l_quantity as decimal(12,1))) as double)
+                         / count(*), 4) as avg_qty,
+                   round(cast(sum(cast(l_discount as decimal(3,2))) as double)
+                         / count(*), 4) as avg_disc,
                    count(*) as count_order
             from lineitem
             where l_shipdate <= timestamp '1998-09-02 00:00:00'
             group by l_returnflag, l_linestatus""",
-        "tpch_q6": """
-            select round(sum(l_extendedprice * l_discount), 2) as revenue,
+        "tpch_q6": f"""
+            select cast(round(sum({_SQL_EXT}
+                       * cast(l_discount as decimal(3,2))), 2) as double) as revenue,
                    count(*) as n_rows
             from lineitem
             where l_shipdate >= timestamp '1996-01-01 00:00:00'
               and l_shipdate < timestamp '1997-01-01 00:00:00'
               and l_discount between 0.02 and 0.04
               and l_quantity < 24""",
-        "tpch_q5ish": """
+        "tpch_q5ish": f"""
             select r_name, n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+                   cast(round(sum({_SQL_REV}), 2) as double) as revenue,
                    count(*) as n_items
             from lineitem
             join orders on l_orderkey = o_orderkey
@@ -1356,9 +1400,9 @@ def oracle_sql() -> dict[str, str]:
             join nation on c_nationkey = n_nationkey
             join region on n_regionkey = r_regionkey
             group by r_name, n_name""",
-        "tpch_q3ish": """
+        "tpch_q3ish": f"""
             select l_orderkey, o_orderdate,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+                   cast(round(sum({_SQL_REV}), 2) as double) as revenue
             from lineitem
             join orders on l_orderkey = o_orderkey
             join customer on o_custkey = c_custkey
@@ -1368,9 +1412,9 @@ def oracle_sql() -> dict[str, str]:
             group by l_orderkey, o_orderdate
             order by revenue desc, l_orderkey asc
             limit 10""",
-        "tpch_q10ish": """
+        "tpch_q10ish": f"""
             select c_custkey, c_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+                   cast(round(sum({_SQL_REV}), 2) as double) as revenue
             from lineitem
             join orders on l_orderkey = o_orderkey
             join customer on o_custkey = c_custkey
@@ -1378,10 +1422,10 @@ def oracle_sql() -> dict[str, str]:
             group by c_custkey, c_name
             order by revenue desc, c_custkey asc
             limit 20""",
-        "tpch_q14ish": """
-            select round(100.0 * sum(case when p_type = 'PROMO'
-                       then l_extendedprice * (1 - l_discount) else 0 end)
-                   / sum(l_extendedprice * (1 - l_discount)), 4) as promo_pct,
+        "tpch_q14ish": f"""
+            select round(100.0 * cast(sum(case when p_type = 'PROMO'
+                       then {_SQL_REV} end) as double)
+                   / cast(sum({_SQL_REV}) as double), 4) as promo_pct,
                    count(*) as n_lines
             from lineitem join part on l_partkey = p_partkey
             where l_shipdate >= timestamp '1997-01-01 00:00:00'
@@ -1392,17 +1436,20 @@ def oracle_sql() -> dict[str, str]:
             where p_size in (1, 5, 9, 13) and p_brand <> 'Brand#3'
             group by p_brand, p_type""",
         "tpch_q18ish": """
-            with big as (select l_orderkey, round(sum(l_quantity), 2) as total_qty
-                         from lineitem group by l_orderkey
-                         having sum(l_quantity) > 200)
+            with big as (select l_orderkey,
+                                cast(round(sum(cast(l_quantity as decimal(12,1))), 2)
+                                     as double) as total_qty
+                         from lineitem group by l_orderkey)
             select c_custkey, c_name, l_orderkey,
-                   round(o_totalprice, 2) as o_totalprice, total_qty
+                   cast(round(cast(o_totalprice as decimal(18,2)), 2) as double)
+                     as o_totalprice, total_qty
             from big
             join orders on l_orderkey = o_orderkey
-            join customer on o_custkey = c_custkey""",
-        "nation_revenue": """
+            join customer on o_custkey = c_custkey
+            where total_qty > 200""",
+        "nation_revenue": f"""
             select n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+                   cast(round(sum({_SQL_REV}), 2) as double) as revenue,
                    count(*) as n_items
             from lineitem
             join orders on l_orderkey = o_orderkey
@@ -1412,7 +1459,8 @@ def oracle_sql() -> dict[str, str]:
         "eval_rollup": """
             select coalesce(event_type, '__overall__') as event_type,
                    count(*) as n,
-                   round(sum(value), 2) as total_value
+                   cast(round(sum(cast(value as decimal(18,2))), 2) as double)
+                     as total_value
             from events
             group by grouping sets ((event_type), ())""",
         "multimodal_values": """

@@ -173,7 +173,10 @@ def main() -> None:
     for tname in ("lineitem", "orders", "customer", "supplier", "part",
                   "nation", "region", "events", "documents", "embeddings"):
         entry._t(spark, SF_DIR, tname)
-    qs[headline[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # warm with a NON-headline query (ADVICE r4: warming with headline[0]
+    # made tpch_q1 the only row measured as a warm same-query repeat, so
+    # its qtime wasn't comparable to the other cold headline rows)
+    entry.q_tpch_q18ish(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     for name in headline:
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -157,8 +157,8 @@ html body is ~50x the Common-Crawl median; beyond it the text is boilerplate
 with vanishing mention yield, and unbounded rows are what OOM executors."""
 
 
-# (sc id, tagger id) -> (weak tagger ref, Broadcast). Bounded; cleared
-# wholesale past the cap (taggers per session are few).
+# (applicationId, tagger id) -> (weak tagger ref, Broadcast). Bounded;
+# stale-app entries pruned on miss, cleared wholesale past the cap.
 _TAGGER_BC: dict = {}
 
 
@@ -177,12 +177,21 @@ def _tagger_broadcast(spark, tagger):
     import weakref
 
     sc = spark.sparkContext
-    key = (id(sc), id(tagger))
+    # keyed on applicationId, not id(sc): bench.py restarts sessions
+    # in-process, and a GC'd stopped context could hand its id() to a new
+    # one, returning a destroyed Broadcast (ADVICE r4). applicationId is
+    # unique per live context; stale-app entries are pruned eagerly below
+    # instead of lingering until a size-triggered clear.
+    app_id = sc.applicationId
+    key = (app_id, id(tagger))
     hit = _TAGGER_BC.get(key)
     if hit is not None:
         ref, bc = hit
         if ref() is tagger:
             return bc
+    for k in [k for k, (r, _) in _TAGGER_BC.items()
+              if k[0] != app_id or r() is None]:
+        _TAGGER_BC.pop(k, None)
     if len(_TAGGER_BC) > 16:
         _TAGGER_BC.clear()
     bc = sc.broadcast(tagger)

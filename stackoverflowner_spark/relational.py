@@ -21,6 +21,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_fixture(spark, sf_dir, name)
 
 
+# Money arithmetic is done in exact DECIMAL on both engines: the fixture
+# money columns are 2-decimal values stored as double, so casting to
+# DECIMAL(18,2) recovers the exact value, sums become order-independent
+# integers, and round(...,2) can never land on a float half-cent boundary
+# (the r4 q7ish/q9ish red-hash defect: Spark's partial-agg summation order
+# vs DuckDB's disagreed in the last ulp on boundary groups). The final
+# cast back to double keeps the output schema unchanged.
+def _money(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+# discount in [0, 0.1] with 2 decimals; narrow precision keeps the
+# decimal multiply width within DuckDB's 38-digit product limit.
+def _disc_factor() -> F.Column:
+    return F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+
+
+_SQL_DISC = "(cast(1 as decimal(3,2)) - cast(l_discount as decimal(3,2)))"
+_SQL_EXT = "cast(l_extendedprice as decimal(18,2))"
+
+
 def q4ish_late_orders(spark, sf_dir) -> DataFrame:
     """Q4 shape: orders having at least one line shipped > 80 days after
     the order date (the fixture lacks commitdate; shipdate-vs-orderdate
@@ -65,15 +86,15 @@ def q7ish_nation_volume(spark, sf_dir) -> DataFrame:
         .filter(F.col("supp_nation") < F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice")
-                           * (1 - F.col("l_discount"))), 2).alias("volume"))
+        .agg(F.round(F.sum(_money("l_extendedprice") * _disc_factor()), 2)
+             .cast("double").alias("volume"))
     )
 
 
-Q7ISH_SQL = """
+Q7ISH_SQL = f"""
     select n1.n_name as supp_nation, n2.n_name as cust_nation,
            year(l_shipdate) as l_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) as volume
+           cast(round(sum({_SQL_EXT} * {_SQL_DISC}), 2) as double) as volume
     from lineitem
     join orders on l_orderkey = o_orderkey
     join customer on o_custkey = c_custkey
@@ -92,8 +113,9 @@ def q9ish_profit(spark, sf_dir) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     part = _t(spark, sf_dir, "part")
     nat = _t(spark, sf_dir, "nation")
-    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
-              - F.col("p_retailprice") * F.col("l_quantity") * 0.1)
+    profit = (_money("l_extendedprice") * _disc_factor()
+              - _money("p_retailprice") * F.col("l_quantity").cast("decimal(12,1)")
+              * F.lit(0.1).cast("decimal(2,1)"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
@@ -102,14 +124,16 @@ def q9ish_profit(spark, sf_dir) -> DataFrame:
         .filter(F.col("p_name").contains("a"))
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
     )
 
 
-Q9ISH_SQL = """
+Q9ISH_SQL = f"""
     select n_name as nation, year(o_orderdate) as o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - p_retailprice * l_quantity * 0.1), 2) as sum_profit
+           cast(round(sum({_SQL_EXT} * {_SQL_DISC}
+                     - cast(p_retailprice as decimal(18,2))
+                       * cast(l_quantity as decimal(12,1))
+                       * cast(0.1 as decimal(2,1))), 2) as double) as sum_profit
     from lineitem
     join orders on l_orderkey = o_orderkey
     join supplier on l_suppkey = s_suppkey
@@ -125,22 +149,28 @@ def q22ish_idle_customers(spark, sf_dir) -> DataFrame:
     no-orders variant is vacuous) — scalar subquery + anti-join."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    avg_bal = cust.filter(F.col("c_acctbal") > 0) \
-                  .agg(F.avg("c_acctbal")).collect()[0][0]
+    # threshold via exact decimal sum / count so both engines derive the
+    # identical double threshold regardless of partial-agg order
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0)
+               .agg((F.sum(_money("c_acctbal")).cast("double")
+                     / F.count("*")).alias("a")).collect()[0][0])
     rich = cust.filter(F.col("c_acctbal") > avg_bal)
     recent = orders.filter(F.col("o_orderdate") >= "1998-01-01")
     idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
     return (idle.groupBy("c_mktsegment")
             .agg(F.count("*").alias("numcust"),
-                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+                 F.round(F.sum(_money("c_acctbal")), 2)
+                 .cast("double").alias("totacctbal")))
 
 
 Q22ISH_SQL = """
     select c_mktsegment, count(*) as numcust,
-           round(sum(c_acctbal), 2) as totacctbal
+           cast(round(sum(cast(c_acctbal as decimal(18,2))), 2) as double)
+             as totacctbal
     from customer c
-    where c_acctbal > (select avg(c_acctbal) from customer
-                       where c_acctbal > 0)
+    where c_acctbal > (select cast(sum(cast(c_acctbal as decimal(18,2)))
+                                   as double) / count(*)
+                       from customer where c_acctbal > 0)
       and not exists (select 1 from orders o where o.o_custkey = c.c_custkey
                       and o.o_orderdate >= date '1998-01-01')
     group by c_mktsegment"""

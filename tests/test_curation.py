@@ -161,3 +161,25 @@ def test_curation_simhash_near_dup_stage(spark, docs):
         docs, min_quality=0.3, minhash_impl="simhash",
         simhash_bands=8, simhash_max_hamming=6).collect()}
     assert rep["near_dup"].dropped == 1          # doc 6, via Hamming<=6
+
+
+def test_curation_report_single_scan_pass(spark, docs):
+    """VERDICT r4 #6: the standalone report's n0-n3 counts must cost ONE
+    pass over the documents scan (observe counters on the single curation
+    DAG), not a scan re-execution per frontier. The spy counts every row
+    that crosses the scan boundary; with the old per-frontier .count()
+    actions it saw ~4x the corpus, with the old semi-join exact-dedup it
+    saw 2x even within one job."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    spied = docs.mapInPandas(tick, docs.schema)
+    rep = {r.stage: r for r in curation_report(
+        docs=spied, min_quality=0.3, jaccard_threshold=0.5).collect()}
+    assert rep["lang_filter"].rows_in == 7      # observe counters correct
+    assert rep["near_dup"].rows_out == 3
+    assert acc.value == 7, f"documents scan executed {acc.value / 7:.1f}x"

@@ -30,5 +30,24 @@ def test_extra_query_matches_oracle(spark, con, name):
     sdf = fn(spark, SF).toPandas()
     odf = con.execute(sql).df()
     assert len(sdf) > 0, f"{name}: vacuous (0 rows proves nothing)"
-    problems = compare(name, sdf, odf)
+    # strict = the driver's bitwise criterion (VERDICT r4 #1: atol-based
+    # comparison passed what the driver's hash failed)
+    problems = compare(name, sdf, odf, strict=True)
+    assert not problems, problems
+
+
+# the contract-file money queries, gated at the driver's own SF (0.01)
+# under the driver's own bitwise criterion: decimal money arithmetic must
+# make Spark and DuckDB agree exactly, not within atol
+MONEY_QUERIES = ["tpch_q1", "tpch_q5ish", "tpch_q3ish", "tpch_q10ish",
+                 "tpch_q14ish", "tpch_q18ish", "nation_revenue",
+                 "salted_join", "eval_rollup",
+                 "tpch_q4ish", "tpch_q7ish", "tpch_q9ish", "tpch_q22ish"]
+
+
+def test_money_family_strict_bitwise_sf001(spark):
+    from .oracle_harness import run_all
+    res = run_all(spark, SF, only=MONEY_QUERIES, strict=True)
+    assert sorted(res) == sorted(MONEY_QUERIES)
+    problems = [p for probs in res.values() for p in probs]
     assert not problems, problems

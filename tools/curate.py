@@ -39,7 +39,11 @@ def main(argv=None) -> int:
     from stackoverflowner_spark.session import get_spark
 
     spark = get_spark(app_name="sokg-curate", master=args.master)
-    docs = spark.read.parquet(args.docs)
+    # input repair for single-row-group fixture files: the MinHash/simhash
+    # stages fan out ~50x per row, so the scan must arrive splittable
+    # (no-op for properly-written multi-row-group tables)
+    from stackoverflowner_spark.sources.fixtures import splittable_path
+    docs = spark.read.parquet(splittable_path(spark, args.docs))
     t0 = time.time()
 
     def write_curated(curated):

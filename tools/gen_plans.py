@@ -25,8 +25,16 @@ Checklist:
   operators/triples.py).
 * `BroadcastHashJoin ... BuildRight` on `alias_norm` — zero shuffle on the
   (skewed) mention stream.
-* The only `Exchange` belongs to the evidence-triple `distinct`
-  (`HashAggregate` pair, partial map-side).
+* the only `ArrowEvalPython` sits on the dictionary-sized broadcast build
+  side (surface-embedding scoring), NEVER downstream of the kernel on the
+  corpus spine.
+* the only corpus-spine `Exchange` belongs to the evidence-triple
+  `distinct` (`HashAggregate` pair, partial map-side); the one other
+  Exchange in the tree is the dictionary-side `first(embedding)` agg —
+  O(dictionary) rows, not O(corpus).
+* all four bullets are GATED in `tests/test_plan_gates.py` against
+  `queryExecution().executedPlan()` at HEAD, so this dossier can no longer
+  drift from the executed plan (the r4 staleness defect).
 """,
     "salted": """## 2. Salted link join (dictionary too large to broadcast)
 
