@@ -1,0 +1,428 @@
+"""Trainable numpy transformer stacker (M6/M7 quality rung, VERDICT r4 #4).
+
+The reference's SoftNER is a *stacked* model: a BERT encoder consuming the
+predictions of two base models (the binary segmenter and the CTC) as extra
+input channels (``code/BERT_NER/E2E_SoftNER.py:65-127``).  This module is
+the same stacking architecture made trainable in-sandbox: a one-block
+transformer encoder (the ``np_transformer`` forward math) over SUMMED
+per-channel embeddings — word, collapsed shape, suffix, markdown label,
+gazetteer hit, CTC flag, segmenter channel, and the structured-perceptron
+base tagger's predicted tag — with full Adam backprop in pure numpy.
+
+Where the base-prediction channel comes from matters: at training time the
+base tags are produced by K-fold jackknifing (each fold tagged by a
+perceptron fit on the other folds), so the channel carries *test-realistic*
+noise instead of the memorized train tags a self-tagged channel would have.
+At inference the channel comes from the shipped full-data artifact.  The
+stacker therefore has the base model's quality as a floor (the copy map
+``base-channel -> label`` is trivially learnable) and corrects the base
+model where its errors correlate with lexical/shape/context evidence.
+
+Everything is deterministic: seeded init, fixed batch order per epoch
+(seeded permutation), no dropout.  Checkpoints use the HF-like directory
+layout of ``np_transformer`` (config.json + npz + vocab json) and load
+through the same executor-singleton path.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .np_transformer import _layer_norm, _softmax
+
+CONFIG = "config.json"
+WEIGHTS = "stacker_weights.npz"
+VOCABS = "vocabs.json.gz"
+
+PAD, UNK = 0, 1
+
+# input channels, in embedding-sum order. "word" is min-count-pruned;
+# the rest are closed small vocabularies taken whole from training data.
+CHANNELS = ("word", "cshape", "suf3", "md", "gaz", "ctc", "seg", "base")
+
+
+def sentence_channels(tokens: Sequence[str], mds: Sequence[str],
+                      gazs: Sequence[str], ctcs: Sequence[str],
+                      segs: Sequence[str], base: Sequence[str]
+                      ) -> Dict[str, List[str]]:
+    """Raw per-token channel strings for one sentence.  ``gazs``/``ctcs``/
+    ``segs`` are the split parts of the perceptron's packed aux channel;
+    ``base`` is the base tagger's predicted BIO tag."""
+    from .perceptron import _cshape
+    lws = [t.lower() for t in tokens]
+    return {
+        "word": lws,
+        "cshape": [_cshape(t) for t in tokens],
+        "suf3": [lw[-3:] for lw in lws],
+        "md": list(mds),
+        "gaz": list(gazs),
+        "ctc": list(ctcs),
+        "seg": list(segs),
+        "base": list(base),
+    }
+
+
+def split_aux(aux: Sequence[str]) -> Tuple[List[str], List[str], List[str]]:
+    """Split the perceptron's packed aux channel ``gaz|cX|sY`` back into
+    (gaz, ctc, seg) channel strings (missing parts -> '?')."""
+    gazs, ctcs, segs = [], [], []
+    for a in aux:
+        parts = a.split("|")
+        gazs.append(parts[0])
+        ctc = seg = "?"
+        for p in parts[1:]:
+            if p.startswith("c"):
+                ctc = p[1:]
+            elif p.startswith("s"):
+                seg = p[1:]
+        ctcs.append(ctc)
+        segs.append(seg)
+    return gazs, ctcs, segs
+
+
+class AdamState:
+    def __init__(self, shape, lr=1e-3, b1=0.9, b2=0.999, eps=1e-8):
+        self.m = np.zeros(shape, np.float32)
+        self.v = np.zeros(shape, np.float32)
+        self.lr, self.b1, self.b2, self.eps = lr, b1, b2, eps
+        self.t = 0
+
+    def step(self, w: np.ndarray, g: np.ndarray) -> None:
+        self.t += 1
+        self.m = self.b1 * self.m + (1 - self.b1) * g
+        self.v = self.b2 * self.v + (1 - self.b2) * g * g
+        mhat = self.m / (1 - self.b1 ** self.t)
+        vhat = self.v / (1 - self.b2 ** self.t)
+        w -= self.lr * mhat / (np.sqrt(vhat) + self.eps)
+
+
+class StackedNpTagger:
+    """One-block transformer token classifier over summed channel
+    embeddings, trained with masked cross-entropy + Adam."""
+
+    def __init__(self, weights: Dict[str, np.ndarray], config: dict,
+                 vocabs: Dict[str, Dict[str, int]]):
+        self.w = weights
+        self.config = config
+        self.vocabs = vocabs
+        self.labels: List[str] = config["labels"]
+
+    # -- vocab / encoding --------------------------------------------------- #
+
+    @staticmethod
+    def build_vocabs(data: Sequence[Tuple[Dict[str, List[str]], List[str]]],
+                     word_min_count: int = 2) -> Dict[str, Dict[str, int]]:
+        from collections import Counter
+        counts: Dict[str, Counter] = {c: Counter() for c in CHANNELS}
+        for channels, _ in data:
+            for c in CHANNELS:
+                counts[c].update(channels[c])
+        vocabs: Dict[str, Dict[str, int]] = {}
+        for c in CHANNELS:
+            mn = word_min_count if c == "word" else 1
+            keep = sorted(v for v, n in counts[c].items() if n >= mn)
+            vocabs[c] = {v: i + 2 for i, v in enumerate(keep)}  # 0=PAD 1=UNK
+        return vocabs
+
+    def encode(self, channels: Dict[str, List[str]], max_len: int
+               ) -> Dict[str, np.ndarray]:
+        n = min(len(channels["word"]), max_len)
+        out = {}
+        for c in CHANNELS:
+            vb = self.vocabs[c]
+            ids = np.full(max_len, PAD, np.int64)
+            for i in range(n):
+                ids[i] = vb.get(channels[c][i], UNK)
+            out[c] = ids
+        mask = np.zeros(max_len, np.float32)
+        mask[:n] = 1.0
+        out["mask"] = mask
+        return out
+
+    # -- construction ------------------------------------------------------- #
+
+    @classmethod
+    def init(cls, vocabs: Dict[str, Dict[str, int]], labels: Sequence[str],
+             hidden: int = 64, ffn: int = 128, max_len: int = 256,
+             seed: int = 20260817) -> "StackedNpTagger":
+        rng = np.random.default_rng(seed)
+
+        def m(*shape):
+            return (rng.standard_normal(shape) * 0.08).astype(np.float32)
+
+        w = {"pos": m(max_len, hidden)}
+        for c in CHANNELS:
+            w["emb_" + c] = m(len(vocabs[c]) + 2, hidden)
+        w.update({
+            "ln0_g": np.ones(hidden, np.float32), "ln0_b": np.zeros(hidden, np.float32),
+            "wq": m(hidden, hidden), "wk": m(hidden, hidden),
+            "wv": m(hidden, hidden), "wo": m(hidden, hidden),
+            "ln1_g": np.ones(hidden, np.float32), "ln1_b": np.zeros(hidden, np.float32),
+            "ffn1_w": m(hidden, ffn), "ffn1_b": np.zeros(ffn, np.float32),
+            "ffn2_w": m(ffn, hidden), "ffn2_b": np.zeros(hidden, np.float32),
+            "ln2_g": np.ones(hidden, np.float32), "ln2_b": np.zeros(hidden, np.float32),
+            "cls_w": m(hidden, len(labels)), "cls_b": np.zeros(len(labels), np.float32),
+        })
+        cfg = {"labels": list(labels), "hidden": hidden, "ffn": ffn,
+               "max_len": max_len, "seed": seed,
+               "model_type": "numpy-stacked-tagger"}
+        return cls(w, cfg, vocabs)
+
+    # -- forward (+ cached intermediates for backward) ----------------------- #
+
+    def _embed(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
+        w = self.w
+        L = batch["word"].shape[1]
+        x = np.repeat(w["pos"][:L][None], batch["word"].shape[0], axis=0).copy()
+        for c in CHANNELS:
+            x += w["emb_" + c][batch[c]]
+        return x
+
+    def _forward(self, batch: Dict[str, np.ndarray], train: bool = False):
+        w = self.w
+        mask = batch["mask"]
+        x0 = self._embed(batch)
+        x1, c1 = _ln_fwd(x0, w["ln0_g"], w["ln0_b"])
+        q, k, v = x1 @ w["wq"], x1 @ w["wk"], x1 @ w["wv"]
+        h = x1.shape[-1]
+        s = (q @ k.transpose(0, 2, 1)) / np.sqrt(h)
+        s = s + (1.0 - mask[:, None, :]) * -1e9
+        a = _softmax(s)
+        att = a @ v
+        o = att @ w["wo"]
+        x2 = x1 + o
+        x3, c3 = _ln_fwd(x2, w["ln1_g"], w["ln1_b"])
+        fpre = x3 @ w["ffn1_w"] + w["ffn1_b"]
+        f1 = np.maximum(fpre, 0.0)
+        f2 = f1 @ w["ffn2_w"] + w["ffn2_b"]
+        x4in = x3 + f2
+        x4, c4 = _ln_fwd(x4in, w["ln2_g"], w["ln2_b"])
+        logits = x4 @ w["cls_w"] + w["cls_b"]
+        if not train:
+            return logits
+        cache = dict(x0=x0, x1=x1, c1=c1, q=q, k=k, v=v, a=a, att=att,
+                     x3=x3, c3=c3, fpre=fpre, f1=f1, x4in=x4in, x4=x4,
+                     c4=c4, mask=mask)
+        return logits, cache
+
+    def forward(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
+        """(B, L) channel id arrays + mask -> (B, L, n_labels) logits."""
+        return self._forward(batch, train=False)
+
+    # -- backward ------------------------------------------------------------ #
+
+    def _backward(self, batch, cache, dlogits) -> Dict[str, np.ndarray]:
+        w = self.w
+        g: Dict[str, np.ndarray] = {}
+        x4 = cache["x4"]
+        g["cls_w"] = np.einsum("blh,blk->hk", x4, dlogits)
+        g["cls_b"] = dlogits.sum((0, 1))
+        dx4 = dlogits @ w["cls_w"].T
+        dx4in, g["ln2_g"], g["ln2_b"] = _ln_bwd(dx4, cache["c4"], w["ln2_g"])
+        dx3 = dx4in.copy()
+        df2 = dx4in
+        g["ffn2_w"] = np.einsum("blf,blh->fh", cache["f1"], df2)
+        g["ffn2_b"] = df2.sum((0, 1))
+        df1 = df2 @ w["ffn2_w"].T
+        dfpre = df1 * (cache["fpre"] > 0)
+        g["ffn1_w"] = np.einsum("blh,blf->hf", cache["x3"], dfpre)
+        g["ffn1_b"] = dfpre.sum((0, 1))
+        dx3 += dfpre @ w["ffn1_w"].T
+        dx2, g["ln1_g"], g["ln1_b"] = _ln_bwd(dx3, cache["c3"], w["ln1_g"])
+        dx1 = dx2.copy()
+        do = dx2
+        g["wo"] = np.einsum("blh,blk->hk", cache["att"], do)
+        datt = do @ w["wo"].T
+        da = datt @ cache["v"].transpose(0, 2, 1)
+        dv = cache["a"].transpose(0, 2, 1) @ datt
+        a = cache["a"]
+        ds = a * (da - (da * a).sum(-1, keepdims=True))
+        h = cache["x1"].shape[-1]
+        ds /= np.sqrt(h)
+        dq = ds @ cache["k"]
+        dk = ds.transpose(0, 2, 1) @ cache["q"]
+        x1 = cache["x1"]
+        g["wq"] = np.einsum("blh,blk->hk", x1, dq)
+        g["wk"] = np.einsum("blh,blk->hk", x1, dk)
+        g["wv"] = np.einsum("blh,blk->hk", x1, dv)
+        dx1 += dq @ w["wq"].T + dk @ w["wk"].T + dv @ w["wv"].T
+        dx0, g["ln0_g"], g["ln0_b"] = _ln_bwd(dx1, cache["c1"], w["ln0_g"])
+        L = dx0.shape[1]
+        g["pos"] = np.zeros_like(w["pos"])
+        g["pos"][:L] = dx0.sum(0)
+        for c in CHANNELS:
+            ge = np.zeros_like(w["emb_" + c])
+            np.add.at(ge, batch[c].ravel(),
+                      dx0.reshape(-1, dx0.shape[-1]))
+            g["emb_" + c] = ge
+        return g
+
+    # -- training ------------------------------------------------------------ #
+
+    def fit(self, data: Sequence[Tuple[Dict[str, List[str]], List[str]]],
+            epochs: int = 8, batch_size: int = 32, lr: float = 1.5e-3,
+            seed: int = 7, log=None,
+            dev: Optional[Sequence] = None) -> None:
+        """Masked-token cross-entropy over sentences; length-bucketed
+        batches, seeded order. ``data`` items: (channel strings, gold tags).
+        With ``dev``, keeps the epoch checkpoint with the best dev token
+        accuracy (cheap proxy; chunk F1 is gated by the caller)."""
+        lab_idx = {t: i for i, t in enumerate(self.labels)}
+        max_len = self.config["max_len"]
+        # sort by length for tight batches, then batch-shuffle per epoch
+        order = sorted(range(len(data)), key=lambda i: len(data[i][1]))
+        batches = [order[i:i + batch_size]
+                   for i in range(0, len(order), batch_size)]
+        opt = {k: AdamState(v.shape, lr=lr) for k, v in self.w.items()}
+        rng = np.random.default_rng(seed)
+        best_acc, best_w = -1.0, None
+        for ep in range(epochs):
+            perm = rng.permutation(len(batches))
+            tot_loss, tot_tok = 0.0, 0
+            for bi in perm:
+                idxs = batches[bi]
+                L = min(max(len(data[i][1]) for i in idxs), max_len)
+                enc = [self.encode(data[i][0], L) for i in idxs]
+                batch = {k: np.stack([e[k] for e in enc]) for k in enc[0]}
+                gold = np.full((len(idxs), L), -1, np.int64)
+                for r, i in enumerate(idxs):
+                    tags = data[i][1][:L]
+                    gold[r, :len(tags)] = [lab_idx[t] for t in tags]
+                logits, cache = self._forward(batch, train=True)
+                probs = _softmax(logits)
+                m = (gold >= 0)
+                n_tok = int(m.sum())
+                safe_gold = np.where(m, gold, 0)
+                p_gold = np.take_along_axis(
+                    probs, safe_gold[..., None], axis=-1)[..., 0]
+                tot_loss += float(-np.log(np.maximum(p_gold[m], 1e-9)).sum())
+                tot_tok += n_tok
+                dlogits = probs.copy()
+                np.put_along_axis(
+                    dlogits, safe_gold[..., None],
+                    np.take_along_axis(dlogits, safe_gold[..., None], -1) - 1.0,
+                    axis=-1)
+                dlogits *= m[..., None] / max(n_tok, 1)
+                grads = self._backward(batch, cache, dlogits.astype(np.float32))
+                for k, gr in grads.items():
+                    opt[k].step(self.w[k], gr)
+            msg = f"epoch {ep}: loss/tok {tot_loss / max(tot_tok, 1):.4f}"
+            if dev is not None:
+                acc = self._token_acc(dev)
+                msg += f" dev_acc {acc:.4f}"
+                if acc > best_acc:
+                    best_acc, best_w = acc, {k: v.copy()
+                                             for k, v in self.w.items()}
+            if log:
+                log(msg)
+        if best_w is not None:
+            self.w = best_w
+
+    def _token_acc(self, data) -> float:
+        ok = tot = 0
+        for channels, gold in data:
+            pred = self.tag(channels)
+            for p, t in zip(pred, gold):
+                ok += int(p == t)
+                tot += 1
+        return ok / max(tot, 1)
+
+    # -- inference ------------------------------------------------------------ #
+
+    def tag_batch(self, sents: Sequence[Dict[str, List[str]]]
+                  ) -> List[List[str]]:
+        """Greedy per-token argmax with a BIO-validity constrained decode:
+        an I-X whose left neighbor decodes to neither B-X nor I-X falls back
+        to its best valid label (conlleval would silently start a chunk
+        there; the constraint makes the fix explicit and deterministic)."""
+        if not sents:
+            return []
+        max_len = self.config["max_len"]
+        out: List[List[str]] = []
+        order = sorted(range(len(sents)), key=lambda i: len(sents[i]["word"]))
+        res: List[Optional[List[str]]] = [None] * len(sents)
+        B = 64
+        for s in range(0, len(order), B):
+            idxs = order[s:s + B]
+            L = min(max(len(sents[i]["word"]) for i in idxs), max_len)
+            L = max(L, 1)
+            enc = [self.encode(sents[i], L) for i in idxs]
+            batch = {k: np.stack([e[k] for e in enc]) for k in enc[0]}
+            logits = self.forward(batch)
+            for r, i in enumerate(idxs):
+                n = len(sents[i]["word"])
+                tags = self._decode(logits[r, :min(n, L)])
+                # tokens beyond max_len (rare): fall back to the base channel
+                while len(tags) < n:
+                    tags.append(sents[i]["base"][len(tags)])
+                res[i] = tags
+        for r in res:
+            out.append(r if r is not None else [])
+        return out
+
+    def _decode(self, logits: np.ndarray) -> List[str]:
+        labels = self.labels
+        order = np.argsort(-logits, axis=-1)
+        tags: List[str] = []
+        for i in range(logits.shape[0]):
+            for j in order[i]:
+                lab = labels[j]
+                if lab.startswith("I-"):
+                    prev = tags[-1] if tags else "O"
+                    if prev[2:] != lab[2:] or prev == "O":
+                        continue
+                tags.append(lab)
+                break
+            else:  # pragma: no cover - label set always contains O
+                tags.append("O")
+        return tags
+
+    def tag(self, channels: Dict[str, List[str]]) -> List[str]:
+        return self.tag_batch([channels])[0]
+
+    # -- persistence ---------------------------------------------------------- #
+
+    def save(self, dirpath: str) -> None:
+        os.makedirs(dirpath, exist_ok=True)
+        np.savez_compressed(os.path.join(dirpath, WEIGHTS), **self.w)
+        with open(os.path.join(dirpath, CONFIG), "w") as f:
+            json.dump(self.config, f, indent=1)
+        with gzip.open(os.path.join(dirpath, VOCABS), "wt") as f:
+            json.dump(self.vocabs, f)
+
+    @classmethod
+    def load(cls, dirpath: str) -> "StackedNpTagger":
+        with open(os.path.join(dirpath, CONFIG)) as f:
+            cfg = json.load(f)
+        npz = np.load(os.path.join(dirpath, WEIGHTS))
+        with gzip.open(os.path.join(dirpath, VOCABS), "rt") as f:
+            vocabs = json.load(f)
+        return cls({k: npz[k] for k in npz.files}, cfg, vocabs)
+
+
+# --------------------------------------------------------------------------- #
+# layer-norm with cached stats (training twin of np_transformer._layer_norm)
+# --------------------------------------------------------------------------- #
+
+
+def _ln_fwd(x, g, b):
+    mu = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    std = np.sqrt(var + 1e-5)
+    xhat = (x - mu) / std
+    return xhat * g + b, (xhat, std)
+
+
+def _ln_bwd(dy, cache, g):
+    xhat, std = cache
+    dg = (dy * xhat).sum((0, 1))
+    db = dy.sum((0, 1))
+    dxhat = dy * g
+    dx = (dxhat - dxhat.mean(-1, keepdims=True)
+          - xhat * (dxhat * xhat).mean(-1, keepdims=True)) / std
+    return dx.astype(xhat.dtype), dg, db

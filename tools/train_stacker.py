@@ -1,0 +1,201 @@
+#!/usr/bin/env python3
+"""Train the stacked numpy-transformer tagger (VERDICT r4 Next #4).
+
+Protocol (test split never touched):
+
+1. K-fold jackknife over train+dev: each fold's base-prediction channel
+   comes from a StructuredPerceptron fit on the OTHER folds, so the
+   channel carries test-realistic noise (a self-tagged channel would be
+   memorized and the stacker would learn to copy it blindly).
+2. The stacker (kernel/np_stacker.StackedNpTagger) trains on the
+   jackknifed sentences; a held-out slice (every 12th sentence) is used
+   only for epoch selection (best dev token accuracy).
+3. Evaluation elsewhere (tests/test_quality_gates.py) runs the shipped
+   full-data base artifact + this stacker on the gold test split under
+   the reference's two-pass fixture protocol.
+
+Deterministic end-to-end: seeded init/batching, fixed fold assignment
+(sentence index mod K), single-threaded numpy fits per fold run in
+parallel processes.
+
+    python tools/train_stacker.py [out_dir] [epochs] [--regime ref|multi]
+"""
+
+import os
+import sys
+from concurrent.futures import ProcessPoolExecutor
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SO = "/root/reference/resources/annotated_ner_data/StackOverflow/"
+AUX = "/root/reference/code/Attentive_BiLSTM/auxilary_inputs_ner/"
+CTC = AUX + "ctc_pred.tsv"
+ART_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "stackoverflowner_spark", "artifacts")
+K = 5
+DEV_EVERY = 12  # sentence i with i % DEV_EVERY == 0 -> epoch-selection slice
+
+
+def load_gold_and_seg():
+    """train+dev gold sentences paired (by index) with the reference's
+    shipped segmenter prediction fixtures."""
+    from stackoverflowner_spark.kernel.goldload import parse_gold_lines
+
+    sents, segs = [], []
+    for split in ("train", "dev"):
+        part = parse_gold_lines(
+            open(SO + f"{split}.txt").read().splitlines())
+        seg_part = _parse_seg(
+            AUX + f"segmenter_pred/segmenter_pred_{split}.txt")
+        sents.extend(part)
+        seg_part += [None] * (len(part) - len(seg_part))
+        segs.extend(seg_part[: len(part)])
+    return sents, segs
+
+
+def _w(word: str) -> str:
+    """Inverse of parse_gold_lines' ``'-----'`` -> space substitution, so
+    re-parsing a written fold file reproduces the token exactly."""
+    return word.replace(" ", "-----")
+
+
+def _gold_line(t) -> str:
+    # 4-column gold format: word gold_label raw_word md_label
+    return f"{_w(t.word)}\t{t.tag}\t{_w(t.word)}\t{t.md_label}\n"
+
+
+def _parse_seg(path):
+    out, preds = [], []
+    for line in open(path):
+        vals = line.strip().split()
+        if len(vals) < 3:
+            if preds:
+                out.append(preds)
+                preds = []
+            continue
+        preds.append(vals[2])
+    if preds:
+        out.append(preds)
+    return out
+
+
+def _fit_fold(args):
+    """Fit a perceptron on all folds but ``fold`` and tag that fold.
+    Runs in a worker process; returns {sentence_index: base_tags}."""
+    fold, regime = args
+    import tempfile
+
+    from stackoverflowner_spark.operators.tagger import PerceptronTagger
+
+    sents, segs = load_gold_and_seg()
+    tmp = tempfile.mkdtemp(prefix=f"sokg_jack{fold}_")
+    gold_path = os.path.join(tmp, "gold.txt")
+    seg_path = os.path.join(tmp, "seg.txt")
+    with open(gold_path, "w") as g, open(seg_path, "w") as s:
+        for i, sent in enumerate(sents):
+            if i % K == fold:
+                continue
+            for t in sent:
+                g.write(_gold_line(t))
+            g.write("\n")
+            seg = segs[i]
+            toks = [t.word for t in sent]
+            if seg is None or len(seg) != len(toks):
+                seg = ["O"] * len(toks)
+            for t, p in zip(sent, seg):
+                s.write(f"{_w(t.word)} O {p}\n")
+            s.write("\n")
+    tagger = PerceptronTagger.fit_from_gold(
+        gold_path, epochs=6, structured=True, ctc_path=CTC,
+        seg_path=seg_path, seg_mode=regime)
+    out = {}
+    held = [(i, s) for i, s in enumerate(sents) if i % K == fold]
+    inputs, keys = [], []
+    for i, sent in held:
+        w = [t.word for t in sent]
+        md = [t.md_label for t in sent]
+        seg = segs[i]
+        if seg is not None and len(seg) == len(w):
+            inputs.append((w, md, tagger._aux_channel(w, seg)))
+        else:
+            inputs.append(tagger._model_inputs(w, md))
+        keys.append(i)
+    for i, tags in zip(keys, tagger.model.tag_sentences(inputs)):
+        out[i] = tags
+    return out
+
+
+def build_dataset(regime: str):
+    """(channels, gold) pairs with jackknifed base channels, plus the
+    aux-channel pieces the stacker embeds."""
+    from stackoverflowner_spark.kernel.np_stacker import (sentence_channels,
+                                                          split_aux)
+    from stackoverflowner_spark.operators.tagger import PerceptronTagger
+
+    sents, segs = load_gold_and_seg()
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    with ProcessPoolExecutor(max_workers=K) as ex:
+        base_by_idx = {}
+        for part in ex.map(_fit_fold, [(f, regime) for f in range(K)]):
+            base_by_idx.update(part)
+
+    # channel construction mirrors inference: one full-data proto gives the
+    # gaz/ctc/seg aux exactly as PerceptronTagger._aux_channel builds it
+    import tempfile
+    tmp = tempfile.mkdtemp(prefix="sokg_proto_")
+    gold_all = os.path.join(tmp, "gold.txt")
+    with open(gold_all, "w") as g:
+        for sent in sents:
+            for t in sent:
+                g.write(_gold_line(t))
+            g.write("\n")
+    proto = PerceptronTagger.fit_from_gold(
+        gold_all, epochs=0, structured=True, ctc_path=CTC,
+        seg_path=None, seg_mode="own")
+
+    data = []
+    for i, sent in enumerate(sents):
+        w = [t.word for t in sent]
+        if not w:
+            continue
+        md = [t.md_label for t in sent]
+        gold = [t.tag for t in sent]
+        seg = segs[i]
+        if regime == "ref" and (seg is None or len(seg) != len(w)):
+            seg = ["O"] * len(w)
+        aux = (proto._aux_channel(w, seg) if regime == "ref"
+               else proto._model_inputs(w, md)[2])
+        gazs, ctcs, seg_ch = split_aux(aux)
+        ch = sentence_channels(w, md, gazs, ctcs, seg_ch, base_by_idx[i])
+        data.append((ch, gold))
+    return data
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    regime = "ref"
+    if "--regime" in sys.argv:
+        regime = sys.argv[sys.argv.index("--regime") + 1]
+    out_dir = args[0] if args else os.path.join(
+        ART_DIR, f"stacked_{regime}")
+    epochs = int(args[1]) if len(args) > 1 else 12
+
+    from stackoverflowner_spark.kernel.np_stacker import StackedNpTagger
+
+    data = build_dataset(regime)
+    train = [d for i, d in enumerate(data) if i % DEV_EVERY != 0]
+    dev = [d for i, d in enumerate(data) if i % DEV_EVERY == 0]
+    labels = sorted({t for _, gold in data for t in gold})
+    vocabs = StackedNpTagger.build_vocabs(train)
+    model = StackedNpTagger.init(vocabs, labels)
+    print(f"regime={regime} train={len(train)} dev={len(dev)} "
+          f"labels={len(labels)} word_vocab={len(vocabs['word'])}")
+    model.fit(train, epochs=epochs, dev=dev, log=print)
+    model.save(out_dir)
+    size = sum(os.path.getsize(os.path.join(out_dir, f))
+               for f in os.listdir(out_dir))
+    print("saved", out_dir, "bytes:", size)
+
+
+if __name__ == "__main__":
+    main()
