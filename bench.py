@@ -21,6 +21,26 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _triad_gbs(mb: int = 256, reps: int = 3) -> float:
+    """Single-process memory-bandwidth probe (STREAM-triad-like): best GB/s
+    over ``reps`` passes of ``a = b + 0.5*c`` on ``mb``-MiB float64 arrays.
+    The shared box's hypervisor throttles per-vCPU bandwidth by up to ~15x
+    in waves (measured 0.5-7.5 GB/s across one afternoon); recording the
+    probe beside every timed region makes a noisy window visible in the
+    artifact instead of silently poisoning the numbers."""
+    import numpy as np
+
+    n = mb * 1024 * 1024 // 8
+    b, c = np.ones(n), np.ones(n)
+    a = b + 0.5 * c  # first touch outside the timed region
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.add(b, 0.5 * c, out=a)
+        best = min(best, time.perf_counter() - t0)
+    return round(3 * n * 8 / best / 1e9, 2)
+
+
 def _fresh_spark(cores: int):
     from pyspark.sql import SparkSession
 
@@ -88,18 +108,87 @@ def _jvm_control_elapsed(spark, n_rows: int) -> float:
     return time.time() - t0
 
 
+def _skew_join_bench(spark, n_rows: int | None = None,
+                     n_keys: int = 200_000) -> dict:
+    """Salted join vs naive shuffle join on a head-key-skewed input
+    (VERDICT r4 Next #7: turn the 100-TB skew story from argued to
+    measured).
+
+    Fixture: big side where ONE key ("python"-style head entity) carries
+    25% of all rows (id % 4 == 0 -> key 0) and the rest spread uniformly
+    over ``n_keys`` keys; small side one row per key, sized/configured as
+    non-broadcastable (autoBroadcastJoinThreshold=-1 emulates the
+    too-big-to-broadcast dictionary at bench scale). Three legs, same
+    logical join + aggregate:
+
+    * naive: plain shuffle join, AQE skew-join OFF — the hot key's rows
+      land on ONE reducer, whose task is the wall clock.
+    * salted: operators.link.salted_join — hot key spread over 32 salts.
+    * aqe: plain join with AQE skew-join ON — Spark's runtime skew split,
+      the documented backstop (session.py), for reference.
+
+    All legs pure JVM; min of 2 runs each after a warm run."""
+    from pyspark.sql import functions as F
+
+    from stackoverflowner_spark.operators.link import salted_join
+
+    n_rows = n_rows or int(os.environ.get("SPARK_GRAFT_SKEW_ROWS",
+                                          "48000000"))
+    big = spark.range(n_rows).select(
+        F.when(F.col("id") % 4 == 0, F.lit(0))
+         .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_keys)) + 1).alias("k"),
+        (F.col("id") % 1000).alias("v"))
+    small = spark.range(n_keys + 1).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("label"))
+
+    def timed(df) -> float:
+        best = float("inf")
+        for i in range(3):  # run 0 = warm (codegen JIT), min of the rest
+            t0 = time.time()
+            (df.groupBy("label").agg(F.sum("v").alias("s"))
+             .write.format("noop").mode("overwrite").save())
+            if i:
+                best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    saved = {k: spark.conf.get(k) for k in
+             ("spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.adaptive.skewJoin.enabled")}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        naive = timed(big.join(small, "k"))
+        salted = timed(salted_join(big, small, "k", n_salts=32))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        aqe = timed(big.join(small, "k"))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return {"rows": n_rows, "keys": n_keys, "hot_key_share": 0.25,
+            "naive_sec": naive, "salted_sec": salted, "aqe_sec": aqe,
+            "salted_speedup": round(naive / salted, 2)}
+
+
 _PINNED_SNIPPET = """
 import os, sys, time, json
 os.sched_setaffinity(0, set(range({cores})))
 sys.path.insert(0, {repo!r})
-from bench import _fresh_spark, _flagship_elapsed, _jvm_control_elapsed
+from bench import _fresh_spark, _flagship_elapsed, _jvm_control_elapsed, _triad_gbs
 spark = _fresh_spark({cores})
-e1, n = _flagship_elapsed(spark, {n_pages}, warmup=True, pages_path={pages_path!r})
-c1 = _jvm_control_elapsed(spark, {control_rows})
-e2, n = _flagship_elapsed(spark, {n_pages}, warmup=False, pages_path={pages_path!r})
-c2 = _jvm_control_elapsed(spark, {control_rows})
-print(json.dumps({{"elapsed": min(e1, e2), "triples": n,
-                   "control": min(c1, c2)}}))
+# steady state takes ~3 full-scale runs (JVM heap growth + page-cache fill +
+# codegen JIT measured 2.3x run1-vs-run3 on this box): one untimed full-scale
+# warm run after the small kernel warmup, then timed runs, min taken.
+_flagship_elapsed(spark, {n_pages}, warmup=True, pages_path={pages_path!r})
+es, cs = [], []
+for _ in range({runs}):
+    e, n = _flagship_elapsed(spark, {n_pages}, warmup=False, pages_path={pages_path!r})
+    es.append(e)
+    cs.append(_jvm_control_elapsed(spark, {control_rows}))
+print(json.dumps({{"elapsed": min(es), "triples": n, "control": min(cs),
+                   "runs": [round(e, 2) for e in es],
+                   "control_runs": [round(c, 2) for c in cs],
+                   "triad_gbs": _triad_gbs(64, 2)}}))
 """
 
 
@@ -109,19 +198,23 @@ _CONTROL_ROWS = int(os.environ.get("SPARK_GRAFT_CONTROL_ROWS", "4000000000"))
 def _pinned_flagship_sec(cores: int, n_pages: int,
                          pages_path: str | None = None,
                          rounds: int = 1,
-                         control_rows: int | None = None) -> tuple[float, float]:
-    """(flagship_sec, jvm_control_sec): min over ``rounds`` independent
-    pinned subprocesses (each itself the min of two warm runs, flagship and
-    control interleaved in the same session). The shared box shows
-    time-correlated noise up to ~2x between sessions; independent JVMs
-    minutes apart decorrelate it."""
+                         control_rows: int | None = None,
+                         runs: int = 2) -> tuple[float, float, dict]:
+    """(flagship_sec, jvm_control_sec, diag): min over ``rounds`` independent
+    pinned subprocesses, each the min of ``runs`` steady-state runs after a
+    full-scale untimed warm run (flagship and control interleaved in the
+    same session). The shared box shows time-correlated noise up to ~2x
+    between sessions; independent JVMs minutes apart decorrelate it. ``diag``
+    carries every per-run time plus the in-session bandwidth probe so a
+    throttled window is visible in the artifact."""
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
     snippet = _PINNED_SNIPPET.format(cores=cores, n_pages=n_pages, repo=repo,
-                                     pages_path=pages_path,
+                                     pages_path=pages_path, runs=runs,
                                      control_rows=control_rows or _CONTROL_ROWS)
     best = ctrl = None
+    diag = {"runs": [], "control_runs": [], "triad_gbs": []}
     for _ in range(rounds):
         out = subprocess.run(
             [sys.executable, "-c", snippet], capture_output=True, text=True,
@@ -129,9 +222,12 @@ def _pinned_flagship_sec(cores: int, n_pages: int,
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         parsed = json.loads(line)
         sec, csec = float(parsed["elapsed"]), float(parsed["control"])
+        diag["runs"] += parsed["runs"]
+        diag["control_runs"] += parsed["control_runs"]
+        diag["triad_gbs"].append(parsed["triad_gbs"])
         best = sec if best is None else min(best, sec)
         ctrl = csec if ctrl is None else min(ctrl, csec)
-    return best, ctrl
+    return best, ctrl, diag
 
 
 def main() -> None:
@@ -155,6 +251,7 @@ def main() -> None:
                 "conll_chunk_agg", "quality", "lang_id", "token_count",
                 "simhash"]
 
+    host = {"triad_gbs_start": _triad_gbs()}
     spark = _fresh_spark(CPUS)
     qtimes: dict[str, float] = {}
     qs = dict(entry.queries())
@@ -193,10 +290,12 @@ def main() -> None:
     # 3x on the flagship row; the scaling legs already run in fresh pinned
     # processes, so this aligns the in-session row with the same hygiene
     spark = _fresh_spark(CPUS)
-    # min of two timed runs (the pinned scaling legs already do this): the
-    # first large run pays one-off JVM heap growth + page-cache fill and
-    # measures bimodally 1.3-2.6x slower than steady state
-    e_a, n_triples = _flagship_elapsed(spark, n_pages, pages_path=pages_path)
+    # steady state takes ~3 full-scale runs (JVM heap growth + page-cache
+    # fill + codegen JIT measured 2.3x run1-vs-run3): first full run is the
+    # warm-in, then min of two timed runs
+    _flagship_elapsed(spark, n_pages, pages_path=pages_path)
+    e_a, n_triples = _flagship_elapsed(spark, n_pages, warmup=False,
+                                       pages_path=pages_path)
     e_b, _ = _flagship_elapsed(spark, n_pages, warmup=False,
                                pages_path=pages_path)
     big_elapsed = min(e_a, e_b)
@@ -210,6 +309,9 @@ def main() -> None:
                                        pages_path=pages_path,
                                        tagger=GazetteerTagger())
     qtimes["kg_pipeline_gazetteer"] = round(gaz_elapsed, 3)
+
+    skew = _skew_join_bench(spark)
+    host["triad_gbs_mid"] = _triad_gbs()
 
     # Scaling evidence: same job, same materialized input table, two
     # *CPU-pinned* parallelism levels. local[k] alone does not bound CPU for
@@ -245,11 +347,12 @@ def main() -> None:
         # The control is sized per pair (same rows on both sides — that is
         # what the ratio needs) so the low-core leg stays ~20 s, not minutes
         c_rows = max(_CONTROL_ROWS * lo_cores // 8, 500_000_000)
-        t_lo, c_lo = _pinned_flagship_sec(lo_cores, n_p, path, rounds=2,
-                                          control_rows=c_rows)
-        t_hi, c_hi = _pinned_flagship_sec(hi_cores, n_p, path, rounds=2,
-                                          control_rows=c_rows)
+        t_lo, c_lo, d_lo = _pinned_flagship_sec(lo_cores, n_p, path, rounds=2,
+                                                control_rows=c_rows)
+        t_hi, c_hi, d_hi = _pinned_flagship_sec(hi_cores, n_p, path, rounds=2,
+                                                control_rows=c_rows)
         pairs[f"{lo_cores}to{hi_cores}"] = {
+            "diag_lo": d_lo, "diag_hi": d_hi,
             "cores_lo": lo_cores, "cores_hi": hi_cores, "pages": n_p,
             "sec_lo": round(t_lo, 3), "sec_hi": round(t_hi, 3),
             "pages_per_sec_lo": round(n_p / t_lo, 1),
@@ -275,7 +378,9 @@ def main() -> None:
         "triples": n_triples,
         "triples_per_sec": round(n_triples / big_elapsed, 1),
         "pages_per_sec": round(n_pages / big_elapsed, 1),
+        "skew_join": skew,
         "scaling": {"efficiency": round(eff, 3), "pairs": pairs},
+        "host": {**host, "triad_gbs_end": _triad_gbs()},
     }
     print(json.dumps(result))
 

