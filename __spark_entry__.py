@@ -23,7 +23,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # parquet scan with no RDD probe and no in-plan Exchange — the plan a
     # properly-written table would get (VERDICT r3 "What's wrong" #2)
     from stackoverflowner_spark.sources.fixtures import read_fixture
-    return read_fixture(spark, sf_dir, name)
+    # documents/embeddings feed CPU-fanout consumers (shingle dedup, vector
+    # similarity): spread them even when the fixture file is tiny — byte
+    # size measures scan cost, not the ~50x per-row fanout downstream
+    return read_fixture(spark, sf_dir, name,
+                        fanout=name in ("documents", "embeddings"))
 
 
 # Money arithmetic in exact DECIMAL on both engines (VERDICT r4 #1): the

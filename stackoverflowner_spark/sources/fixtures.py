@@ -30,18 +30,27 @@ _CACHE_ROOT = os.environ.get("SOKG_FIXTURE_CACHE", "/tmp/sokg_fixture_cache")
 _SMALL_BYTES = 1_500_000
 
 
-def splittable_path(spark, path: str) -> str:
+def splittable_path(spark, path: str, fanout: bool = False) -> str:
     """Return ``path``, or a cached splittable rewrite of it.
 
     The rewrite keys on (absolute path, mtime, rows, parallelism) so a
     regenerated fixture or a different core count gets a fresh copy;
     concurrent processes race benignly (atomic rename, loser discards).
+
+    ``fanout=True`` bypasses the small-file short-circuit: byte size
+    measures SCAN cost, not downstream CPU. A consumer that multiplies
+    work per row — shingling fans out ~50x and MinHash hashes each
+    shingle k times; similarity ops do per-row vector math — needs the
+    input spread across the cluster even when the file is tiny (a 584 KB
+    documents fixture shingled on one task measured 6x slower than
+    spread). At 100 TB this stays a no-op like the rest of the module:
+    real tables are multi-row-group and split on their own.
     """
     try:
         sz = os.path.getsize(path)
     except OSError:
         return path  # directory-style table: already multi-file
-    if sz <= _SMALL_BYTES:
+    if sz <= _SMALL_BYTES and not fanout:
         return path
     try:
         import pyarrow.parquet as pq
@@ -67,6 +76,7 @@ def splittable_path(spark, path: str) -> str:
     return out
 
 
-def read_fixture(spark, sf_dir: str, name: str):
+def read_fixture(spark, sf_dir: str, name: str, fanout: bool = False):
     """Plain ``spark.read.parquet`` over a splittable path."""
-    return spark.read.parquet(splittable_path(spark, f"{sf_dir}/{name}.parquet"))
+    return spark.read.parquet(
+        splittable_path(spark, f"{sf_dir}/{name}.parquet", fanout=fanout))

@@ -78,3 +78,26 @@ def test_rewrite_is_cached_and_small_files_untouched(spark, one_group_file,
     # missing/dir paths come back untouched
     assert splittable_path(spark, str(tmp_path / "nope.parquet")) == \
         str(tmp_path / "nope.parquet")
+
+
+def test_fanout_spreads_small_files(spark, tmp_path):
+    """``fanout=True`` must spread even a tiny file: byte size measures
+    scan cost, not the ~50x per-row CPU of shingle/vector consumers (the
+    r5 bench regression — a 584 KB documents fixture shingled on ONE task
+    measured minhash 2.5 s -> 16 s). Plan shape stays Exchange-free."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    small = str(tmp_path / "docs.parquet")
+    n = 5000
+    pq.write_table(pa.table({"doc_id": list(range(n)),
+                             "text": [f"some body text {i}" for i in range(n)]}),
+                   small, row_group_size=n)
+    assert os.path.getsize(small) < 1_500_000
+    # default: untouched; fanout: rewritten and spread
+    assert splittable_path(spark, small) == small
+    df = spark.read.parquet(splittable_path(spark, small, fanout=True))
+    assert df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    assert df.count() == n
+    plan = (df.filter(F.col("doc_id") < 10)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan
