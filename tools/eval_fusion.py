@@ -70,9 +70,14 @@ def fusion_predict(sents, segs):
         ch = sentence_channels(w, md, gazs, ctcs, seg_ch, base_preds[i],
                                base2_preds[i])
         n = len(w)
-        enc = stacker.encode(ch, max(n, 1))
+        # clamp to the stacker's positional capacity; tokens past max_len
+        # (rare, long code dumps) get zero logits — fusion degrades to the
+        # pure perceptron scores there
+        L = min(max(n, 1), stacker.config["max_len"])
+        enc = stacker.encode(ch, L)
         batch = {k: v[None] for k, v in enc.items()}
-        logits = stacker.forward(batch)[0, :n].astype(np.float64)
+        logits = np.zeros((n, len(labels)))
+        logits[:L] = stacker.forward(batch)[0, :min(n, L)].astype(np.float64)
         preds.append(fused_decode(
             E_ref[i] + w2 * E_multi[i] + lam * logits, T, labels))
     return preds, [base_preds[i] for i in idxs], idxs, (w2, lam)

@@ -111,9 +111,12 @@ def dev_scores():
     for i in dev_idx:
         ch, _ = data[i]
         n = len(ch["word"])
-        enc = stacker.encode(ch, max(n, 1))
+        L = min(max(n, 1), stacker.config["max_len"])
+        enc = stacker.encode(ch, L)
         batch = {k: v[None] for k, v in enc.items()}
-        logits[i] = stacker.forward(batch)[0, :n].astype(np.float64)
+        lg = np.zeros((n, len(labels)))
+        lg[:L] = stacker.forward(batch)[0, :min(n, L)].astype(np.float64)
+        logits[i] = lg
 
     golds = {i: [t.tag for t in sents[i]] for i in dev_idx}
     return golds, E_ref, E_multi, logits, labels, T_ref, T_multi
