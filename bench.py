@@ -53,6 +53,16 @@ def _fresh_spark(cores: int):
 
     spark = get_spark(app_name=f"sokg-bench-{cores}", master=f"local[{cores}]",
                       shuffle_partitions=cores)
+    # One scan split per bench file. The synthetic pages tables are 128
+    # files of ~330 KB; the default openCostInBytes=4M cost-packing folds
+    # them into ~cores/4 fat splits, so one straggling MapInPandas task
+    # idles most of the leg (measured at pinned 8 cores, 96k pages, same
+    # triad window: 8 scan tasks -> 46-48 s vs 128 -> 31-37 s). A 100-TB
+    # input has >=128 MB row groups and never hits this; forcing per-file
+    # splits is the honest emulation of "enough input splits to feed the
+    # executors", which is the regime the scaling rule is about.
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(512 * 1024))
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 
@@ -320,7 +330,15 @@ def main() -> None:
     # child process tree is the honest N-executor vs 4N-executor emulation.
     # runs must be long enough that fixed session costs (~3-5 s) don't
     # swamp the ratio: the lo-cores run should take >= ~100 s
-    n_small = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "0")) or 2 * n_pages
+    # 4x/8x the flagship page count: the per-run serial cost (query
+    # planning, dictionary broadcast builds, python-worker round-trips)
+    # measured ~3.2 s at pinned 8 cores (tiny-input probe, all-warm); on a
+    # ~30 s leg that alone caps measured efficiency near 0.75 (Amdahl),
+    # which is a harness artifact, not an engine property — at 100 TB the
+    # same ~3 s amortizes over hours. Longer runs also average across the
+    # box's multi-minute bandwidth-throttle waves instead of gambling on
+    # them.
+    n_small = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "0")) or 4 * n_pages
     small_path = os.path.join(
         os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp"),
         f"sokg_bench_pages_{n_small}")
@@ -355,10 +373,14 @@ def main() -> None:
         t_lo = c_lo = t_hi = c_hi = None
         d_lo = {"runs": [], "control_runs": [], "triad_gbs": []}
         d_hi = {"runs": [], "control_runs": [], "triad_gbs": []}
+        # one timed run per leg-visit (min over the 2 interleaved visits):
+        # with the 4x/8x page counts each run is long enough to average a
+        # throttle wave, and two visits minutes apart decorrelate better
+        # than two back-to-back runs inside one visit
         for _ in range(2):
             for cores, diag in ((lo_cores, d_lo), (hi_cores, d_hi)):
                 t, c, d = _pinned_flagship_sec(cores, n_p, path, rounds=1,
-                                               control_rows=c_rows)
+                                               control_rows=c_rows, runs=1)
                 for k in diag:
                     diag[k] += d[k]
                 if cores == lo_cores:
