@@ -403,7 +403,21 @@ def main() -> None:
             "control_efficiency": round(
                 (c_lo / c_hi) / (hi_cores / lo_cores), 3),
         }
+        # control-normalized efficiency (VERDICT r4 Next #2): the control
+        # is a pure-JVM, zero-shuffle, embarrassingly-parallel codegen
+        # range-fold — on independent cluster nodes it scales ~1.0, so its
+        # sub-1.0 efficiency on this box measures the SHARED ceiling
+        # (memory bandwidth + the multi-minute throttle waves the triad
+        # probe documents), which N separate executors would not share.
+        # Dividing it out estimates the engine's own scaling net of the
+        # box; the raw number stays beside it, per the verdict.
+        p = pairs[f"{lo_cores}to{hi_cores}"]
+        if p["control_efficiency"] > 0:
+            p["efficiency_vs_control"] = round(
+                min(1.0, p["efficiency"] / p["control_efficiency"]), 3)
     eff = max(p["efficiency"] for p in pairs.values())
+    eff_norm = max(p.get("efficiency_vs_control", 0.0)
+                   for p in pairs.values())
 
     total = round(sum(qtimes.values()), 3)
     result = {
@@ -417,7 +431,9 @@ def main() -> None:
         "triples_per_sec": round(n_triples / big_elapsed, 1),
         "pages_per_sec": round(n_pages / big_elapsed, 1),
         "skew_join": skew,
-        "scaling": {"efficiency": round(eff, 3), "pairs": pairs},
+        "scaling": {"efficiency": round(eff, 3),
+                    "efficiency_vs_control": round(eff_norm, 3),
+                    "pairs": pairs},
         "host": {**host, "triad_gbs_end": _triad_gbs()},
     }
     print(json.dumps(result))
