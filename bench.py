@@ -300,15 +300,20 @@ def main() -> None:
     # 3x on the flagship row; the scaling legs already run in fresh pinned
     # processes, so this aligns the in-session row with the same hygiene
     spark = _fresh_spark(CPUS)
-    # steady state takes ~3 full-scale runs (JVM heap growth + page-cache
-    # fill + codegen JIT measured 2.3x run1-vs-run3): first full run is the
-    # warm-in, then min of two timed runs
+    # steady state takes ~4-5 full-scale runs at local[32] (measured run
+    # sequence in one session: 11.0/12.3/10.1/8.0/7.5 s — JVM heap growth
+    # + codegen JIT + page-cache fill; the r4 "~3 runs" estimate was low):
+    # two untimed full-scale warm runs, then min of three timed runs. The
+    # row estimates 100-TB steady throughput, where hours-long jobs never
+    # pay per-run JVM ramp; the ramp itself stays visible in the scaling
+    # diag rows, which keep every per-run time.
     _flagship_elapsed(spark, n_pages, pages_path=pages_path)
-    e_a, n_triples = _flagship_elapsed(spark, n_pages, warmup=False,
-                                       pages_path=pages_path)
-    e_b, _ = _flagship_elapsed(spark, n_pages, warmup=False,
-                               pages_path=pages_path)
-    big_elapsed = min(e_a, e_b)
+    _flagship_elapsed(spark, n_pages, warmup=False, pages_path=pages_path)
+    big_elapsed, n_triples = None, 0
+    for _ in range(3):
+        e, n_triples = _flagship_elapsed(spark, n_pages, warmup=False,
+                                         pages_path=pages_path)
+        big_elapsed = e if big_elapsed is None else min(big_elapsed, e)
     qtimes["kg_pipeline"] = round(big_elapsed, 3)
 
     # continuity row: same flagship with the zero-artifact gazetteer tagger
@@ -357,9 +362,14 @@ def main() -> None:
     # where the single box's memory bandwidth is not saturated; 8->32 is
     # additionally bounded by the box (pure-python and pure-JVM controls hit
     # the same wall — independent-executor clusters do not).
+    # SPARK_GRAFT_SKIP_SCALING=1 is a debug knob for iterating on the
+    # headline/flagship phases (~10 min vs ~60 with the pinned legs); the
+    # driver never sets it, so recorded rounds always carry the full legs.
+    pair_specs = ((2, 8, n_small, small_path), (8, CPUS, n_scale, scale_path))
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        pair_specs = ()
     pairs = {}
-    for lo_cores, hi_cores, n_p, path in (
-            (2, 8, n_small, small_path), (8, CPUS, n_scale, scale_path)):
+    for lo_cores, hi_cores, n_p, path in pair_specs:
         # same number of rounds on both sides of a pair: min-of-2 on only
         # one side would bias the speedup ratio even under symmetric noise.
         # The control is sized per pair (same rows on both sides — that is
@@ -415,9 +425,9 @@ def main() -> None:
         if p["control_efficiency"] > 0:
             p["efficiency_vs_control"] = round(
                 min(1.0, p["efficiency"] / p["control_efficiency"]), 3)
-    eff = max(p["efficiency"] for p in pairs.values())
-    eff_norm = max(p.get("efficiency_vs_control", 0.0)
-                   for p in pairs.values())
+    eff = max((p["efficiency"] for p in pairs.values()), default=0.0)
+    eff_norm = max((p.get("efficiency_vs_control", 0.0)
+                    for p in pairs.values()), default=0.0)
 
     total = round(sum(qtimes.values()), 3)
     result = {
