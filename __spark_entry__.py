@@ -710,6 +710,20 @@ def q_gopher_rules(spark, sf):
         F.col("keep").cast("long").alias("keep"))
 
 
+def q_decontam(spark, sf):
+    # Benchmark decontamination (operators/decontam.py): flag every train
+    # doc sharing a word 8-gram with the eval split (doc_id % 17 == 3) —
+    # the standard pre-training leakage guard. The benchmark gram set
+    # broadcasts; the corpus-side explode feeds a BroadcastHashJoin, so
+    # nothing corpus-sized shuffles.
+    from stackoverflowner_spark.operators.decontam import with_contamination
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 3)
+    train = docs.filter(F.col("doc_id") % 17 != 3)
+    return (with_contamination(train, bench, n=8)
+            .withColumn("contaminated", F.col("contaminated").cast("long")))
+
+
 def q_tpch_q4ish(spark, sf):
     from stackoverflowner_spark.relational import q4ish_late_orders
     return q4ish_late_orders(spark, sf)
@@ -886,7 +900,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_vocab": q_char_vocab,
         "tag_vocab": q_tag_vocab,
         "entity_rank": q_entity_rank,
-        "cap_feature": q_cap_feature,
+        # r5: cap_feature rotated to a pytest oracle gate
+        # (tests/test_decontam.py::test_cap_feature_oracle_still_green — a
+        # pure-projection lookup cousin of the surviving word_ids row)
+        # to free the slot for decontam, a new first-class operator.
+        "decontam": q_decontam,
         "ctc_dict_join": q_ctc_dict_join,
         "semi_join": q_semi_join,
         "salted_join": q_salted_join,
@@ -1271,6 +1289,35 @@ def oracle_sql() -> dict[str, str]:
                               row_number() over (order by freq desc, event_type asc) as rank
                        from c)
             select * from r where rank <= 5""",
+        "decontam": """
+            with toks as (
+              select doc_id,
+                     list_filter(list_transform(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> regexp_replace(x, '^[^a-z0-9]+|[^a-z0-9]+$',
+                                             '', 'g')),
+                         x -> x <> '') as t
+              from documents),
+            grams as (
+              select doc_id, array_to_string(t[i:i+7], ' ') as gram
+              from toks,
+                   unnest(generate_series(1, greatest(len(t)-7, 0))) as u(i)),
+            bench as (select distinct gram from grams where doc_id % 17 = 3),
+            train_tot as (
+              select doc_id, greatest(len(t)-7, 0) as total_ngrams
+              from toks where doc_id % 17 <> 3),
+            hits as (
+              select g.doc_id, count(distinct g.gram) as hit_ngrams
+              from grams g join bench b using (gram)
+              where g.doc_id % 17 <> 3
+              group by 1)
+            select t.doc_id, t.total_ngrams,
+                   coalesce(h.hit_ngrams, 0) as hit_ngrams,
+                   case when coalesce(h.hit_ngrams, 0) > 0 then 1 else 0 end
+                     as contaminated
+            from train_tot t left join hits h using (doc_id)""",
+        # cap_feature stays here for the pytest rotation gate even though
+        # the driver no longer drives it (run_all iterates queries()).
         "cap_feature": """
             with pw as (select unnest(string_split(p_name, ' ')) as word from part),
                  allw as (

@@ -259,7 +259,7 @@ def main() -> None:
     headline = ["tpch_q1", "nation_revenue", "vocab_mapping", "exact_dedup",
                 "minhash", "lsh_pairs", "lsh_pairs_fast", "embedding_topk",
                 "conll_chunk_agg", "quality", "lang_id", "token_count",
-                "simhash"]
+                "simhash", "decontam"]
 
     host = {"triad_gbs_start": _triad_gbs()}
     spark = _fresh_spark(CPUS)

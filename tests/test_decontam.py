@@ -1,0 +1,139 @@
+"""Benchmark decontamination: planted specimens, plan shape, and the
+strict driver-criterion oracle gate — plus the rotation gate keeping
+cap_feature (moved off the 50-entry driver surface in r5) green against
+its DuckDB oracle.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from stackoverflowner_spark.operators.decontam import (
+    benchmark_grams, decontaminate, with_contamination)
+from stackoverflowner_spark.session import get_spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(app_name="sokg-decontam", master="local[4]",
+                  shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BENCH_SENT = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-gram
+
+
+def test_planted_contamination_flagged(spark):
+    bench = _df(spark, [(100, BENCH_SENT)])
+    docs = _df(spark, [
+        # shares the full benchmark 8-gram mid-document -> contaminated
+        (1, "intro words then " + BENCH_SENT + " and a tail"),
+        # shares only 7 of the 8 tokens -> clean
+        (2, "alpha beta gamma delta epsilon zeta eta omega filler filler"),
+        # unrelated -> clean
+        (3, "totally unrelated text with enough words to form many grams"),
+    ])
+    out = {r.doc_id: r for r in
+           with_contamination(docs, bench, n=8).collect()}
+    assert out[1].contaminated and out[1].hit_ngrams == 1
+    assert not out[2].contaminated and out[2].hit_ngrams == 0
+    assert not out[3].contaminated
+    # total_ngrams is len-7 for docs with >= 8 tokens
+    assert out[2].total_ngrams == 3
+
+
+def test_normalization_case_and_punct(spark):
+    # benchmark text differs in case and trailing punctuation only
+    bench = _df(spark, [(100, "Alpha, beta; GAMMA delta (epsilon) "
+                              "zeta eta theta!")])
+    docs = _df(spark, [(1, "x " + BENCH_SENT + " y")])
+    out = with_contamination(docs, bench, n=8).collect()[0]
+    assert out.contaminated and out.hit_ngrams == 1
+
+
+def test_short_docs_never_flagged(spark):
+    bench = _df(spark, [(100, BENCH_SENT)])
+    docs = _df(spark, [(1, "alpha beta gamma"), (2, "")])
+    for r in with_contamination(docs, bench, n=8).collect():
+        assert r.total_ngrams == 0 and not r.contaminated
+
+
+def test_decontaminate_drops_exactly_the_flagged(spark):
+    bench = _df(spark, [(100, BENCH_SENT)])
+    docs = _df(spark, [
+        (1, "intro words then " + BENCH_SENT + " and a tail"),
+        (2, "clean document with enough distinct words to form plenty of "
+            "eight grams here"),
+    ])
+    kept = decontaminate(docs, bench, n=8)
+    assert [r.doc_id for r in kept.collect()] == [2]
+    assert kept.columns == docs.columns  # full schema preserved
+
+
+def test_benchmark_grams_distinct(spark):
+    # the same sentence twice must not duplicate the broadcast set
+    bench = _df(spark, [(1, BENCH_SENT), (2, BENCH_SENT)])
+    assert benchmark_grams(bench, n=8).count() == 1
+
+
+def test_no_corpus_shuffle_before_broadcast_join(spark):
+    """100-TB shape: the corpus-side explode must feed a BroadcastHashJoin
+    directly — no Exchange between the documents scan and the first join
+    (the only Exchanges allowed are the tiny hit-side aggregate's)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 17 == 3)
+    train = docs.filter(F.col("doc_id") % 17 != 3)
+    plan = (with_contamination(train, bench, n=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    # walk up from the corpus-side explode (Generate): no Exchange may sit
+    # between it and the BroadcastHashJoin above it
+    lines = plan.splitlines()
+    # the corpus-side explode reads the named _grams column; the benchmark
+    # side (whose eval-set-sized distinct Exchange is fine) inlines the
+    # transform expression instead
+    gen_idxs = [i for i, l in enumerate(lines)
+                if "Generate explode(_grams" in l]
+    assert gen_idxs, plan
+    for gi in gen_idxs:
+        above = lines[:gi][::-1]
+        for l in above:
+            if "BroadcastHashJoin" in l or "BroadcastExchange" in l:
+                break
+            assert "Exchange hashpartitioning" not in l, plan
+
+
+def test_driver_oracle_strict(spark):
+    """Reproduce the driver's bitwise criterion for the new entry."""
+    from tests.oracle_harness import run_all
+    res = run_all(spark, SF, only=["decontam"], strict=True)
+    assert res["decontam"] == [], res["decontam"]
+    # non-vacuous at this SF: some docs are actually contaminated
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    hit = (mod.q_decontam(spark, SF)
+           .filter(F.col("contaminated") == 1).count())
+    assert hit >= 1
+
+
+def test_cap_feature_oracle_still_green(spark):
+    """Rotation gate: cap_feature left the 50-entry driver surface in r5
+    (slot freed for decontam) but its query and oracle stay verified here
+    with the same compare the driver uses."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from tests.oracle_harness import compare, duck_con
+    sdf = mod.q_cap_feature(spark, SF).toPandas()
+    odf = duck_con(SF).execute(mod.oracle_sql()["cap_feature"]).df()
+    assert compare("cap_feature", sdf, odf, strict=True) == []
