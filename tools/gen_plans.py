@@ -63,6 +63,14 @@ a bucket equi-join on (band, block) — sum-of-bucket^2 candidates, never
 corpus^2 — and the popcount verify is JVM higher-order functions, no Python
 anywhere.
 """,
+    "decontam": """## 7. Benchmark decontamination (8-gram overlap)
+
+Checklist: the corpus-side `Generate explode` of the per-doc gram array
+feeds a `BroadcastHashJoin` directly — NO Exchange touches the exploded
+corpus stream (gated in tests/test_decontam.py). The only Exchanges are
+benchmark-sized (gram distinct) or hit-sized (per-doc countDistinct), and
+the hit counts come back to the corpus via a second broadcast join.
+""",
     "rank": """## 5. Two-pass word-mapping ids (partitioned_rank)
 
 Checklist: NO `Exchange SinglePartition` anywhere (the r02 scale flag) —
@@ -132,6 +140,13 @@ def main() -> None:
     assert "PythonUDF" not in sp_plan and "MapInPandas" not in sp_plan
     sections.append(HEADERS["simhash_pairs"] + "\n```\n"
                     + sp_plan[:4000] + "\n```\n")
+    from stackoverflowner_spark.operators.decontam import with_contamination
+    bench_docs = docs.filter(F.col("doc_id") % 17 == 3)
+    train_docs = docs.filter(F.col("doc_id") % 17 != 3)
+    dc_plan = formatted(with_contamination(train_docs, bench_docs, n=8))
+    assert "PythonUDF" not in dc_plan and "MapInPandas" not in dc_plan
+    sections.append(HEADERS["decontam"] + "\n```\n"
+                    + dc_plan[:4000] + "\n```\n")
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "PLANS.md")
