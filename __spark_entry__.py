@@ -272,6 +272,19 @@ def q_quality(spark, sf):
         "doc_id", "n_words", "alpha_ratio", "punct_ratio", "stopword_hits", "quality")
 
 
+def q_pii_scrub(spark, sf):
+    # perf-only bench row (not on the 50-entry driver surface): PII counts
+    # + sentinel scrub, pure columnar (operators/pii.py; cross-engine
+    # bitwise gate lives in tests/test_pii.py over planted specimens —
+    # the synthetic documents table contains no PII, so a driver oracle
+    # here would be vacuous)
+    from stackoverflowner_spark.operators.pii import scrub_pii, with_pii_counts
+    return (scrub_pii(with_pii_counts(_t(spark, sf, "documents")),
+                      out_col="scrubbed")
+            .select("doc_id", "pii_email", "pii_ipv4", "pii_phone",
+                    "pii_total", "scrubbed"))
+
+
 def q_lang_id(spark, sf):
     from stackoverflowner_spark.operators.textstats import with_lang_id
     return with_lang_id(_t(spark, sf, "documents")).select(

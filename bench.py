@@ -259,7 +259,7 @@ def main() -> None:
     headline = ["tpch_q1", "nation_revenue", "vocab_mapping", "exact_dedup",
                 "minhash", "lsh_pairs", "lsh_pairs_fast", "embedding_topk",
                 "conll_chunk_agg", "quality", "lang_id", "token_count",
-                "simhash", "decontam"]
+                "simhash", "decontam", "pii_scrub"]
 
     host = {"triad_gbs_start": _triad_gbs()}
     spark = _fresh_spark(CPUS)
@@ -270,7 +270,7 @@ def main() -> None:
     # benchmarked every round for round-over-round continuity —
     # lsh_pairs_fast is the documented 100-TB dedup path, lang_id and
     # token_count are the textstats headline rows
-    for extra in ("lsh_pairs_fast", "lang_id", "token_count"):
+    for extra in ("lsh_pairs_fast", "lang_id", "token_count", "pii_scrub"):
         qs[extra] = getattr(entry, f"q_{extra}")
     # warm the session before the timed loop: the first query otherwise
     # absorbs JVM heap growth, codegen JIT, and the one-time splittable
