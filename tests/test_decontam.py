@@ -124,16 +124,18 @@ def test_driver_oracle_strict(spark):
     assert hit >= 1
 
 
-def test_cap_feature_oracle_still_green(spark):
-    """Rotation gate: cap_feature left the 50-entry driver surface in r5
-    (slot freed for decontam) but its query and oracle stay verified here
-    with the same compare the driver uses."""
+@pytest.mark.parametrize("name", ["cap_feature", "union_distinct"])
+def test_rotated_entries_still_green(spark, name):
+    """Rotation gates: entries that left the 50-entry driver surface
+    (cap_feature in r5 — slot freed for decontam; union_distinct in r4)
+    keep their query + oracle verified here with the same strict compare
+    the driver uses."""
     import importlib.util
     spec = importlib.util.spec_from_file_location(
         "entrymod", "/root/repo/__spark_entry__.py")
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     from tests.oracle_harness import compare, duck_con
-    sdf = mod.q_cap_feature(spark, SF).toPandas()
-    odf = duck_con(SF).execute(mod.oracle_sql()["cap_feature"]).df()
-    assert compare("cap_feature", sdf, odf, strict=True) == []
+    sdf = getattr(mod, f"q_{name}")(spark, SF).toPandas()
+    odf = duck_con(SF).execute(mod.oracle_sql()[name]).df()
+    assert compare(name, sdf, odf, strict=True) == []
