@@ -124,12 +124,18 @@ def test_driver_oracle_strict(spark):
     assert hit >= 1
 
 
-@pytest.mark.parametrize("name", ["cap_feature", "union_distinct"])
+@pytest.mark.parametrize("name", [
+    # every entry ever rotated off the 50-entry driver surface that still
+    # carries a DuckDB oracle (r4 cuts + cap_feature in r5): none of them
+    # is allowed to silently rot
+    "cap_feature", "union_distinct", "lang_id", "token_count",
+    "fingerprint", "hash_sample", "ivf_assign", "multimodal_meta",
+    "tpch_q6"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
-    (cap_feature in r5 — slot freed for decontam; union_distinct in r4)
-    keep their query + oracle verified here with the same strict compare
-    the driver uses."""
+    (cap_feature in r5 — slot freed for decontam; the rest in r4) keep
+    their query + oracle verified here with the same strict compare the
+    driver uses."""
     import importlib.util
     spec = importlib.util.spec_from_file_location(
         "entrymod", "/root/repo/__spark_entry__.py")
