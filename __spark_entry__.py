@@ -201,6 +201,48 @@ def q_word_ids(spark, sf):
             .select("word", F.coalesce("word_id", F.lit(0)).alias("word_id")))
 
 
+# doc_consistency seed rule: deterministic, occurrence-dependent initial
+# tags so the propagation is non-vacuous AND the majority/tie logic is
+# exercised — a seed fires on every 3rd position; its type alternates with
+# position parity, so per (url, token) the vote counts can agree, conflict
+# with a winner, or tie (ties must NOT propagate). Tokens are capitalized
+# (the documents fixture is all-lowercase) so the name-shape gate passes.
+_CONSIST_SEED = {
+    "window": "User_Interface_Element", "table": "Data_Structure",
+    "spark": "Application", "vector": "Data_Structure", "hash": "Algorithm",
+}
+
+
+def q_doc_consistency(spark, sf):
+    # §2.8/M9-counterpart: document-level label-consistency propagation
+    # (operators/consistency.py propagate_labels — the declarative twin of
+    # the kernel pass the fused hot path runs per page). Output = the
+    # propagated mentions only: O positions that inherited an in-document
+    # untied majority label.
+    from stackoverflowner_spark.operators.consistency import propagate_labels
+    docs = _t(spark, sf, "documents")
+    toks = (docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.posexplode(F.split("text", " ")).alias("pos", "token0"))
+        .filter(F.col("token0") != ""))
+    cap = F.concat(F.upper(F.substring("token0", 1, 1)),
+                   F.expr("substring(token0, 2)"))
+    seed_type = F.when(F.col("pos") % 2 == 0, F.create_map(
+        *[F.lit(x) for kv in _CONSIST_SEED.items() for x in kv]
+    )[F.col("token0")]).otherwise(F.lit("Library"))
+    tag = F.when(F.col("token0").isin(*_CONSIST_SEED.keys())
+                 & (F.col("pos") % 3 == 0),
+                 F.concat(F.lit("B-"), seed_type)).otherwise(F.lit("O"))
+    tokens = toks.select(
+        "url", (F.col("pos") / 10).cast("int").alias("sent_idx"),
+        F.col("pos").cast("int").alias("pos"), cap.alias("token"),
+        tag.alias("tag"), tag.alias("orig_tag"))
+    out = propagate_labels(tokens)
+    return (out.filter((F.col("orig_tag") == "O") & (F.col("tag") != "O"))
+            .select("url", F.col("pos").cast("long").alias("pos"), "token",
+                    F.expr("substring(tag, 3)").alias("tag_type")))
+
+
 def q_exact_dedup(spark, sf):
     from stackoverflowner_spark.operators.dedup import exact_dedup
     return exact_dedup(_t(spark, sf, "documents"))
@@ -923,7 +965,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "window_top3": q_window_top3,
         "lag_gap": q_lag_gap,
-        "word_ids": q_word_ids,
+        # r5b: word_ids rotated to a pytest oracle gate
+        # (tests/test_decontam.py rotation list — a vocab-lookup join
+        # cousin of the surviving ctc_dict_join + vocab_mapping rows) to
+        # free the slot for doc_consistency, the document-level
+        # label-consistency operator the flagship pipeline now ships.
+        "doc_consistency": q_doc_consistency,
         "exact_dedup": q_exact_dedup,
         "minhash": q_minhash,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1376,6 +1423,60 @@ def oracle_sql() -> dict[str, str]:
                                                         order by ts, event_id) as gap_us
                        from events)
             select user_id, event_id, gap_us from r where gap_us is not null""",
+        "doc_consistency": """
+            with base as (
+                select 'doc://' || doc_id as url,
+                       string_split(text, ' ') as l
+                from documents),
+            toks0 as (
+                -- parallel unnest zips in DuckDB: token with its 0-based
+                -- position (posexplode twin)
+                select url, unnest(l) as token0,
+                       cast(unnest(range(len(l))) as int) as pos
+                from base),
+            toks as (select * from toks0 where token0 <> ''),
+            tagged as (
+                select url, pos, cast(pos / 10 as int) as sent_idx,
+                       upper(substr(token0, 1, 1)) || substr(token0, 2) as token,
+                       case when token0 in ('window','table','spark','vector','hash')
+                                 and pos % 3 = 0
+                            then 'B-' || case when pos % 2 = 0 then
+                                     case token0
+                                          when 'window' then 'User_Interface_Element'
+                                          when 'table' then 'Data_Structure'
+                                          when 'spark' then 'Application'
+                                          when 'vector' then 'Data_Structure'
+                                          when 'hash' then 'Algorithm' end
+                                 else 'Library' end
+                            else 'O' end as tag
+                from toks),
+            singles as (
+                select url, token, substr(tag, 3) as tag_type
+                from (select *, lead(tag) over (partition by url, sent_idx
+                                                order by pos) as nxt
+                      from tagged)
+                where tag like 'B-%'
+                  and (nxt is null or nxt not like 'I-%')
+                  and length(token) >= 2
+                  and regexp_matches(token, '[\\p{L}\\p{Nd}]')
+                  and regexp_matches(token, '[\\p{Lu}\\p{Nd}._/-]')),
+            votes as (
+                select url, token, tag_type, count(*) as votes
+                from singles group by 1, 2, 3),
+            v1 as (
+                select *, max(votes) over (partition by url, token) as top
+                from votes),
+            v2 as (
+                select *, sum(case when votes = top then 1 else 0 end)
+                          over (partition by url, token) as n_top
+                from v1),
+            labels as (
+                select url, token, tag_type from v2
+                where votes = top and n_top = 1 and votes >= 1)
+            select t.url, cast(t.pos as bigint) as pos, t.token, l.tag_type
+            from tagged t join labels l
+              on t.url = l.url and t.token = l.token
+            where t.tag = 'O'""",
         "word_ids": """
             with words as (select unnest(string_split(lower(text), ' ')) as word
                            from documents),

@@ -64,3 +64,43 @@ def parse_gold_lines(lines: Iterable[str], merge_tags: bool = True,
         if not _drop_sentence(joined):
             sentences.append(sentence)
     return sentences
+
+
+def document_keys(lines: Iterable[str]) -> List[str]:
+    """One document key per ``parse_gold_lines`` sentence, in order.
+
+    The corpora mark document boundaries with header sentences: the SO
+    splits open each question with a ``Question_ID :`` header (dropped by
+    the parser, loader_so.py:107-128), the GitHub split opens each issue
+    event with a kept ``Repository_Name : <owner/repo>`` sentence. SO
+    sentences get the question id as key; GH sentences get the repository
+    string, so every comment of one thread shares a document — the scope
+    the label-consistency post-pass (kernel/docconsist.py) propagates over.
+    """
+    keys: List[str] = []
+    current = "doc0"
+    sentence: List[str] = []
+
+    def _flush() -> None:
+        nonlocal current, sentence
+        if not sentence:
+            return
+        joined = " ".join(sentence)
+        if joined.startswith("Question_ID :"):
+            current = "q:" + joined.split(":", 1)[1].strip()
+        elif joined.startswith("Repository_Name :"):
+            current = "r:" + joined.split(":", 1)[1].strip()
+        if not _drop_sentence(joined):
+            keys.append(current)
+        sentence = []
+
+    for line in lines:
+        if line.strip() == "":
+            _flush()
+            continue
+        vals = line.strip().split()
+        if len(vals) < 4:
+            continue
+        sentence.append(" ".join(vals[0].split("-----")))
+    _flush()
+    return keys

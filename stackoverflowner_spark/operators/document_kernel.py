@@ -200,7 +200,8 @@ def _tagger_broadcast(spark, tagger):
 
 
 def pages_to_mentions_fused(pages: DataFrame, tagger,
-                            lang_filter: str | None = "en") -> DataFrame:
+                            lang_filter: str | None = "en",
+                            doc_consistency: bool = False) -> DataFrame:
     """Single-pass hot path: pages -> mentions in ONE mapInPandas.
 
     Same logical result as extract_stage |> sentences_stage |> mentions_stage
@@ -208,6 +209,13 @@ def pages_to_mentions_fused(pages: DataFrame, tagger,
     the kernel chain is store-and-forward per batch, so every extra hop adds
     a serialization round trip plus a Python worker in the task pipeline.
     The modular stages remain the checkpointed path (plans/pipeline.py).
+
+    ``doc_consistency=True`` runs the document-level label-consistency
+    post-pass (kernel/docconsist.py) on each page's tagged sentences before
+    chunk extraction — a page IS the document and every page row is whole
+    inside its Arrow batch, so the pass costs zero shuffle. Off by default
+    here (the raw fused kernel stays bitwise-equal to the modular stage
+    chain); KGPipeline enables it on both of its paths.
     """
     if lang_filter:
         pages = pages.filter(F.col("lang") == lang_filter)
@@ -249,6 +257,19 @@ def pages_to_mentions_fused(pages: DataFrame, tagger,
                 all_tags = batch_tag([(toks, mds) for _, _, toks, mds in sents])
             else:
                 all_tags = [tagger.tag(toks, mds) for _, _, toks, mds in sents]
+            # phase 2b (opt-in): per-document label-consistency — sentences
+            # of one page are contiguous in `sents`, so group runs suffice
+            if doc_consistency and sents:
+                from ..kernel.docconsist import doc_postpass
+                all_tags = list(all_tags)
+                i = 0
+                while i < len(sents):
+                    j = i
+                    while j < len(sents) and sents[j][0] == sents[i][0]:
+                        j += 1
+                    all_tags[i:j] = doc_postpass(
+                        [s[2] for s in sents[i:j]], all_tags[i:j])
+                    i = j
             # phase 3: chunk extraction
             out = []
             for (url, sent_idx, tokens, _mds), tags in zip(sents, all_tags):

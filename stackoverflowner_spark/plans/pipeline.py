@@ -80,23 +80,38 @@ class KGPipeline:
     def __init__(self, spark: SparkSession, out_root: str,
                  n_buckets: int = 16, tagger: Optional[Tagger] = None,
                  lang_filter: Optional[str] = "en",
-                 link_strategy: str = "broadcast"):
+                 link_strategy: str = "broadcast",
+                 doc_consistency: bool = True):
         self.spark = spark
         self.out_root = out_root
         self.n_buckets = n_buckets
         self.tagger = tagger or default_tagger()
         self.lang_filter = lang_filter
         self.link_strategy = link_strategy
+        # document-level label-consistency post-pass (kernel/docconsist.py):
+        # in-kernel on the fused path (zero shuffle), declarative
+        # propagate_mentions on the modular path — same result, gated in
+        # tests/test_consistency.py
+        self.doc_consistency = doc_consistency
         self.dictionary = dictionary_df(spark)
         self.lineage = Lineage(out_root)
 
     # ------------------------------------------------------------------ #
 
+    def _mentions_stage(self, sentences: DataFrame) -> DataFrame:
+        m = dk.mentions_stage(sentences, self.tagger)
+        if self.doc_consistency:
+            from ..operators.consistency import propagate_mentions
+            toks = dk.tokens_long(sentences).select(
+                "url", "sent_idx", F.col("tok_idx").alias("pos"), "token")
+            m = propagate_mentions(m, toks)
+        return m
+
     def _stage_fns(self) -> List[tuple]:
         return [
             ("extracted", lambda df: dk.extract_stage(df, self.lang_filter)),
             ("sentences", dk.sentences_stage),
-            ("mentions", lambda df: dk.mentions_stage(df, self.tagger)),
+            ("mentions", self._mentions_stage),
             ("linked", lambda df: link(df, self.dictionary, self.link_strategy)),
             ("triples", lambda df: triples_from_linked(df, n_buckets=self.n_buckets)),
         ]
@@ -105,7 +120,9 @@ class KGPipeline:
         """One Arrow crossing for the whole document kernel, then broadcast
         link + triple dedup. Logical result identical to the modular stage
         chain (asserted in tests/test_spark_pipeline.py)."""
-        mentions = dk.pages_to_mentions_fused(pages, self.tagger, self.lang_filter)
+        mentions = dk.pages_to_mentions_fused(
+            pages, self.tagger, self.lang_filter,
+            doc_consistency=self.doc_consistency)
         linked = link(mentions, self.dictionary, self.link_strategy)
         return triples_from_linked(linked, n_buckets=self.n_buckets)
 

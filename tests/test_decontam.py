@@ -126,9 +126,9 @@ def test_driver_oracle_strict(spark):
 
 @pytest.mark.parametrize("name", [
     # every entry ever rotated off the 50-entry driver surface that still
-    # carries a DuckDB oracle (r4 cuts + cap_feature in r5): none of them
-    # is allowed to silently rot
-    "cap_feature", "union_distinct", "lang_id", "token_count",
+    # carries a DuckDB oracle (r4 cuts + cap_feature/word_ids in r5):
+    # none of them is allowed to silently rot
+    "cap_feature", "word_ids", "union_distinct", "lang_id", "token_count",
     "fingerprint", "hash_sample", "ivf_assign", "multimodal_meta",
     "tpch_q6"])
 def test_rotated_entries_still_green(spark, name):

@@ -333,7 +333,10 @@ def test_shipped_artifact_f1_floors():
 
     default = default_tagger()
     assert isinstance(default, PerceptronTagger)
-    assert _eval_artifact(default, SO_TEST) > 55          # measured 59.2
+    # r5b retrain (+@-handle aug): measured 59.90 sentence-level; the
+    # shipped pipeline's doc-consistency post-pass adds +0.14 on top
+    # (60.04, tools/eval_final.py) but this gate stays sentence-level
+    assert _eval_artifact(default, SO_TEST) > 57
     art = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "stackoverflowner_spark", "artifacts",
         "viterbi_twopass_ref.pkl.gz")
@@ -403,6 +406,28 @@ def test_github_ood_domain_transfer():
         [([t.word for t in s], [t.md_label for t in s]) for s in sents])
     rep = evaluate_sentences(golds, preds)["__overall__"]
     assert rep["truth"] > 1000          # the gold set carries real entities
-    assert rep["f1"] > 42               # measured 46.4 (r5); target >= 32
+    # r5b: 46.50 sentence-level with the @-handle-augmented retrain;
+    # 47.31 with the shipped doc-consistency post-pass (tools/eval_final.py)
+    assert rep["f1"] > 43
     print(f"GH OOD: P={rep['precision']:.1f} R={rep['recall']:.1f} "
           f"F1={rep['f1']:.1f} (truth={rep['truth']})")
+    # the shipped pipeline applies the document-level consistency pass
+    # (kernel/docconsist.py) — grouped by repository thread it must help,
+    # not hurt, on the OOD split (mechanism: thread-repeated project names)
+    from stackoverflowner_spark.kernel.docconsist import doc_postpass
+    from stackoverflowner_spark.kernel.goldload import document_keys
+    keys = document_keys(open(GH_GOLD).read().splitlines())
+    assert len(keys) == len(sents)
+    docs: dict = {}
+    for i, k in enumerate(keys):
+        docs.setdefault(k, []).append(i)
+    toks = [[t.word for t in s] for s in sents]
+    tags = [list(p) for p in preds]
+    for idxs in docs.values():
+        new = doc_postpass([toks[i] for i in idxs], [tags[i] for i in idxs])
+        for i, t in zip(idxs, new):
+            tags[i] = t
+    rep2 = evaluate_sentences(golds, tags)["__overall__"]
+    assert rep2["f1"] > rep["f1"]       # measured 46.50 -> 47.31
+    assert rep2["recall"] > rep["recall"]  # 41.38 -> 43.44
+    print(f"GH OOD +docpass: F1={rep2['f1']:.1f} R={rep2['recall']:.1f}")

@@ -124,8 +124,13 @@ def test_checkpoint_resume_no_recompute(spark, pages, tmp_path):
     pipe2 = KGPipeline(spark, root, n_buckets=4)
     path = pipe2.run_checkpointed(pages)
     tri = spark.read.parquet(path)
+    # doc_consistency=True mirrors the pipeline default: the checkpointed
+    # path ran the declarative propagate_mentions, the fused twin runs the
+    # kernel pass — this equality IS the kernel-vs-declarative parity gate
+    # on the full synthetic corpus with the learned default tagger
     fused = triples_from_linked(
-        link_broadcast(dk.pages_to_mentions_fused(pages, pipe2.tagger),
+        link_broadcast(dk.pages_to_mentions_fused(pages, pipe2.tagger,
+                                                  doc_consistency=True),
                        pipe2.dictionary), n_buckets=4)
     a = set(map(tuple, tri.select("subj", "pred", "obj", "url").collect()))
     b = set(map(tuple, fused.select("subj", "pred", "obj", "url").collect()))

@@ -93,6 +93,58 @@ def placeholder_aug_lines(sentences, n_aug: int = 600,
     return out
 
 
+# @-handle augmentation (r5 GH error map: User_Name recall 4.9 — 55 of 182
+# GH User_Name truths are @-handles; SO train attests the convention in only
+# 14 of 108 User_Name examples, so the model is data-starved on the shape).
+# Generated handles are LOWERCASE (letters, optional digits) so the case
+# signal keeps @Override-style Java annotations (B-Library_Class, 35 in SO
+# train) separable; each literal handle appears ~once so the correction
+# rides the @-prefix char-gram/shape features, not token identity.
+HANDLE_WORDS = [
+    "alex", "sam", "chris", "dev", "max", "code", "jan", "pat", "lee",
+    "kim", "joe", "ben", "tom", "ana", "eva", "leo", "mia", "ray", "roy",
+    "amy", "ned", "gil", "ivy", "sky", "fox", "owl", "elm", "ash", "oak",
+]
+
+
+def handle_aug_lines(sentences, n_aug: int = 300,
+                     seed: int = 20260818) -> list:
+    """Gold-format lines for ``n_aug`` @-mention augmentation sentences:
+    half prefix a real sentence with a B-User_Name @handle (the GH comment
+    opener shape: "@petergoldstein Thanks for ..."), half replace an
+    existing single-token User_Name mention in place."""
+    import random
+
+    rng = random.Random(seed)
+    from stackoverflowner_spark.kernel.conlleval import extract_chunks
+
+    # sentences holding a single-token User_Name chunk = replacement sites
+    sites = []
+    for si, sent in enumerate(sentences):
+        tags = [t.tag for t in sent]
+        for typ, a, b in extract_chunks(tags):
+            if typ == "User_Name" and b - a == 1:
+                sites.append((si, a))
+    out = []
+    for j in range(n_aug):
+        handle = "@" + "".join(rng.sample(HANDLE_WORDS, rng.randint(1, 2)))
+        if rng.random() < 0.4:
+            handle += str(rng.randrange(100))
+        if j % 2 == 0 or not sites:
+            sent = sentences[rng.randrange(len(sentences))]
+            toks = [(handle, "B-User_Name", "O")] + \
+                [(t.word, t.tag, t.md_label) for t in sent]
+        else:
+            si, a = sites[rng.randrange(len(sites))]
+            toks = [(t.word, t.tag, t.md_label) for t in sentences[si]]
+            toks[a] = (handle, "B-User_Name", toks[a][2])
+        for w, g, m in toks:
+            ww = w.replace(" ", "-----")
+            out.append(f"{ww}\t{g}\t{ww}\t{m}\n")
+        out.append("\n")
+    return out
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else ART_DIR
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 6
@@ -113,6 +165,11 @@ def main() -> None:
     with open(gold_aug, "w") as f:
         f.write(open(gold).read())
         f.writelines(placeholder_aug_lines(parsed))
+        # @-handle User_Name augmentation, dev-gated at n_aug=100
+        # (tools/tune_handles.py: overall dev F1 +0.25 alone, +0.60
+        # combined with the doc-consistency pass; n_aug=300 regressed
+        # -0.66 and was rejected)
+        f.writelines(handle_aug_lines(parsed, n_aug=100))
     for name, seg_mode, gold_path in (
             ("viterbi_ctc_seg.pkl.gz", "multi", gold_aug),
             ("viterbi_twopass_ref.pkl.gz", "ref", gold)):
