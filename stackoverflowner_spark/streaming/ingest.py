@@ -102,14 +102,24 @@ def windowed_mention_counts(pages_stream: DataFrame, tagger=None,
 
 
 def start_triples_stream(spark: SparkSession, pages_dir: str, out_dir: str,
-                         checkpoint_dir: str, tagger=None):
+                         checkpoint_dir: str, tagger=None,
+                         doc_consistency: bool = False):
     """pages stream -> triples parquet via foreachBatch (exactly-once per
-    batch through the streaming checkpoint + idempotent batch dedup)."""
+    batch through the streaming checkpoint + idempotent batch dedup).
+
+    ``doc_consistency`` threads the document-level label-consistency pass
+    (kernel/docconsist.py) into the fused kernel; it is per-PAGE state, and
+    a page row is always whole within its micro-batch, so the streaming
+    result stays identical to the batch run at the same flag (gated in
+    tests/test_streaming_consistency.py). Default off to match the plain
+    fused kernel; KGPipeline's batch default is on.
+    """
     dictionary = dictionary_df(spark)
     tagger = tagger or GazetteerTagger()
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        mentions = pages_to_mentions_fused(batch_df, tagger)
+        mentions = pages_to_mentions_fused(batch_df, tagger,
+                                           doc_consistency=doc_consistency)
         triples = triples_from_linked(link(mentions, dictionary))
         (triples.withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(out_dir))
