@@ -183,6 +183,25 @@ def q_lag_gap(spark, sf):
             .select("user_id", "event_id", "gap_us"))
 
 
+def q_sessionize(spark, sf):
+    # gap-based sessionization rollup (operators/sessions.py): the lag_gap
+    # window extended to session assignment + per-session aggregates — one
+    # shuffle on user_id, the rollup reuses the window partitioning.
+    from stackoverflowner_spark.operators.sessions import session_stats
+    ev = _t(spark, sf, "events")
+    return session_stats(ev).select(
+        "user_id", "session_seq", "n_events", "start_us", "end_us")
+
+
+def q_domain_cap(spark, sf):
+    # per-domain cap (operators/sampling.py): keep the 10 longest docs per
+    # source via the skew-proof two-stage salted rank; ranks proven equal
+    # to the plain per-domain row_number the oracle computes.
+    from stackoverflowner_spark.operators.sampling import domain_cap
+    docs = _t(spark, sf, "documents")
+    return domain_cap(docs, n=10).withColumn("rk", F.col("rk").cast("long"))
+
+
 def q_word_ids(spark, sf):
     # J6: word -> id lookup against the create_mapping vocabulary with <UNK>
     # fallback (loader_so.py:480-495); pruned vocab per A3.
@@ -963,8 +982,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ctc_dict_join": q_ctc_dict_join,
         "semi_join": q_semi_join,
         "salted_join": q_salted_join,
-        "window_top3": q_window_top3,
-        "lag_gap": q_lag_gap,
+        # r5c: window_top3 and lag_gap rotated to the pytest oracle gate
+        # (tests/test_decontam.py rotation list) — each is a strict
+        # sub-shape of its replacement: sessionize builds on the exact
+        # lag_gap window, domain_cap on window_top3's per-group
+        # row_number top-N (salted two-stage for head-domain skew).
+        "sessionize": q_sessionize,
+        "domain_cap": q_domain_cap,
         # r5b: word_ids rotated to a pytest oracle gate
         # (tests/test_decontam.py rotation list — a vocab-lookup join
         # cousin of the surviving ctc_dict_join + vocab_mapping rows) to
@@ -1423,6 +1447,30 @@ def oracle_sql() -> dict[str, str]:
                                                         order by ts, event_id) as gap_us
                        from events)
             select user_id, event_id, gap_us from r where gap_us is not null""",
+        "sessionize": """
+            with g as (select user_id, event_id, epoch_us(ts) as us,
+                              epoch_us(ts) - lag(epoch_us(ts))
+                                over (partition by user_id
+                                      order by ts, event_id) as gap
+                       from events),
+            s as (select user_id, event_id, us,
+                         cast(sum(case when gap is null
+                                         or gap > 21600000000 then 1
+                                       else 0 end)
+                                over (partition by user_id
+                                      order by us, event_id) as bigint)
+                           as session_seq
+                  from g)
+            select user_id, session_seq, count(*) as n_events,
+                   min(us) as start_us, max(us) as end_us
+            from s group by user_id, session_seq""",
+        "domain_cap": """
+            with r as (select doc_id, source,
+                              row_number() over (partition by source
+                                                 order by n_chars desc,
+                                                          doc_id asc) as rk
+                       from documents)
+            select doc_id, source, rk from r where rk <= 10""",
         "doc_consistency": """
             with base as (
                 select 'doc://' || doc_id as url,

@@ -270,7 +270,8 @@ def main() -> None:
     # benchmarked every round for round-over-round continuity —
     # lsh_pairs_fast is the documented 100-TB dedup path, lang_id and
     # token_count are the textstats headline rows
-    for extra in ("lsh_pairs_fast", "lang_id", "token_count", "pii_scrub"):
+    for extra in ("lsh_pairs_fast", "lang_id", "token_count", "pii_scrub",
+                  "sessionize", "domain_cap"):
         qs[extra] = getattr(entry, f"q_{extra}")
     # warm the session before the timed loop: the first query otherwise
     # absorbs JVM heap growth, codegen JIT, and the one-time splittable

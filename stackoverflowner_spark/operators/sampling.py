@@ -57,6 +57,42 @@ def split_counts(df: DataFrame, weights: List[Tuple[str, float]],
             .groupBy("split").agg(F.count("*").alias("n")))
 
 
+def domain_cap(df: DataFrame, n: int, domain_col: str = "source",
+               order_col: str = "n_chars", id_col: str = "doc_id",
+               salt_buckets: int = 8) -> DataFrame:
+    """Keep at most ``n`` rows per domain, best-first — the per-domain cap
+    every web-corpus recipe applies so one crawl-heavy host can't dominate
+    the training mix (C4/RefinedWeb-style curation; complements the
+    corpus-wide ``hash_sample``).
+
+    Ordering is (``order_col`` DESC, ``id_col`` ASC) — the id tie-break
+    makes the kept set a pure function of the data, so backfills and task
+    retries keep identical rows (same contract as ``hash_split``).
+
+    Skew is the 100-TB concern: a plain per-domain ``row_number`` window
+    puts EVERY row of the head domain in one task. Instead the cap runs in
+    two stages — (1) rank within (domain, xxhash64(id) % salt_buckets) and
+    keep n per salted group, bounding any task at ~1/salt_buckets of the
+    head domain; (2) re-rank the survivors per domain, now at most
+    salt_buckets*n rows each. Stage 2's ranks equal the unsalted global
+    ranks because the ordering key is total and stage 1 can only drop rows
+    that rank below n within a *subset* of their domain (hence below n in
+    the full domain). Returns (id_col, domain_col, rk).
+    """
+    from pyspark.sql import Window
+
+    order = [F.desc(order_col), F.asc(id_col)]
+    w1 = Window.partitionBy(domain_col, "_salt").orderBy(*order)
+    w2 = Window.partitionBy(domain_col).orderBy(*order)
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)))
+    stage1 = (salted.withColumn("_rk", F.row_number().over(w1))
+              .filter(F.col("_rk") <= n).drop("_rk"))
+    return (stage1.withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= n)
+            .select(id_col, domain_col, "rk"))
+
+
 def dedup_clusters(pairs: DataFrame, ids: DataFrame,
                    id_col: str = "doc_id") -> DataFrame:
     """Near-duplicate pairs -> clusters -> canonical keeper per cluster.

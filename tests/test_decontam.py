@@ -130,7 +130,10 @@ def test_driver_oracle_strict(spark):
     # none of them is allowed to silently rot
     "cap_feature", "word_ids", "union_distinct", "lang_id", "token_count",
     "fingerprint", "hash_sample", "ivf_assign", "multimodal_meta",
-    "tpch_q6"])
+    "tpch_q6",
+    # r5c: slots freed for sessionize / domain_cap (their strict
+    # window-shape sub-cases)
+    "window_top3", "lag_gap"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep
