@@ -54,30 +54,36 @@ def name_like(surface: str) -> bool:
 def collect_votes(sent_tokens: Sequence[Sequence[str]],
                   sent_tags: Sequence[Sequence[str]],
                   allowed_types: Optional[Set[str]] = None,
-                  ) -> Dict[str, Counter]:
-    """Per-surface entity-type vote counts from single-token mentions.
+                  max_ngram: int = 1,
+                  ) -> Dict[Tuple[str, ...], Counter]:
+    """Per-surface entity-type vote counts from whole-mention surfaces,
+    keyed by token tuple.
 
-    Multi-token chunks do not vote: their per-token surfaces are not
-    independent evidence (e.g. "Visual Studio" voting "Studio").
+    With ``max_ngram=1`` (the shipped default) only single-token mentions
+    vote — a multi-token chunk's per-token surfaces are not independent
+    evidence (e.g. "Visual Studio" must not vote "Studio"). Raising
+    ``max_ngram`` lets chunks up to that length vote for their FULL token
+    tuple (never a sub-span), propagated only onto exact whole-tuple
+    matches.
     """
-    votes: Dict[str, Counter] = {}
+    votes: Dict[Tuple[str, ...], Counter] = {}
     for tokens, tags in zip(sent_tokens, sent_tags):
         for typ, a, b in extract_chunks(tags):
-            if b - a != 1:
+            if not 1 <= b - a <= max_ngram:
                 continue
             if allowed_types is not None and typ not in allowed_types:
                 continue
-            surf = tokens[a]
-            if not name_like(surf):
+            surf = tuple(tokens[a:b])
+            if not any(name_like(t) for t in surf):
                 continue
             votes.setdefault(surf, Counter())[typ] += 1
     return votes
 
 
-def majority_labels(votes: Dict[str, Counter],
-                    min_votes: int = 1) -> Dict[str, str]:
+def majority_labels(votes: Dict[Tuple[str, ...], Counter],
+                    min_votes: int = 1) -> Dict[Tuple[str, ...], str]:
     """Resolve votes to one type per surface; ties never propagate."""
-    out: Dict[str, str] = {}
+    out: Dict[Tuple[str, ...], str] = {}
     for surf, ctr in votes.items():
         ranked = ctr.most_common(2)
         if ranked[0][1] < min_votes:
@@ -92,26 +98,45 @@ def apply_consistency(sent_tokens: Sequence[Sequence[str]],
                       sent_tags: Sequence[Sequence[str]],
                       min_votes: int = 1,
                       allowed_types: Optional[Set[str]] = None,
+                      max_ngram: int = 1,
                       ) -> List[List[str]]:
     """Propagate in-document majority labels onto O tokens.
 
     Returns new tag rows (inputs are not mutated). Only positions currently
     O are touched, so every existing chunk survives verbatim; a propagated
-    token becomes a fresh single-token B- chunk.
+    span becomes a fresh B-/I- chunk. Longer surfaces apply first (a bigram
+    match beats the unigram vote of either of its tokens); within a length,
+    left-to-right first-match wins on overlap since claimed positions leave
+    O as they are relabeled.
     """
     labels = majority_labels(
-        collect_votes(sent_tokens, sent_tags, allowed_types), min_votes)
+        collect_votes(sent_tokens, sent_tags, allowed_types, max_ngram),
+        min_votes)
     out: List[List[str]] = []
     if not labels:
         return [list(t) for t in sent_tags]
+    # hot path (fused kernel): unigram surfaces stay a dict lookup per
+    # position; only the (rare) multi-token surfaces scan, longest first
+    uni = {s[0]: t for s, t in labels.items() if len(s) == 1}
+    multi = sorted(((s, t) for s, t in labels.items() if len(s) > 1),
+                   key=lambda kv: -len(kv[0]))
     for tokens, tags in zip(sent_tokens, sent_tags):
         new = list(tags)
-        for i, (tok, tag) in enumerate(zip(tokens, new)):
-            if tag != "O":
-                continue
-            typ = labels.get(tok)
-            if typ is not None:
-                new[i] = "B-" + typ
+        for surf, typ in multi:
+            n = len(surf)
+            for i in range(len(tokens) - n + 1):
+                if (tuple(tokens[i:i + n]) == surf
+                        and all(t == "O" for t in new[i:i + n])):
+                    new[i] = "B-" + typ
+                    for j in range(i + 1, i + n):
+                        new[j] = "I-" + typ
+        if uni:
+            for i, (tok, tag) in enumerate(zip(tokens, new)):
+                if tag != "O":
+                    continue
+                typ = uni.get(tok)
+                if typ is not None:
+                    new[i] = "B-" + typ
         out.append(new)
     return out
 

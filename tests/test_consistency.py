@@ -182,3 +182,24 @@ def test_doc_postpass_order():
     # propagation either
     out2 = doc_postpass(toks, tags)
     assert out2 == [["B-Code_Block", "O"], ["O", "O"]]
+
+
+def test_ngram_propagation_opt_in():
+    # r5c option (ships OFF — exact dev no-op, see BENCH/BASELINE.md):
+    # whole-tuple bigram votes propagate onto fully-O exact matches
+    toks = [["Visual", "Studio", "rocks"],
+            ["get", "Visual", "Studio", "now"],
+            ["Visual", "basic"]]
+    tags = [["B-Application", "I-Application", "O"],
+            ["O", "O", "O", "O"],
+            ["O", "O"]]
+    out = apply_consistency(toks, tags, max_ngram=2)
+    assert out[1] == ["O", "B-Application", "I-Application", "O"]
+    assert out[2] == ["O", "O"]  # sub-span never matches
+    # default (max_ngram=1) leaves everything untouched
+    assert apply_consistency(toks, tags) == tags
+    # a partially-claimed span does not propagate
+    tags2 = [["B-Application", "I-Application", "O"],
+             ["O", "B-Library", "O", "O"], ["O", "O"]]
+    out2 = apply_consistency(toks, tags2, max_ngram=2)
+    assert out2[1] == ["O", "B-Library", "O", "O"]

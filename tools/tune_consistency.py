@@ -67,7 +67,7 @@ def sweep(toks, golds, preds, keys):
         rep = evaluate_sentences(golds, tags)["__overall__"]
         return rep["f1"], rep["precision"], rep["recall"]
 
-    def run(consistency, punct, min_votes, types):
+    def run(consistency, punct, min_votes, types, max_ngram=1):
         tags = [list(t) for t in preds]
         if punct:
             tags = [suppress_punct_code_spans(tk, tg)
@@ -77,7 +77,8 @@ def sweep(toks, golds, preds, keys):
                 new = apply_consistency([toks[i] for i in idxs],
                                         [tags[i] for i in idxs],
                                         min_votes=min_votes,
-                                        allowed_types=types)
+                                        allowed_types=types,
+                                        max_ngram=max_ngram)
                 for i, t in zip(idxs, new):
                     tags[i] = t
         return f1_of(tags)
@@ -94,6 +95,11 @@ def sweep(toks, golds, preds, keys):
     for mv in (1, 2):
         f, p, r = run(True, True, mv, None)
         print(f"both mv={mv} all-types:        F1={f:.2f} P={p:.2f} R={r:.2f}")
+    # r5c sweep: multi-token mention propagation (whole-tuple surfaces)
+    for ng in (2, 3):
+        for mv in (1, 2):
+            f, p, r = run(True, False, mv, None, max_ngram=ng)
+            print(f"consistency mv={mv} ngram<={ng} all: F1={f:.2f} P={p:.2f} R={r:.2f}")
 
 
 def main():
