@@ -202,6 +202,70 @@ def q_domain_cap(spark, sf):
     return domain_cap(docs, n=10).withColumn("rk", F.col("rk").cast("long"))
 
 
+def q_asof_join(spark, sf):
+    # as-of join (operators/asof.py): each 'view' event takes the user's
+    # most recent at-or-before 'purchase' (value + its ts). Union-merge
+    # plan: ONE shuffle on user_id, no range explosion. Oracle: DuckDB's
+    # native ASOF LEFT JOIN over the identically deduped build side —
+    # both engines use the inclusive (probe.ts >= build.ts) boundary.
+    from stackoverflowner_spark.operators.asof import asof_join, dedupe_build
+    ev = _t(spark, sf, "events")
+    probe = (ev.filter(F.col("event_type") == "view")
+             .select("event_id", "user_id", "ts"))
+    build = dedupe_build(
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value", "event_id"),
+        ["user_id"], "ts", "event_id").select("user_id", "ts", "value")
+    out = asof_join(probe, build, ["user_id"], "ts", ["value"])
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+        "asof_ts_us", "asof_value")
+
+
+def q_range_join(spark, sf):
+    # keyless point-in-interval range join (operators/rangejoin.py):
+    # lineitems shipped inside each order's first week, counted per
+    # order — bin-bucketed equi-join (bin width = interval width, so <=2
+    # bins/interval), NEVER a nested-loop/cartesian plan (plan-gated).
+    # Oracle: DuckDB's native IEJoin on the raw inequality predicate.
+    from stackoverflowner_spark.operators.rangejoin import interval_point_counts
+    day_us = 86_400_000_000
+    iv = (_t(spark, sf, "orders")
+          .select("o_orderkey",
+                  F.unix_micros(F.col("o_orderdate").cast("timestamp_ltz"))
+                  .alias("s"))
+          .withColumn("e", F.col("s") + F.lit(7 * day_us)))
+    pts = _t(spark, sf, "lineitem").select(
+        F.unix_micros(F.col("l_shipdate").cast("timestamp_ltz")).alias("pt"))
+    return interval_point_counts(pts, iv, "pt", "s", "e",
+                                 bin_width=7 * day_us,
+                                 interval_keys=["o_orderkey"])
+
+
+def q_crawl_delta(spark, sf):
+    # crawl-snapshot delta (operators/crawldiff.py): snapshot B is derived
+    # deterministically from the documents fixture by md5(doc_id) bucket —
+    # buckets 0/1 removed, 2/3 content-changed, bucket f re-keyed as added
+    # — so every status class is non-vacuous and the oracle can derive the
+    # identical snapshots in SQL. One full-outer join on the key.
+    from stackoverflowner_spark.operators.crawldiff import snapshot_delta
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    a = docs.select("doc_id", F.md5("text").alias("fp"))
+    b_kept = (docs.withColumn("b", bucket)
+              .filter(~F.col("b").isin("0", "1"))
+              .select("doc_id",
+                      F.when(F.col("b").isin("2", "3"),
+                             F.md5(F.concat(F.col("text"), F.lit("~v2"))))
+                      .otherwise(F.md5("text")).alias("fp")))
+    b_added = (docs.withColumn("b", bucket).filter(F.col("b") == "f")
+               .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                       F.md5(F.concat(F.col("text"), F.lit("~new")))
+                       .alias("fp")))
+    return snapshot_delta(a, b_kept.unionByName(b_added), ["doc_id"], "fp")
+
+
 def q_word_ids(spark, sf):
     # J6: word -> id lookup against the create_mapping vocabulary with <UNK>
     # fallback (loader_so.py:480-495); pruned vocab per A3.
@@ -979,8 +1043,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pure-projection lookup cousin of the surviving word_ids row)
         # to free the slot for decontam, a new first-class operator.
         "decontam": q_decontam,
-        "ctc_dict_join": q_ctc_dict_join,
-        "semi_join": q_semi_join,
+        # r5d: ctc_dict_join, semi_join and freq_vector rotated to the
+        # pytest oracle gate (tests/test_decontam.py rotation list) to free
+        # slots for asof_join / range_join / crawl_delta — three genuinely
+        # new join shapes. Each rotated entry is a covered cousin of a
+        # surviving row: ctc_dict_join (broadcast dict lookup — decontam's
+        # gram join + the ctc_predict chain), semi_join (left-semi — the
+        # q4ish EXISTS row), freq_vector (the Gaussian-binner sub-stage the
+        # oracled ctc_predict replays end-to-end in DuckDB).
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "crawl_delta": q_crawl_delta,
         "salted_join": q_salted_join,
         # r5c: window_top3 and lag_gap rotated to the pytest oracle gate
         # (tests/test_decontam.py rotation list) — each is a strict
@@ -1026,7 +1099,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ctc_rules": q_ctc_rules,
         "ctc_predict": q_ctc_predict,
         "components": q_components,
-        "freq_vector": q_freq_vector,
         "multimodal_values": q_multimodal_values,
         "kg_mentions_documents": q_kg_mentions_documents,
         "kg_triples_documents": q_kg_triples_documents,
@@ -1447,6 +1519,47 @@ def oracle_sql() -> dict[str, str]:
                                                         order by ts, event_id) as gap_us
                        from events)
             select user_id, event_id, gap_us from r where gap_us is not null""",
+        "asof_join": """
+            with b0 as (select user_id, ts, value,
+                               row_number() over (partition by user_id, ts
+                                                  order by event_id desc) as rn
+                        from events where event_type = 'purchase'),
+                 b as (select user_id, ts, value from b0 where rn = 1),
+                 p as (select event_id, user_id, ts from events
+                       where event_type = 'view')
+            select p.event_id, p.user_id, epoch_us(p.ts) as ts_us,
+                   epoch_us(b.ts) as asof_ts_us, b.value as asof_value
+            from p asof left join b
+              on p.user_id = b.user_id and p.ts >= b.ts""",
+        "range_join": """
+            select o_orderkey, count(*) as n_points
+            from orders join lineitem
+              on l_shipdate >= o_orderdate
+             and l_shipdate < o_orderdate + interval 7 day
+            group by o_orderkey""",
+        "crawl_delta": """
+            with a as (select doc_id, md5(text) as fp from documents),
+                 bk as (select doc_id,
+                               case when substring(md5(cast(doc_id as varchar)), 1, 1)
+                                         in ('2', '3')
+                                    then md5(text || '~v2')
+                                    else md5(text) end as fp
+                        from documents
+                        where substring(md5(cast(doc_id as varchar)), 1, 1)
+                              not in ('0', '1')),
+                 ba as (select doc_id + 10000000 as doc_id,
+                               md5(text || '~new') as fp
+                        from documents
+                        where substring(md5(cast(doc_id as varchar)), 1, 1)
+                              = 'f'),
+                 b as (select * from bk union all select * from ba)
+            select coalesce(a.doc_id, b.doc_id) as doc_id,
+                   case when a.fp is null then 'added'
+                        when b.fp is null then 'removed'
+                        when a.fp <> b.fp then 'changed'
+                        else 'unchanged' end as status,
+                   a.fp as fp_old, b.fp as fp_new
+            from a full outer join b on a.doc_id = b.doc_id""",
         "sessionize": """
             with g as (select user_id, event_id, epoch_us(ts) as us,
                               epoch_us(ts) - lag(epoch_us(ts))

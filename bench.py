@@ -259,7 +259,12 @@ def main() -> None:
     headline = ["tpch_q1", "nation_revenue", "vocab_mapping", "exact_dedup",
                 "minhash", "lsh_pairs", "lsh_pairs_fast", "embedding_topk",
                 "conll_chunk_agg", "quality", "lang_id", "token_count",
-                "simhash", "decontam", "pii_scrub"]
+                "simhash", "decontam", "pii_scrub",
+                # r5 additions appended AFTER the r4-comparable block so
+                # the original 15 rows keep their round-over-round session
+                # position (earlier rows shape JVM state for later ones)
+                "sessionize", "domain_cap", "asof_join", "range_join",
+                "crawl_delta"]
 
     host = {"triad_gbs_start": _triad_gbs()}
     spark = _fresh_spark(CPUS)

@@ -133,7 +133,11 @@ def test_driver_oracle_strict(spark):
     "tpch_q6",
     # r5c: slots freed for sessionize / domain_cap (their strict
     # window-shape sub-cases)
-    "window_top3", "lag_gap"])
+    "window_top3", "lag_gap",
+    # r5d: slots freed for asof_join / range_join / crawl_delta (covered
+    # cousins: decontam + ctc_predict broadcast-lookup joins, the q4ish
+    # EXISTS semi-join, the ctc_predict binner stage)
+    "ctc_dict_join", "semi_join", "freq_vector"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep
