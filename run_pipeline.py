@@ -30,6 +30,13 @@ def main(argv=None) -> int:
                          "text (reference corpus format) under DIR")
     ap.add_argument("--out", required=True)
     ap.add_argument("--mode", choices=["fused", "checkpointed"], default="checkpointed")
+    ap.add_argument("--prev-pages",
+                    help="previous crawl snapshot (pages parquet); together "
+                         "with --prev-triples, only changed+added pages are "
+                         "re-extracted (operators/incremental.py) — fused "
+                         "mode only")
+    ap.add_argument("--prev-triples",
+                    help="the previous snapshot's triples parquet")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--link", choices=["broadcast", "salted"], default="broadcast")
     ap.add_argument("--lang", default="en")
@@ -93,8 +100,27 @@ def main(argv=None) -> int:
                          F.col("tokens").alias("words"), "md_tags"))
         # gold column = markdown sentinel channel (no human labels at ingest)
         write_conll(sents.withColumn("tags", F.col("md_tags")), args.emit_conll)
+    if bool(args.prev_pages) != bool(args.prev_triples):
+        ap.error("--prev-pages and --prev-triples must be given together")
+    if args.prev_pages and args.mode != "fused":
+        ap.error("incremental update requires --mode fused (checkpointed "
+                 "mode has its own bucket-level resume)")
     if args.mode == "fused":
-        triples = pipe.run_fused(pages)
+        if args.prev_pages:
+            from stackoverflowner_spark.operators.incremental import (
+                incremental_update, page_delta)
+            prev_pages = spark.read.parquet(args.prev_pages)
+            prev_triples = spark.read.parquet(args.prev_triples)
+            # one fingerprint pass shared by the report and the update
+            delta = page_delta(prev_pages, pages).localCheckpoint()
+            report = {r["status"]: r["n"] for r in
+                      delta.groupBy("status").count()
+                      .withColumnRenamed("count", "n").collect()}
+            print(json.dumps({"incremental_page_delta": report}))
+            triples = incremental_update(prev_pages, pages, prev_triples,
+                                         pipe.run_fused, delta=delta)
+        else:
+            triples = pipe.run_fused(pages)
         out_path = args.out + "/triples"
         triples.write.mode("overwrite").partitionBy("part_hash").parquet(out_path)
     else:

@@ -71,6 +71,24 @@ corpus stream (gated in tests/test_decontam.py). The only Exchanges are
 benchmark-sized (gram distinct) or hit-sized (per-doc countDistinct), and
 the hit counts come back to the corpus via a second broadcast join.
 """,
+    "asof": """## 8. As-of join (union-merge temporal join)
+
+Checklist: NO join node anywhere — the probe and build legs meet in a
+`Union`, and the match is a `Window` (`last(..., ignorenulls)` ordered by
+(ts, side)) partitioned by the key. Exactly two Exchanges: the build-side
+(key, ts) dedupe window and the (key) merge window. An inequality join
+formulation would show BroadcastNestedLoopJoin here — quadratic per key.
+Gated in tests/test_asof_range_delta.py.
+""",
+    "range_join": """## 9. Keyless range join (bin-bucketed point-in-interval)
+
+Checklist: the inequality predicate never reaches the join operator as its
+ONLY condition — intervals `Generate explode(sequence(...))` to fixed-width
+bins and the join is an ordinary shuffled equi-join on the bin with the
+exact containment as a post-filter; NO BroadcastNestedLoopJoin/
+CartesianProduct node (gated). Shuffle volume O(points + intervals x
+bins_per_interval).
+""",
     "rank": """## 5. Two-pass word-mapping ids (partitioned_rank)
 
 Checklist: NO `Exchange SinglePartition` anywhere (the r02 scale flag) —
@@ -147,6 +165,34 @@ def main() -> None:
     assert "PythonUDF" not in dc_plan and "MapInPandas" not in dc_plan
     sections.append(HEADERS["decontam"] + "\n```\n"
                     + dc_plan[:4000] + "\n```\n")
+
+    from stackoverflowner_spark.operators.asof import asof_join, dedupe_build
+    ev = read_fixture(spark, "/root/testdata/sf0.01", "events")
+    probe = (ev.filter(F.col("event_type") == "view")
+             .select("event_id", "user_id", "ts"))
+    build = dedupe_build(
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value", "event_id"),
+        ["user_id"], "ts", "event_id").select("user_id", "ts", "value")
+    asof_plan = formatted(asof_join(probe, build, ["user_id"], "ts", ["value"]))
+    assert "Join" not in asof_plan
+    sections.append(HEADERS["asof"] + "\n```\n" + asof_plan[:4000] + "\n```\n")
+
+    from stackoverflowner_spark.operators.rangejoin import interval_point_counts
+    day_us = 86_400_000_000
+    iv = (read_fixture(spark, "/root/testdata/sf0.01", "orders")
+          .select("o_orderkey",
+                  F.unix_micros(F.col("o_orderdate").cast("timestamp_ltz"))
+                  .alias("s"))
+          .withColumn("e", F.col("s") + F.lit(7 * day_us)))
+    pts = li.select(
+        F.unix_micros(F.col("l_shipdate").cast("timestamp_ltz")).alias("pt"))
+    rj_plan = formatted(interval_point_counts(
+        pts, iv, "pt", "s", "e", bin_width=7 * day_us,
+        interval_keys=["o_orderkey"]))
+    assert "NestedLoop" not in rj_plan and "Cartesian" not in rj_plan
+    sections.append(HEADERS["range_join"] + "\n```\n" + rj_plan[:4000]
+                    + "\n```\n")
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "PLANS.md")
