@@ -264,7 +264,7 @@ def main() -> None:
                 # the original 15 rows keep their round-over-round session
                 # position (earlier rows shape JVM state for later ones)
                 "sessionize", "domain_cap", "asof_join", "range_join",
-                "crawl_delta"]
+                "crawl_delta", "doc_chunks", "pack_docs"]
 
     host = {"triad_gbs_start": _triad_gbs()}
     spark = _fresh_spark(CPUS)

@@ -137,7 +137,10 @@ def test_driver_oracle_strict(spark):
     # r5d: slots freed for asof_join / range_join / crawl_delta (covered
     # cousins: decontam + ctc_predict broadcast-lookup joins, the q4ish
     # EXISTS semi-join, the ctc_predict binner stage)
-    "ctc_dict_join", "semi_join", "freq_vector"])
+    "ctc_dict_join", "semi_join", "freq_vector",
+    # r5d: slots freed for doc_chunks / pack_docs (minhash signatures feed
+    # the surviving lsh_pairs row; simhash fingerprints feed simhash_pairs)
+    "minhash", "simhash"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep
