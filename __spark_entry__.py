@@ -284,6 +284,19 @@ def q_pack_docs(spark, sf):
     return pack_greedy(docs, budget=2000, n_parts=8)
 
 
+def q_temperature_sample(spark, sf):
+    # temperature mixture resampling (operators/mixture.py) over the
+    # naturally skewed lang column (en 218 .. fr 64 at sf0.01): alpha=0.5,
+    # target 400 — the en rate lands ~0.5 (proportional path) while the
+    # small langs cap at 1 (cap path), so both branches are non-vacuous.
+    # sqrt + sequential weight fold keep the rates bit-identical in DuckDB.
+    from stackoverflowner_spark.operators.mixture import temperature_sample
+    docs = _t(spark, sf, "documents")
+    return (temperature_sample(docs, target_total=400, alpha=0.5,
+                               source_col="lang")
+            .select("doc_id", "lang"))
+
+
 def q_word_ids(spark, sf):
     # J6: word -> id lookup against the create_mapping vocabulary with <UNK>
     # fallback (loader_so.py:480-495); pruned vocab per A3.
@@ -1094,7 +1107,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the two length-shaping operators of the training-data surface.
         "doc_chunks": q_doc_chunks,
         "pack_docs": q_pack_docs,
-        "jaccard_pairs": q_jaccard_pairs,
+        # r5d: jaccard_pairs rotated to the pytest oracle gate — the
+        # middle stage of the oracled dedup chain (lsh_pairs upstream and
+        # dedup_clusters downstream both stay green on the driver surface).
+        # Slot freed for temperature_sample.
+        "temperature_sample": q_temperature_sample,
         "hash_split": q_hash_split,
         "dedup_clusters": q_dedup_clusters,
         "quality": q_quality,
@@ -1542,6 +1559,24 @@ def oracle_sql() -> dict[str, str]:
                                                         order by ts, event_id) as gap_us
                        from events)
             select user_id, event_id, gap_us from r where gap_us is not null""",
+        "temperature_sample": """
+            with c as (select lang, count(*) as n from documents
+                       group by lang),
+                 w as (select lang, n, sqrt(cast(n as double)) as w from c),
+                 cw as (select lang, n, w,
+                               sum(w) over (order by lang
+                                            rows between unbounded preceding
+                                            and current row) as cw
+                        from w),
+                 t as (select lang, n, w, max(cw) over () as tw from cw),
+                 r as (select lang,
+                              least(1.0, 400.0 * w
+                                         / (cast(n as double) * tw)) as rate
+                       from t)
+            select d.doc_id, d.lang
+            from documents d join r on d.lang = r.lang
+            where cast('0x' || substr(md5('mix:' || d.doc_id), 1, 15)
+                       as bigint) / 1152921504606846976.0 < r.rate""",
         "doc_chunks": """
             with t as (select doc_id, string_split(text, ' ') as toks
                        from documents),

@@ -264,7 +264,8 @@ def main() -> None:
                 # the original 15 rows keep their round-over-round session
                 # position (earlier rows shape JVM state for later ones)
                 "sessionize", "domain_cap", "asof_join", "range_join",
-                "crawl_delta", "doc_chunks", "pack_docs"]
+                "crawl_delta", "doc_chunks", "pack_docs",
+                "temperature_sample"]
 
     host = {"triad_gbs_start": _triad_gbs()}
     spark = _fresh_spark(CPUS)
@@ -276,7 +277,9 @@ def main() -> None:
     # lsh_pairs_fast is the documented 100-TB dedup path, lang_id and
     # token_count are the textstats headline rows
     for extra in ("lsh_pairs_fast", "lang_id", "token_count", "pii_scrub",
-                  "sessionize", "domain_cap"):
+                  "sessionize", "domain_cap",
+                  # r5d rotations: off the driver surface, still benched
+                  "minhash", "simhash"):
         qs[extra] = getattr(entry, f"q_{extra}")
     # warm the session before the timed loop: the first query otherwise
     # absorbs JVM heap growth, codegen JIT, and the one-time splittable

@@ -140,7 +140,11 @@ def test_driver_oracle_strict(spark):
     "ctc_dict_join", "semi_join", "freq_vector",
     # r5d: slots freed for doc_chunks / pack_docs (minhash signatures feed
     # the surviving lsh_pairs row; simhash fingerprints feed simhash_pairs)
-    "minhash", "simhash"])
+    "minhash", "simhash",
+    # r5d: slot freed for temperature_sample (jaccard_pairs is the middle
+    # stage of the dedup chain whose ends, lsh_pairs and dedup_clusters,
+    # stay on the driver surface)
+    "jaccard_pairs"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep
