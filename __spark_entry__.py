@@ -284,6 +284,18 @@ def q_pack_docs(spark, sf):
     return pack_greedy(docs, budget=2000, n_parts=8)
 
 
+def q_substring_dedup(spark, sf):
+    # exact repeated-substring detection (operators/substrdedup.py —
+    # ExactSubstr, Lee et al. 2021): every 8-token window hashed, windows
+    # occurring >= 2x corpus-wide merged into maximal per-document spans
+    # (gaps-and-islands). n=8 matches the decontam gram size so the
+    # fixture's seeded near-dup family keeps the entry non-vacuous;
+    # integer-only output replays bitwise in DuckDB.
+    from stackoverflowner_spark.operators.substrdedup import repeated_spans
+    docs = _t(spark, sf, "documents")
+    return repeated_spans(docs, n=8, stride=1, min_count=2)
+
+
 def q_temperature_sample(spark, sf):
     # temperature mixture resampling (operators/mixture.py) over the
     # naturally skewed lang column (en 218 .. fr 64 at sf0.01): alpha=0.5,
@@ -1112,7 +1124,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_clusters downstream both stay green on the driver surface).
         # Slot freed for temperature_sample.
         "temperature_sample": q_temperature_sample,
-        "hash_split": q_hash_split,
+        # r5e: hash_split rotated to the pytest oracle gate — its
+        # md5-unit-hash mechanics survive on the driver surface three ways
+        # (temperature_sample's sampling filter, pack_docs' partition
+        # derivation, domain_cap's salted rank) and hash_sample already
+        # sits in the rotation gate. Slot freed for substring_dedup, the
+        # ExactSubstr member of the dedup suite.
+        "substring_dedup": q_substring_dedup,
         "dedup_clusters": q_dedup_clusters,
         "quality": q_quality,
         "gopher_rules": q_gopher_rules,
@@ -1768,6 +1786,42 @@ def oracle_sql() -> dict[str, str]:
             select doc_id from documents
             where cast('0x' || substr(md5('sample:' || doc_id), 1, 15) as bigint)
                   / 1152921504606846976.0 < 0.3""",
+        "substring_dedup": """
+            with t as (select doc_id, string_split(text, ' ') as toks
+                       from documents),
+                 w as (select doc_id, start,
+                              md5(array_to_string(
+                                  list_slice(toks, start + 1, start + 8),
+                                  ' ')) as whash
+                       from (select doc_id, toks,
+                                    unnest(range(0, len(toks) - 8 + 1, 1))
+                                      as start
+                             from t where len(toks) >= 8)),
+                 dup as (select whash from w
+                         group by whash having count(*) >= 2),
+                 hits as (select w.doc_id, w.start from w join dup using (whash)),
+                 mk as (select doc_id, start,
+                               case when start > coalesce(
+                                        max(start + 8) over (
+                                          partition by doc_id order by start
+                                          rows between unbounded preceding
+                                          and 1 preceding), -1)
+                                    then 1 else 0 end as new_span
+                        from hits),
+                 sp as (select doc_id, start,
+                               sum(new_span) over (
+                                 partition by doc_id order by start
+                                 rows between unbounded preceding
+                                 and current row) as span
+                        from mk),
+                 spans as (select doc_id, span, count(*) as nw,
+                                  max(start) + 8 - min(start) as span_len
+                           from sp group by doc_id, span)
+            select doc_id,
+                   cast(sum(nw) as bigint) as dup_windows,
+                   cast(count(*) as bigint) as dup_spans,
+                   cast(sum(span_len) as bigint) as dup_tokens
+            from spans group by doc_id""",
         "hash_split": """
             with u as (select doc_id,
                    cast('0x' || substr(md5('split:' || doc_id), 1, 15) as bigint)

@@ -265,7 +265,7 @@ def main() -> None:
                 # position (earlier rows shape JVM state for later ones)
                 "sessionize", "domain_cap", "asof_join", "range_join",
                 "crawl_delta", "doc_chunks", "pack_docs",
-                "temperature_sample"]
+                "temperature_sample", "substring_dedup"]
 
     host = {"triad_gbs_start": _triad_gbs()}
     spark = _fresh_spark(CPUS)

@@ -144,7 +144,11 @@ def test_driver_oracle_strict(spark):
     # r5d: slot freed for temperature_sample (jaccard_pairs is the middle
     # stage of the dedup chain whose ends, lsh_pairs and dedup_clusters,
     # stay on the driver surface)
-    "jaccard_pairs"])
+    "jaccard_pairs",
+    # r5e: slot freed for substring_dedup (hash_split's md5-unit-hash
+    # mechanics survive via temperature_sample / pack_docs / domain_cap,
+    # and hash_sample is already gated here)
+    "hash_split"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep

@@ -89,6 +89,16 @@ exact containment as a post-filter; NO BroadcastNestedLoopJoin/
 CartesianProduct node (gated). Shuffle volume O(points + intervals x
 bins_per_interval).
 """,
+    "substrdedup": """## 10. Winnowed substring-dedup candidates (ExactSubstr scale path)
+
+Checklist: window hashing and winnowing fingerprint selection happen
+ROW-LOCALLY in one `Project` (`transform`/`array_min` higher-order
+expressions — no Python, no explode of raw windows); only the selected
+~2/(w+1) fingerprints `Generate explode`, so the shuffle is
+fingerprint-sized, not window-sized. The candidate pairing is a bucketed
+self-equi-join on the fingerprint — NO CartesianProduct/NestedLoop node
+(gated in tests/test_substrdedup.py).
+""",
     "rank": """## 5. Two-pass word-mapping ids (partitioned_rank)
 
 Checklist: NO `Exchange SinglePartition` anywhere (the r02 scale flag) —
@@ -192,6 +202,13 @@ def main() -> None:
         interval_keys=["o_orderkey"]))
     assert "NestedLoop" not in rj_plan and "Cartesian" not in rj_plan
     sections.append(HEADERS["range_join"] + "\n```\n" + rj_plan[:4000]
+                    + "\n```\n")
+
+    from stackoverflowner_spark.operators.substrdedup import winnow_candidates
+    wc_plan = formatted(winnow_candidates(docs, n=8, w=4))
+    assert "PythonUDF" not in wc_plan and "Cartesian" not in wc_plan \
+        and "NestedLoop" not in wc_plan
+    sections.append(HEADERS["substrdedup"] + "\n```\n" + wc_plan[:4000]
                     + "\n```\n")
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
