@@ -296,6 +296,58 @@ def q_substring_dedup(spark, sf):
     return repeated_spans(docs, n=8, stride=1, min_count=2)
 
 
+def q_link_graph(spark, sf):
+    # URL canonicalization + page-level link graph (operators/linkgraph.py):
+    # deterministic MESSY URLs derived from the documents fixture — mixed-
+    # case scheme/host, default and non-default ports, duplicate slashes,
+    # fragments, tracking params, unsorted params — so the oracle replays
+    # the full canonicalization policy bitwise. Outlink targets hash off the
+    # first 8 normalized tokens (md5 -> 120 target pages across 7 hosts,
+    # 1-in-5 keeping an explicit :8080). The graph build is the operator's
+    # real path: canonicalize both ends, drop invalid/self, distinct.
+    from stackoverflowner_spark.operators.decontam import norm_tokens
+    from stackoverflowner_spark.operators.linkgraph import (
+        canonicalize_url, link_graph)
+    docs = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    src_raw = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM:443//d//"),
+        sid, F.lit("/?utm_source=feed&ref=rss&z=1&id="), sid, F.lit("#frag"))
+    toks = docs.select(
+        src_raw.alias("src_raw"),
+        F.explode(F.slice(norm_tokens("text"), 1, 8)).alias("tok"))
+    tid = (F.conv(F.substring(F.md5(F.col("tok")), 1, 6), 16, 10)
+           .cast("long") % 120)
+    dst_raw = F.concat(
+        F.lit("http://H"), (tid % 7).cast("string"), F.lit(".Example.com"),
+        F.when(tid % 5 == 0, F.lit(":8080")).otherwise(F.lit(":80")),
+        F.lit("/p//"), tid.cast("string"),
+        F.lit("?utm_campaign=x&q="), (tid % 3).cast("string"))
+    edges = toks.select(canonicalize_url("src_raw").alias("src"),
+                        canonicalize_url(dst_raw).alias("dst"))
+    return link_graph(edges)
+
+
+def q_lm_score(spark, sf):
+    # CCNet-style bigram-LM quality scoring (operators/lmfilter.py): train
+    # on the md5-bucket-0..3 slice (25%), score every document with the
+    # exact integer bit-cost channel (whole-bit Shannon code length under
+    # add-one smoothing — the float-ln channel is engine-local and pytest-
+    # gated instead), keep at <= 5.1 bits/bigram via integer cross-
+    # multiplication (the fixture's per-doc cost spans 4.67-5.45 bits at
+    # sf0.01, so 5.1 splits near the median and both classes are
+    # non-vacuous at every SF). Model tables are vocab-sized -> broadcast
+    # joins; one corpus scan, one groupBy(doc) shuffle.
+    from stackoverflowner_spark.operators.lmfilter import (
+        keep_by_bitcost, score_bitcost, train_bigram_lm)
+    docs = _t(spark, sf, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    ref = docs.filter(bucket.isin("0", "1", "2", "3"))
+    uni, big, vocab = train_bigram_lm(ref)
+    return keep_by_bitcost(score_bitcost(docs, uni, big, vocab),
+                           max_bits_x10=51)
+
+
 def q_temperature_sample(spark, sf):
     # temperature mixture resampling (operators/mixture.py) over the
     # naturally skewed lang column (en 218 .. fr 64 at sf0.01): alpha=0.5,
@@ -1131,9 +1183,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sits in the rotation gate. Slot freed for substring_dedup, the
         # ExactSubstr member of the dedup suite.
         "substring_dedup": q_substring_dedup,
-        "dedup_clusters": q_dedup_clusters,
+        # r5e: dedup_clusters rotated to the pytest oracle gate — it is
+        # components (still on the surface) over ngram_jaccard_pairs
+        # (already gated as jaccard_pairs), both halves independently
+        # verified. Slot freed for link_graph, the URL-canonicalization +
+        # web-graph operator of the crawl surface.
+        "link_graph": q_link_graph,
         "quality": q_quality,
         "gopher_rules": q_gopher_rules,
+        # r5e: eval_rollup rotated to the pytest oracle gate — a pure
+        # arithmetic rollup of conll_chunk_agg, which stays green on the
+        # surface. Slot freed for lm_score, the CCNet-style bigram-LM
+        # quality filter (exact bit-cost channel).
+        "lm_score": q_lm_score,
         "embedding_topk": q_embedding_topk,
         "tpch_q1": q_tpch_q1,
         "tpch_q5ish": q_tpch_q5ish,
@@ -1148,7 +1210,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22ish": q_tpch_q22ish,
         "nation_revenue": q_nation_revenue,
         "conll_chunk_agg": q_conll_chunk_agg,
-        "eval_rollup": q_eval_rollup,
         "simhash_pairs": q_simhash_pairs,
         "lsh_pairs": q_lsh_pairs,
         "lsh_ann": q_lsh_ann,
@@ -1822,6 +1883,145 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) as bigint) as dup_spans,
                    cast(sum(span_len) as bigint) as dup_tokens
             from spans group by doc_id""",
+        "link_graph": """
+            -- derive the same messy URLs, then replay the full
+            -- canonicalization policy (operators/linkgraph.py docstring)
+            with toks as (
+              select doc_id, source,
+                     list_filter(list_transform(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> regexp_replace(x, '^[^a-z0-9]+|[^a-z0-9]+$',
+                                             '', 'g')),
+                         x -> x <> '') as t
+              from documents),
+            tok8 as (select doc_id, source, unnest(t[1:8]) as tok from toks),
+            tid as (select doc_id, source,
+                           cast('0x' || substr(md5(tok), 1, 6) as bigint)
+                             % 120 as tid
+                    from tok8),
+            pairs as (
+              select 'HTTPS://WWW.' || source || '.Example.COM:443//d//'
+                       || doc_id || '/?utm_source=feed&ref=rss&z=1&id='
+                       || doc_id || '#frag' as src_raw,
+                     'http://H' || cast(tid % 7 as varchar) || '.Example.com'
+                       || case when tid % 5 = 0 then ':8080' else ':80' end
+                       || '/p//' || cast(tid as varchar)
+                       || '?utm_campaign=x&q=' || cast(tid % 3 as varchar)
+                       as dst_raw
+              from tid),
+            allu as (select distinct u0 from (
+                       select src_raw as u0 from pairs
+                       union select dst_raw from pairs)),
+            c1 as (select u0, split_part(trim(u0), '#', 1) as u from allu),
+            c2 as (select u0,
+              lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                as scheme,
+              regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)
+                as hostport,
+              regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+', '')
+                as rest
+             from c1),
+            c3 as (select *,
+              regexp_replace(lower(split_part(hostport, ':', 1)),
+                             '\\.+$', '') as host,
+              case when strpos(hostport, ':') > 0
+                   then regexp_extract(hostport, ':([^:]*)$', 1)
+                   else '' end as port0,
+              strpos(rest, '?') as qpos
+             from c2),
+            c4 as (select *,
+              case when port0 = '' or (scheme = 'http' and port0 = '80')
+                        or (scheme = 'https' and port0 = '443')
+                   then '' else port0 end as port,
+              case when qpos > 0 then substr(rest, 1, qpos - 1)
+                   else rest end as path0,
+              case when qpos > 0 then substr(rest, qpos + 1)
+                   else '' end as query0
+             from c3),
+            c5 as (select *,
+              regexp_replace(regexp_replace(path0, '/{2,}', '/', 'g'),
+                             '/+$', '') as path1,
+              coalesce(list_aggregate(list_sort(list_filter(
+                  string_split(query0, '&'),
+                  x -> x <> '' and not starts_with(x, 'utm_')
+                       and not starts_with(x, 'fbclid=') and x <> 'fbclid'
+                       and not starts_with(x, 'gclid=') and x <> 'gclid'
+                       and not starts_with(x, 'msclkid=') and x <> 'msclkid'
+                       and not starts_with(x, 'ref=') and x <> 'ref')),
+                'string_agg', '&'), '') as query
+             from c4),
+            canon as (select u0,
+              case when scheme in ('http', 'https') and host <> ''
+                   then scheme || '://' || host
+                        || case when port = '' then '' else ':' || port end
+                        || case when path1 = '' then '/' else path1 end
+                        || case when query = '' then ''
+                                else '?' || query end
+                   else NULL end as cu
+             from c5),
+            edges as (
+              select distinct cs.cu as src, cd.cu as dst
+              from pairs
+              join canon cs on pairs.src_raw = cs.u0
+              join canon cd on pairs.dst_raw = cd.u0
+              where cs.cu is not null and cd.cu is not null
+                and cs.cu <> cd.cu)
+            select src, dst,
+                   regexp_extract(src,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) as src_host,
+                   regexp_extract(dst,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) as dst_host
+            from edges""",
+        "lm_score": """
+            with toks as (
+              select doc_id,
+                     list_filter(list_transform(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> regexp_replace(x, '^[^a-z0-9]+|[^a-z0-9]+$',
+                                             '', 'g')),
+                         x -> x <> '') as t
+              from documents),
+            bgs as (
+              select doc_id, t[i] as w1, t[i + 1] as w2
+              from toks,
+                   unnest(generate_series(1, greatest(len(t) - 1, 0)))
+                     as u(i)),
+            ref as (select * from bgs
+                    where substr(md5(cast(doc_id as varchar)), 1, 1)
+                          in ('0', '1', '2', '3')),
+            uni as (select w1, count(*) as c1 from ref group by 1),
+            big as (select w1, w2, count(*) as c12 from ref group by 1, 2),
+            v as (select count(distinct x) as vs
+                  from (select unnest(t) as x from toks
+                        where substr(md5(cast(doc_id as varchar)), 1, 1)
+                              in ('0', '1', '2', '3'))),
+            j as (select b.doc_id,
+                         coalesce(u.c1, 0) as c1,
+                         coalesce(g.c12, 0) as c12
+                  from bgs b
+                  left join uni u using (w1)
+                  left join big g using (w1, w2)),
+            per as (select doc_id,
+                           cast(count(*) as bigint) as n_bigrams,
+                           cast(sum(case when c1 > 0 then 1 else 0 end)
+                                as bigint) as known_ctx,
+                           cast(sum(case when c12 > 0 then 1 else 0 end)
+                                as bigint) as known_bigram,
+                           cast(sum(length(bin(c1 + (select vs from v)))
+                                    - length(bin(c12 + 1)))
+                                as bigint) as sum_bits
+                    from j group by 1)
+            select d.doc_id,
+                   coalesce(n_bigrams, 0) as n_bigrams,
+                   coalesce(known_ctx, 0) as known_ctx,
+                   coalesce(known_bigram, 0) as known_bigram,
+                   coalesce(sum_bits, 0) as sum_bits,
+                   case when coalesce(n_bigrams, 0) = 0
+                             or coalesce(sum_bits, 0) * 10
+                                <= 51 * n_bigrams
+                        then 1 else 0 end as keep
+            from (select doc_id from documents) d
+            left join per using (doc_id)""",
         "hash_split": """
             with u as (select doc_id,
                    cast('0x' || substr(md5('split:' || doc_id), 1, 15) as bigint)

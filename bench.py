@@ -265,7 +265,8 @@ def main() -> None:
                 # position (earlier rows shape JVM state for later ones)
                 "sessionize", "domain_cap", "asof_join", "range_join",
                 "crawl_delta", "doc_chunks", "pack_docs",
-                "temperature_sample", "substring_dedup"]
+                "temperature_sample", "substring_dedup",
+                "link_graph", "lm_score"]
 
     host = {"triad_gbs_start": _triad_gbs()}
     spark = _fresh_spark(CPUS)

@@ -148,7 +148,11 @@ def test_driver_oracle_strict(spark):
     # r5e: slot freed for substring_dedup (hash_split's md5-unit-hash
     # mechanics survive via temperature_sample / pack_docs / domain_cap,
     # and hash_sample is already gated here)
-    "hash_split"])
+    "hash_split",
+    # r5e: slots freed for link_graph / lm_score — dedup_clusters is
+    # components (surface) over jaccard_pairs (gated here); eval_rollup
+    # is an arithmetic rollup of the surviving conll_chunk_agg row
+    "dedup_clusters", "eval_rollup"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep
