@@ -348,6 +348,48 @@ def q_lm_score(spark, sf):
                            max_bits_x10=51)
 
 
+def q_robots_filter(spark, sf):
+    # robots.txt politeness decision (operators/robots.py): per-host rule
+    # groups derived from the fixture — a '*' group with a longest-match
+    # chain (disallow /d/1, allow /d/12) AND an exact same-length
+    # allow/disallow tie on /d/2 (allow must win), plus a 'kgbot' group on
+    # the md5-bucket-0..7 hosts that OVERRIDES the '*' group entirely (RFC
+    # 9309 group selection). Decision = broadcast rules-array join +
+    # row-local array_max longest-prefix pick; zero corpus shuffle.
+    from stackoverflowner_spark.operators.robots import robots_decide
+    docs = _t(spark, sf, "documents")
+    host = F.concat(F.lit("www."), F.col("source"), F.lit(".example.com"))
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/d/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    hosts = docs.select("source").distinct()
+
+    def _r(agent, kind, prefix):
+        return F.struct(F.lit(agent).alias("agent"),
+                        F.lit(kind).alias("kind"),
+                        F.lit(prefix).alias("prefix"))
+
+    star = hosts.select(
+        host.alias("host"),
+        F.explode(F.array(_r("*", "disallow", "/d/1"),
+                          _r("*", "allow", "/d/12"),
+                          _r("*", "allow", "/d/2"),
+                          _r("*", "disallow", "/d/2"))).alias("r")
+    ).select("host", "r.agent", "r.kind", "r.prefix")
+    kg = (hosts
+          .filter(F.substring(F.md5(F.col("source")), 1, 1)
+                  .isin(*"01234567"))
+          .select(host.alias("host"), F.lit("kgbot").alias("agent"),
+                  F.lit("disallow").alias("kind"),
+                  F.lit("/d/4").alias("prefix")))
+    rules = star.unionByName(kg)
+    return (robots_decide(pages, rules, agent="kgbot")
+            .select("doc_id", "url", "host", "path",
+                    F.col("allowed").cast("long").alias("allowed"),
+                    "rule_kind", "rule_prefix"))
+
+
 def q_temperature_sample(spark, sf):
     # temperature mixture resampling (operators/mixture.py) over the
     # naturally skewed lang column (en 218 .. fr 64 at sf0.01): alpha=0.5,
@@ -1215,7 +1257,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_search": q_ivf_search,
-        "ctc_rules": q_ctc_rules,
+        # r5e: ctc_rules rotated to the pytest oracle gate — it is the
+        # rule-overlay sub-stage that the surviving ctc_predict entry
+        # replays end-to-end inside its full-chain DuckDB oracle. Slot
+        # freed for robots_filter, the crawl-politeness gate.
+        "robots_filter": q_robots_filter,
         "ctc_predict": q_ctc_predict,
         "components": q_components,
         "multimodal_values": q_multimodal_values,
@@ -1972,6 +2018,58 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(dst,
                      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) as dst_host
             from edges""",
+        "robots_filter": """
+            with hosts as (
+              select distinct source,
+                     'www.' || source || '.example.com' as host
+              from documents),
+            rules0 as (
+              select host, '*' as agent, 'disallow' as kind,
+                     '/d/1' as prefix from hosts
+              union all select host, '*', 'allow', '/d/12' from hosts
+              union all select host, '*', 'allow', '/d/2' from hosts
+              union all select host, '*', 'disallow', '/d/2' from hosts
+              union all
+              select host, 'kgbot', 'disallow', '/d/4' from hosts
+              where substr(md5(source), 1, 1)
+                    in ('0','1','2','3','4','5','6','7')),
+            sel as (select host,
+                           max(case when agent = 'kgbot' then 1 else 0 end)
+                             as bs
+                    from rules0 where agent in ('kgbot', '*')
+                    group by host),
+            eff as (
+              select r.host, kind, prefix
+              from rules0 r join sel using (host)
+              where r.agent in ('kgbot', '*')
+                and (case when r.agent = 'kgbot' then 1 else 0 end) = sel.bs),
+            pages as (
+              select doc_id, host,
+                     'https://' || host || '/d/' || doc_id as url,
+                     '/d/' || doc_id as path
+              from documents join hosts using (source)),
+            m as (
+              select p.doc_id, e.kind, e.prefix,
+                     length(e.prefix) as l,
+                     case when e.kind = 'allow' then 1 else 0 end as a
+              from pages p
+              join eff e on p.host = e.host
+                        and starts_with(p.path, e.prefix)),
+            best as (
+              select doc_id, kind, prefix,
+                     -- same total order as Spark's array_max over the
+                     -- (l, a, kind, prefix) struct
+                     row_number() over (partition by doc_id
+                                        order by l desc, a desc,
+                                                 kind desc, prefix desc)
+                       as rk
+              from m)
+            select p.doc_id, p.url, p.host, p.path,
+                   cast(case when b.kind is null or b.kind = 'allow'
+                             then 1 else 0 end as bigint) as allowed,
+                   b.kind as rule_kind, b.prefix as rule_prefix
+            from pages p
+            left join (select * from best where rk = 1) b using (doc_id)""",
         "lm_score": """
             with toks as (
               select doc_id,

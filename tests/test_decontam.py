@@ -152,7 +152,10 @@ def test_driver_oracle_strict(spark):
     # r5e: slots freed for link_graph / lm_score — dedup_clusters is
     # components (surface) over jaccard_pairs (gated here); eval_rollup
     # is an arithmetic rollup of the surviving conll_chunk_agg row
-    "dedup_clusters", "eval_rollup"])
+    "dedup_clusters", "eval_rollup",
+    # r5e: slot freed for robots_filter — ctc_rules is the rule-overlay
+    # sub-stage the surviving ctc_predict oracle replays end-to-end
+    "ctc_rules"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep
