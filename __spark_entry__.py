@@ -390,6 +390,40 @@ def q_robots_filter(spark, sf):
                     "rule_kind", "rule_prefix"))
 
 
+def q_boilerplate(spark, sf):
+    # CCNet-style line-frequency boilerplate removal (operators/
+    # boilerplate.py): deterministic multi-line pages derived from the
+    # documents fixture — a nav line in 100% of each host's docs (case-
+    # varied by doc_id%3 so the lowercase normalization is load-bearing),
+    # a promo line in ~75% (above the 30% ratio -> removed), a
+    # 'ref section' line hex-bucketed to ~1/16 of the host's docs
+    # (often >= min_docs but always under the ratio -> KEPT), the unique
+    # content line, and a footer in 100%. Promo/ref keys derive from
+    # md5(doc_id), NOT doc_id%k — doc_ids are round-robin over sources,
+    # so modular keys would be constant within a host. Keep/drop is
+    # integer cross-multiplication; the cleaned text is hashed so the
+    # oracle replays the full reassembly bitwise.
+    from stackoverflowner_spark.operators.boilerplate import (
+        remove_boilerplate)
+    docs = _t(spark, sf, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    nav0 = F.concat(F.lit("Home | About | Contact - "), F.col("source"))
+    nav = F.when(F.col("doc_id") % 3 == 0, F.upper(nav0)).otherwise(nav0)
+    promo = F.when(
+        F.substring(hx, 1, 1).isin(*"0123456789ab"),
+        F.concat(F.lit("Subscribe to the "), F.col("source"),
+                 F.lit(" newsletter")))
+    refline = F.concat(F.lit("ref section "), F.substring(hx, 2, 1))
+    foot = F.concat(F.lit("copyright (c) "), F.col("source"))
+    pages = docs.select(
+        "doc_id", F.col("source").alias("host"),
+        F.concat_ws("\n", nav, promo, refline, F.col("text"), foot)
+        .alias("text"))
+    out = remove_boilerplate(pages, min_docs=2, max_ratio_x10=3)
+    return out.select("doc_id", "host", "n_lines", "n_kept",
+                      F.md5("clean_text").alias("clean_md5"))
+
+
 def q_temperature_sample(spark, sf):
     # temperature mixture resampling (operators/mixture.py) over the
     # naturally skewed lang column (en 218 .. fr 64 at sf0.01): alpha=0.5,
@@ -1172,7 +1206,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "vocab_mapping": q_vocab_mapping,
         "vocab_pruned": q_vocab_pruned,
-        "char_vocab": q_char_vocab,
+        # r5e: char_vocab rotated to the pytest oracle gate — it is the
+        # explode+groupBy-count shape that vocab_pruned / vocab_mapping /
+        # entity_rank keep on the surface. Slot freed for boilerplate,
+        # the CCNet-style line-frequency cleanup.
+        "boilerplate": q_boilerplate,
         "tag_vocab": q_tag_vocab,
         "entity_rank": q_entity_rank,
         # r5: cap_feature rotated to a pytest oracle gate
@@ -2070,6 +2108,63 @@ def oracle_sql() -> dict[str, str]:
                    b.kind as rule_kind, b.prefix as rule_prefix
             from pages p
             left join (select * from best where rk = 1) b using (doc_id)""",
+        "boilerplate": """
+            with pages as (
+              select doc_id, source as host,
+                     concat_ws(chr(10),
+                       case when doc_id % 3 = 0
+                            then upper('Home | About | Contact - ' || source)
+                            else 'Home | About | Contact - ' || source end,
+                       case when substr(md5(cast(doc_id as varchar)), 1, 1)
+                                 in ('0','1','2','3','4','5','6','7','8',
+                                     '9','a','b')
+                            then 'Subscribe to the ' || source
+                                 || ' newsletter' end,
+                       'ref section '
+                         || substr(md5(cast(doc_id as varchar)), 2, 1),
+                       text,
+                       'copyright (c) ' || source) as text
+              from documents),
+            l0 as (
+              select doc_id, host,
+                     unnest(list_transform(string_split(text, chr(10)),
+                            (l, i) -> struct_pack(line_no := i - 1,
+                                                  line := l))) as s
+              from pages),
+            lines as (
+              select doc_id, host, s.line_no as line_no, s.line as line,
+                     md5(lower(regexp_replace(trim(s.line), '\\s+', ' ',
+                                              'g'))) as lhash
+              from l0
+              where lower(regexp_replace(trim(s.line), '\\s+', ' ', 'g'))
+                    <> ''),
+            stats as (
+              select host, lhash, count(distinct doc_id) as n_docs
+              from lines group by host, lhash),
+            hd as (select host, count(*) as host_docs
+                   from pages group by host),
+            flagged as (
+              select l.doc_id, l.host, l.line_no, l.line,
+                     case when s.n_docs >= 2
+                           and s.n_docs * 10 > 3 * h.host_docs
+                          then 0 else 1 end as keep
+              from lines l
+              join stats s on l.host = s.host and l.lhash = s.lhash
+              join hd h on l.host = h.host),
+            agg as (
+              select doc_id, host,
+                     count(*) as n_lines,
+                     cast(sum(keep) as bigint) as n_kept,
+                     md5(string_agg(case when keep = 1 then line end,
+                                    chr(10) order by line_no))
+                       as clean_md5
+              from flagged group by doc_id, host)
+            select p.doc_id, p.host,
+                   coalesce(a.n_lines, 0) as n_lines,
+                   coalesce(a.n_kept, 0) as n_kept,
+                   a.clean_md5
+            from pages p
+            left join agg a on p.doc_id = a.doc_id and p.host = a.host""",
         "lm_score": """
             with toks as (
               select doc_id,

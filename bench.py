@@ -266,7 +266,7 @@ def main() -> None:
                 "sessionize", "domain_cap", "asof_join", "range_join",
                 "crawl_delta", "doc_chunks", "pack_docs",
                 "temperature_sample", "substring_dedup",
-                "link_graph", "lm_score", "robots_filter"]
+                "link_graph", "lm_score", "robots_filter", "boilerplate"]
 
     host = {"triad_gbs_start": _triad_gbs()}
     spark = _fresh_spark(CPUS)

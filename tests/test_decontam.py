@@ -155,7 +155,11 @@ def test_driver_oracle_strict(spark):
     "dedup_clusters", "eval_rollup",
     # r5e: slot freed for robots_filter — ctc_rules is the rule-overlay
     # sub-stage the surviving ctc_predict oracle replays end-to-end
-    "ctc_rules"])
+    "ctc_rules",
+    # r5e: slot freed for boilerplate — char_vocab is the
+    # explode+groupBy-count shape vocab_pruned / vocab_mapping /
+    # entity_rank keep on the surface
+    "char_vocab"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep

@@ -41,7 +41,10 @@ def test_extra_query_matches_oracle(spark, con, name):
 # make Spark and DuckDB agree exactly, not within atol
 MONEY_QUERIES = ["tpch_q1", "tpch_q5ish", "tpch_q3ish", "tpch_q10ish",
                  "tpch_q14ish", "tpch_q18ish", "nation_revenue",
-                 "salted_join", "eval_rollup",
+                 "salted_join",
+                 # eval_rollup left the driver surface in r5e (slot freed
+                 # for lm_score); its strict gate lives in
+                 # test_decontam.py::test_rotated_entries_still_green
                  "tpch_q4ish", "tpch_q7ish", "tpch_q9ish", "tpch_q22ish"]
 
 
