@@ -53,6 +53,17 @@ _SQL_DISC = "(cast(1 as decimal(3,2)) - cast(l_discount as decimal(3,2)))"
 # revenue term shared by q1/q3/q5/q10/q14/nation_revenue oracles
 _SQL_REV = f"{_SQL_EXT} * {_SQL_DISC}"
 
+# HyperLogLog oracle constants — shared literals with operators/sketch.py
+# so both engines divide the SAME double (see sketch.estimate_constant).
+import os as _os  # noqa: E402
+import sys as _sys  # noqa: E402
+
+if _os.path.dirname(_os.path.abspath(__file__)) not in _sys.path:
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from stackoverflowner_spark.operators.sketch import (  # noqa: E402
+    RHO_MAX as _HLL_RHO_MAX, estimate_constant as _hll_estimate_constant)
+_HLL_CONST = _hll_estimate_constant(8)
+
 
 # --------------------------------------------------------------------------- #
 # flagship
@@ -621,6 +632,23 @@ def q_tpch_q1(spark, sf):
             F.count("*").alias("count_order"),
         )
     )
+
+
+def q_hll_tokens(spark, sf):
+    # Mergeable HyperLogLog distinct-token sketch per source
+    # (operators/sketch.py): registers derive from md5 with integer-only
+    # arithmetic and the harmonic-mean denominator is an exact bigint
+    # (sum of 2^(40-rho) dyadics), so even the float estimate is ONE
+    # shared-literal division — bitwise across engines. The DuckDB
+    # oracle replays tokenization, registers, and the estimate in full.
+    from stackoverflowner_spark.operators.decontam import norm_tokens
+    from stackoverflowner_spark.operators.sketch import hll_distinct
+    docs = _t(spark, sf, "documents")
+    toks = docs.select("source", F.explode(norm_tokens("text")).alias("tok"))
+    return hll_distinct(toks, ["source"], "tok").select(
+        "source", F.col("present").cast("long").alias("present"),
+        F.col("zeros").cast("long").alias("zeros"),
+        F.col("z_num").cast("long").alias("z_num"), "est")
 
 
 def q_nation_revenue(spark, sf):
@@ -1288,7 +1316,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7ish": q_tpch_q7ish,
         "tpch_q9ish": q_tpch_q9ish,
         "tpch_q22ish": q_tpch_q22ish,
-        "nation_revenue": q_nation_revenue,
+        # r5f: nation_revenue rotated to the pytest oracle gate — its
+        # join+agg revenue shape is a strict sub-shape of the surviving
+        # tpch_q5ish row (same join chain + decimal money agg). Slot
+        # freed for hll_tokens, the mergeable-sketch operator.
+        "hll_tokens": q_hll_tokens,
         "conll_chunk_agg": q_conll_chunk_agg,
         "simhash_pairs": q_simhash_pairs,
         "lsh_pairs": q_lsh_pairs,
@@ -2380,6 +2412,47 @@ def oracle_sql() -> dict[str, str]:
             join customer on o_custkey = c_custkey
             join nation on c_nationkey = n_nationkey
             group by n_name""",
+        "hll_tokens": f"""
+            with toks as (
+              select source,
+                     unnest(list_filter(list_transform(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> regexp_replace(x, '^[^a-z0-9]+|[^a-z0-9]+$',
+                                             '', 'g')),
+                         x -> x <> '')) as tok
+              from documents),
+            h as (select source, md5(tok) as hx from toks),
+            rho as (
+              select source,
+                     cast('0x' || substr(hx, 1, 2) as bigint) as reg,
+                     least(4 * length(regexp_extract(substr(hx, 3, 15),
+                                                     '^0*')) +
+                           case substr(substr(hx, 3, 15),
+                                       length(regexp_extract(
+                                           substr(hx, 3, 15), '^0*')) + 1, 1)
+                             when '8' then 0 when '9' then 0
+                             when 'a' then 0 when 'b' then 0
+                             when 'c' then 0 when 'd' then 0
+                             when 'e' then 0 when 'f' then 0
+                             when '4' then 1 when '5' then 1
+                             when '6' then 1 when '7' then 1
+                             when '2' then 2 when '3' then 2
+                             else 3 end + 1,
+                           {_HLL_RHO_MAX}) as rho
+              from h),
+            regs as (select source, reg, max(rho) as rho
+                     from rho group by source, reg)
+            select source,
+                   count(*) as present,
+                   256 - count(*) as zeros,
+                   sum(1::BIGINT << ({_HLL_RHO_MAX} - rho))
+                     + (256 - count(*)) * (1::BIGINT << {_HLL_RHO_MAX})
+                     as z_num,
+                   {_HLL_CONST!r} /
+                   cast(sum(1::BIGINT << ({_HLL_RHO_MAX} - rho))
+                     + (256 - count(*)) * (1::BIGINT << {_HLL_RHO_MAX})
+                     as double) as est
+            from regs group by source""",
         "eval_rollup": """
             select coalesce(event_type, '__overall__') as event_type,
                    count(*) as n,

@@ -159,7 +159,11 @@ def test_driver_oracle_strict(spark):
     # r5e: slot freed for boilerplate — char_vocab is the
     # explode+groupBy-count shape vocab_pruned / vocab_mapping /
     # entity_rank keep on the surface
-    "char_vocab"])
+    "char_vocab",
+    # r5f: slot freed for hll_tokens — nation_revenue's join+agg revenue
+    # shape is a strict sub-shape of the surviving tpch_q5ish row (same
+    # join chain + decimal money agg)
+    "nation_revenue"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep
