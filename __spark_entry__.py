@@ -651,6 +651,54 @@ def q_hll_tokens(spark, sf):
         F.col("z_num").cast("long").alias("z_num"), "est")
 
 
+def q_cm_freq(spark, sf):
+    # Count-Min frequency sketch (operators/sketch.py): the mergeable
+    # counter table is integer-only md5 arithmetic, so point estimates
+    # are exact bigints the DuckDB oracle replays bit-for-bit. Probes =
+    # every (source, token) with exact count >= 50; output pairs the CM
+    # estimate with the exact count (est >= exact always — the CM
+    # one-sided guarantee, asserted in tests/test_sketch.py).
+    from stackoverflowner_spark.operators.decontam import norm_tokens
+    from stackoverflowner_spark.operators.sketch import cm_estimate, cm_sketch
+    docs = _t(spark, sf, "documents")
+    toks = docs.select("source", F.explode(norm_tokens("text")).alias("tok"))
+    sk = cm_sketch(toks, ["source"], "tok")
+    exact = (toks.groupBy("source", "tok")
+             .agg(F.count("*").alias("exact"))
+             .filter(F.col("exact") >= 50))
+    est = cm_estimate(sk, exact.select("source", "tok"), "tok",
+                      keys=["source"])
+    return (exact.join(est, ["source", "tok"])
+            .select("source", "tok", "exact", "est"))
+
+
+def q_bloom_prune(spark, sf):
+    # Bloom-pruned semi-join (operators/sketch.py): the filter is built
+    # from the BOUNDED side (customers with an order since 2001-01-01)
+    # and pruning the probe side is a pure column predicate against the
+    # packed 63-bit blocks — the probe plan is scan+filter, zero
+    # shuffle/join on the big side (gated in tests/test_sketch.py).
+    # False positives are deterministic md5 arithmetic, so the DuckDB
+    # oracle replays the IDENTICAL kept set bit-for-bit; `active` marks
+    # which survivors are true members vs deterministic FPs.
+    from stackoverflowner_spark.operators.sketch import (
+        bloom_build, bloom_prune)
+    k, m = 5, 63 * 128
+    orders = _t(spark, sf, "orders")
+    recent = (orders.filter(F.col("o_orderdate") >= "2001-01-01")
+              .select(F.col("o_custkey").cast("string").alias("bk")))
+    bloom = bloom_build(recent, "bk", k=k, m=m)
+    cust = (_t(spark, sf, "customer")
+            .select("c_custkey",
+                    F.col("c_custkey").cast("string").alias("pk")))
+    kept = bloom_prune(cust, "pk", bloom, k=k, m=m)
+    truth = (recent.select(F.col("bk").alias("pk")).distinct()
+             .withColumn("_m", F.lit(True)))
+    return (kept.join(truth, "pk", "left")
+            .select("c_custkey",
+                    F.coalesce(F.col("_m"), F.lit(False)).alias("active")))
+
+
 def q_nation_revenue(spark, sf):
     cust = _t(spark, sf, "customer")
     orders = _t(spark, sf, "orders")
@@ -1308,7 +1356,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q5ish": q_tpch_q5ish,
         "tpch_q3ish": q_tpch_q3ish,
-        "tpch_q10ish": q_tpch_q10ish,
+        # r5f: tpch_q10ish rotated to the pytest oracle gate — its
+        # join-chain + money-agg + top-k shape survives via tpch_q3ish
+        # (same orders/customer/lineitem chain, same decimal revenue agg,
+        # same order-by-revenue cut). Slot freed for cm_freq.
+        "cm_freq": q_cm_freq,
         "tpch_q14ish": q_tpch_q14ish,
         "tpch_q16ish": q_tpch_q16ish,
         "tpch_q18ish": q_tpch_q18ish,
@@ -1324,7 +1376,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conll_chunk_agg": q_conll_chunk_agg,
         "simhash_pairs": q_simhash_pairs,
         "lsh_pairs": q_lsh_pairs,
-        "lsh_ann": q_lsh_ann,
+        # r5f: lsh_ann rotated to the pytest oracle gate + its recall>=0.9
+        # pytest gate — the bucketed-ANN surface survives via ivf_search
+        # (bounded-probe candidate join) and embedding_near_dup
+        # (hyperplane-LSH bucketing). Slot freed for bloom_prune.
+        "bloom_prune": q_bloom_prune,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_search": q_ivf_search,
         # r5e: ctc_rules rotated to the pytest oracle gate — it is the
@@ -2453,6 +2509,67 @@ def oracle_sql() -> dict[str, str]:
                      + (256 - count(*)) * (1::BIGINT << {_HLL_RHO_MAX})
                      as double) as est
             from regs group by source""",
+        "cm_freq": """
+            with toks as (
+              select source,
+                     unnest(list_filter(list_transform(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> regexp_replace(x, '^[^a-z0-9]+|[^a-z0-9]+$',
+                                             '', 'g')),
+                         x -> x <> '')) as tok
+              from documents),
+            probes as (
+              select source, tok, count(*) as exact
+              from toks group by source, tok having count(*) >= 50),
+            cells as (
+              select t.source, d.depth,
+                     cast('0x' || substr(md5(d.depth || ':' || t.tok), 1, 8)
+                          as bigint) % 1024 as bucket,
+                     count(*) as cnt
+              from toks t
+              cross join (select unnest(range(4)) as depth) d
+              group by t.source, d.depth, bucket),
+            est as (
+              select p.source, p.tok, p.exact, min(c.cnt) as est
+              from probes p
+              cross join (select unnest(range(4)) as depth) d
+              join cells c
+                on c.source = p.source and c.depth = d.depth
+               and c.bucket = cast('0x' || substr(md5(d.depth || ':' ||
+                                                      p.tok), 1, 8)
+                                   as bigint) % 1024
+              group by p.source, p.tok, p.exact)
+            select source, tok, exact, est from est""",
+        "bloom_prune": """
+            with js as (select unnest(range(5)) as j),
+            build as (
+              select distinct cast(o_custkey as varchar) as bk
+              from orders where o_orderdate >= '2001-01-01'),
+            pos as (
+              select distinct
+                     cast('0x' || substr(md5(js.j || ':' || bk), 1, 8)
+                          as bigint) % 8064 as pos
+              from build cross join js),
+            bloom as (
+              select pos // 63 as block,
+                     bit_or(1::BIGINT << cast(pos % 63 as int)) as bits
+              from pos group by block),
+            cpos as (
+              select c_custkey, js.j,
+                     cast('0x' || substr(md5(js.j || ':' ||
+                                             cast(c_custkey as varchar)),
+                                         1, 8) as bigint) % 8064 as pos
+              from customer cross join js),
+            kept as (
+              select c.c_custkey
+              from cpos c join bloom b on b.block = c.pos // 63
+              where (b.bits >> cast(c.pos % 63 as int)) & 1 = 1
+              group by c.c_custkey having count(*) = 5)
+            select k.c_custkey,
+                   exists (select 1 from build
+                           where bk = cast(k.c_custkey as varchar))
+                     as active
+            from kept k""",
         "eval_rollup": """
             select coalesce(event_type, '__overall__') as event_type,
                    count(*) as n,

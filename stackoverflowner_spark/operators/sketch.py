@@ -119,3 +119,178 @@ def hll_distinct(df: DataFrame, keys: list[str], value: str,
     """sketch + estimate in one call — the per-key approximate
     distinct-count table (keys..., present, zeros, z_num, est)."""
     return hll_estimate(hll_sketch(df, keys, value, b), b)
+
+
+# --------------------------------------------------------------------------- #
+# Count-Min: mergeable frequency sketch, integer-only (bitwise everywhere)
+# --------------------------------------------------------------------------- #
+# Same design brief as HLL above, for FREQUENCIES instead of cardinality:
+# the d×w counter matrix is stored as plain (keys..., depth, bucket, cnt)
+# rows, so per-partition/per-crawl sketches merge by summing counts —
+# sketch(A ∪ B) == merge(sketch(A), sketch(B)) exactly. Buckets derive
+# from md5("<depth>:<value>") with integer arithmetic only (no float at
+# all — estimates are exact bigints), so a DuckDB oracle replays the
+# whole sketch AND every point estimate bit-for-bit.
+#
+# Guarantee (Cormode & Muthukrishnan 2005): est >= true always, and
+# P[est > true + e·N] <= (1/2)^depth with width w = ceil(e/eps) — with
+# the defaults (d=4, w=1024) the overestimate exceeds N/256 with
+# probability ~6e-8 per probe. Point lookups take min over d rows.
+#
+# Scale shape: build is one groupBy((keys, depth, bucket)) over a d-way
+# posexplode — map-side combine bounds the shuffle at O(keys · d · w)
+# rows regardless of input size; merge is union + the same bounded sum;
+# probing joins the bounded counter table (broadcast at any realistic
+# keys·d·w) against the probe set's derived (depth, bucket) pairs.
+
+CM_DEPTH = 4
+CM_WIDTH = 1024  # counters per row; 2^10 keeps bucket ids tiny ints
+
+
+def cm_bucket(value: Column, depth: Column, w: int = CM_WIDTH) -> Column:
+    """Row-``depth`` bucket of ``value``: first 32 bits of
+    md5('<depth>:<value>') mod w. Integer-only, engine-portable."""
+    h = F.md5(F.concat(depth.cast("string"), F.lit(":"),
+                       value.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % F.lit(w)).cast("int")
+
+
+def cm_sketch(df: DataFrame, keys: list[str], value: str,
+              d: int = CM_DEPTH, w: int = CM_WIDTH) -> DataFrame:
+    """-> (keys..., depth int, bucket int, cnt long): the counter table,
+    one row per non-zero (key, depth, bucket) cell."""
+    depth = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("depth")
+    cells = df.select(*keys, F.col(value).alias("_v"), depth)
+    return (cells.select(*keys, "depth",
+                         cm_bucket(F.col("_v"), F.col("depth"), w)
+                         .alias("bucket"))
+            .groupBy(*keys, "depth", "bucket")
+            .agg(F.count("*").alias("cnt")))
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Union counter tables; sum(cnt) per cell. Exactly equals the
+    sketch of the unioned inputs (count is additive)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c not in ("depth", "bucket", "cnt")]
+    return (out.groupBy(*keys, "depth", "bucket")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def cm_estimate(sketch: DataFrame, probes: DataFrame, value: str,
+                d: int = CM_DEPTH, w: int = CM_WIDTH,
+                keys: list[str] | None = None) -> DataFrame:
+    """Point-estimate each probe value against the counter table:
+    -> (keys..., <value>, est long). ``est`` = min over the d rows of
+    the probe's bucket count (0-cells are absent -> coalesce 0 via the
+    min over matched rows only when all d match; an unmatched depth
+    means a zero cell, so the true min is 0 and the value was never
+    inserted — modeled with a left join + coalesce).
+
+    The probe side joins a BOUNDED table (<= keys·d·w rows): at any
+    realistic configuration AQE broadcasts it, so the probe set — the
+    100-TB side — never shuffles."""
+    keys = keys or [c for c in sketch.columns
+                    if c not in ("depth", "bucket", "cnt")]
+    depth = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("depth")
+    pv = (probes.select(*keys, F.col(value).alias(value)).distinct()
+          .select(*keys, value, depth))
+    pv = pv.withColumn("bucket", cm_bucket(F.col(value), F.col("depth"), w))
+    joined = pv.join(sketch, [*keys, "depth", "bucket"], "left")
+    return (joined.groupBy(*keys, value)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+                 .alias("est")))
+
+
+# --------------------------------------------------------------------------- #
+# Bloom filter: broadcast membership pruning without touching the big side
+# --------------------------------------------------------------------------- #
+# The 100-TB semi-join shape: a bounded build side (dictionary keys, the
+# orders of one day, a decontamination blocklist) is folded into a packed
+# bit table (block, bits) — at m bits that is ceil(m/63) rows, 63 usable
+# bits per signed long so neither engine's bigint shift overflows (DuckDB
+# raises on 1<<63). Pruning the probe side is then a PURE COLUMN
+# EXPRESSION against a literal map of those blocks: zero shuffle, zero
+# join, zero repartition of the 100-TB side — the plan is scan -> filter,
+# and Catalyst pushes the surviving columns/rows straight through.
+# False positives are deterministic (md5-derived positions), so both
+# engines compute the IDENTICAL kept set and a DuckDB oracle replays the
+# pruning bit-for-bit; callers needing exactness follow with the real
+# join on the ~(1+fp) pre-filtered survivors.
+#
+# Mergeable like the other sketches: union block tables + bit_or per
+# block == the filter of the unioned build inputs.
+
+BLOOM_K = 5
+BLOOM_BITS = 63 * 1024  # m; ceil(m/63) = 1024 packed blocks
+
+
+def bloom_pos(value: Column, j: Column, m: int = BLOOM_BITS) -> Column:
+    """Hash-j bit position of ``value``: first 32 bits of
+    md5('<j>:<value>') mod m. Integer-only, engine-portable."""
+    h = F.md5(F.concat(j.cast("string"), F.lit(":"), value.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % F.lit(m)).cast("long")
+
+
+def bloom_build(df: DataFrame, value: str, k: int = BLOOM_K,
+                m: int = BLOOM_BITS) -> DataFrame:
+    """-> (block int, bits long): the packed filter, one row per
+    non-empty 63-bit block. One bounded shuffle: distinct positions
+    (<= build_rows·k, map-side combined) then bit_or per block."""
+    j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    pos = (df.select(F.col(value).alias("_v"), j)
+           .select(bloom_pos(F.col("_v"), F.col("j"), m).alias("pos"))
+           .distinct())
+    return (pos.select((F.col("pos") / 63).cast("int").alias("block"),
+                       (F.col("pos") % 63).cast("int").alias("bit"))
+            .groupBy("block")
+            .agg(F.bit_or(F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.col("bit")))
+                .alias("bits")))
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Union packed block tables; bit_or per block. Exactly equals the
+    filter built from the unioned inputs (OR is idempotent)."""
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("block").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_contains(value: Column, blocks: dict[int, int],
+                   k: int = BLOOM_K, m: int = BLOOM_BITS) -> Column:
+    """Membership predicate of ``value`` against a collected filter
+    (``blocks``: block -> bits, bounded at ceil(m/63) entries — the
+    same bounded-driver-collect discipline as the k-means centroids).
+    Pure column expression: k md5s + map lookups, no join."""
+    if blocks:
+        flat: list[Column] = []
+        for blk, bits in sorted(blocks.items()):
+            flat += [F.lit(int(blk)), F.lit(int(bits))]
+        bmap = F.create_map(*flat)
+    else:
+        bmap = F.create_map().cast("map<int,bigint>")
+    pred = F.lit(True)
+    for j in range(k):
+        pos = bloom_pos(value, F.lit(j), m)
+        word = F.coalesce(
+            F.element_at(bmap, (pos / 63).cast("int")),
+            F.lit(0).cast("long"))
+        pred = pred & (F.call_function(
+            "shiftright", word, (pos % 63).cast("int"))
+            .bitwiseAND(F.lit(1).cast("long")) == 1)
+    return pred
+
+
+def bloom_prune(df: DataFrame, value: str, bloom: DataFrame,
+                k: int = BLOOM_K, m: int = BLOOM_BITS) -> DataFrame:
+    """Keep the rows of ``df`` whose ``value`` passes the filter.
+    Collects the BOUNDED block table (never the probe side) and prunes
+    with a pure column predicate — the probe plan stays scan+filter."""
+    blocks = {int(r.block): int(r.bits) for r in bloom.collect()}
+    return df.filter(bloom_contains(F.col(value), blocks, k, m))

@@ -163,7 +163,14 @@ def test_driver_oracle_strict(spark):
     # r5f: slot freed for hll_tokens — nation_revenue's join+agg revenue
     # shape is a strict sub-shape of the surviving tpch_q5ish row (same
     # join chain + decimal money agg)
-    "nation_revenue"])
+    "nation_revenue",
+    # r5f: slot freed for cm_freq — q10ish's join-chain + money-agg +
+    # top-k shape survives via the surviving tpch_q3ish row
+    "tpch_q10ish",
+    # r5f: slot freed for bloom_prune — lsh_ann's bucketed-ANN surface
+    # survives via ivf_search + embedding_near_dup, plus its own
+    # recall>=0.9 pytest gate
+    "lsh_ann"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep
