@@ -1,0 +1,105 @@
+"""Triangle counting and BFS distances on plain edge DataFrames.
+
+KG-analytics companions to components/pagerank/hits (SURVEY §2.8 class;
+the reference has no graph analytics — engine-beyond-reference surface):
+triangle density is the standard cohesion signal for alias-cluster
+sanity checks (a canonicalization cluster that is a near-clique is
+trustworthy; a star around one hub token is suspect), and BFS distance
+from a seed set is the reachability/radius probe for KG QA (how far does
+an entity sit from the trusted core?).
+
+Scale notes, in the same discipline as operators/components.py:
+
+* ``triangle_count`` uses the classic degree-ordered orientation
+  (each undirected edge points from the (degree, id)-smaller endpoint
+  to the larger): every triangle is enumerated EXACTLY once, and the
+  wedge join fans out from each node's *oriented out-degree*, which the
+  orientation bounds at O(sqrt(E)) even on power-law graphs — the
+  skew defense that makes the two-shuffle plan (join on the wedge
+  midpoint, then on the closing edge) survive a head-heavy host graph.
+  No all-pairs step anywhere.
+* ``bfs_distances`` is frontier-at-a-time label propagation: each
+  iteration shuffles only the CURRENT frontier's neighborhood, visited
+  nodes drop out via an anti-join, and ``localCheckpoint`` truncates
+  the iterative lineage (the bounded-plan rule all iterative operators
+  here follow). Iterations = graph diameter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge list: (u, v) with u < v, self-loops
+    dropped, duplicates collapsed."""
+    u = F.least(F.col("src"), F.col("dst"))
+    v = F.greatest(F.col("src"), F.col("dst"))
+    return (edges.select(u.alias("u"), v.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """edges(src, dst) -> (node, tri): triangles incident to each node
+    (nodes in no triangle are absent). Each triangle contributes one
+    count to each of its three corners; sum(tri) == 3 * total."""
+    und = _undirected(edges).localCheckpoint()
+
+    deg = (und.select(F.col("u").alias("n"))
+           .unionAll(und.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("deg")))
+
+    # orient by (degree, id): a -> b iff (deg_a, a) < (deg_b, b)
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    withdeg = und.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | \
+        ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = withdeg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"))
+
+    # wedges a->b, a->c (b before c in orientation rank via a second
+    # oriented edge b->c): join out-edges on the shared source, close
+    # with the oriented edge (b, c). Exactly-once enumeration.
+    e1 = oriented.select(F.col("a"), F.col("b"))
+    e2 = oriented.select(F.col("a").alias("a2"), F.col("b").alias("c"))
+    wedges = e1.join(e2, e1.a == e2.a2).select("a", "b", "c")
+    closing = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tris = wedges.join(closing, ["b", "c"])
+
+    corners = (tris.select(F.col("a").alias("node"))
+               .unionAll(tris.select(F.col("b").alias("node")))
+               .unionAll(tris.select(F.col("c").alias("node"))))
+    return corners.groupBy("node").agg(F.count("*").alias("tri"))
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame,
+                  max_iter: int = 30) -> DataFrame:
+    """edges(src, dst) (treated undirected) + seeds(node) ->
+    (node, dist): hop distance from the nearest seed; unreachable nodes
+    are absent. ``max_iter`` bounds the explored radius."""
+    sym = (edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+           .unionAll(edges.select(F.col("dst").alias("a"),
+                                  F.col("src").alias("b")))
+           .filter(F.col("a") != F.col("b"))
+           .distinct()
+           .localCheckpoint())
+
+    dist = (seeds.select("node").distinct()
+            .withColumn("dist", F.lit(0)).localCheckpoint())
+    frontier = dist.select("node")
+
+    for i in range(1, max_iter + 1):
+        nxt = (sym.join(frontier, sym.a == frontier.node)
+               .select(F.col("b").alias("node")).distinct()
+               .join(dist, "node", "left_anti")
+               .withColumn("dist", F.lit(i))
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return dist

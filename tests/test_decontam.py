@@ -170,7 +170,13 @@ def test_driver_oracle_strict(spark):
     # r5f: slot freed for bloom_prune — lsh_ann's bucketed-ANN surface
     # survives via ivf_search + embedding_near_dup, plus its own
     # recall>=0.9 pytest gate
-    "lsh_ann"])
+    "lsh_ann",
+    # r5f: slot freed for triangles — q14ish's conditional-agg-ratio
+    # shape survives via gopher_rules + the q5ish/q3ish money aggs
+    "tpch_q14ish",
+    # r5f: slot freed for bfs_dist — q18ish's agg-having subquery + join
+    # shape survives via tpch_q16ish and tpch_q4ish
+    "tpch_q18ish"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep

@@ -1,0 +1,118 @@
+"""Graph-algorithm gates: triangle counts and BFS distances vs local
+brute force, exactly-once triangle enumeration, partition invariance."""
+
+import random
+from collections import defaultdict, deque
+
+import pytest
+from pyspark.sql import functions as F
+
+from stackoverflowner_spark.operators.graphalgo import (
+    bfs_distances, triangle_count)
+from stackoverflowner_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(app_name="sokg-graphalgo", master="local[4]",
+                  shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _random_graph(n=60, m=220, seed=7):
+    rng = random.Random(seed)
+    edges = set()
+    while len(edges) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    return sorted(edges)
+
+
+def _brute_triangles(edges):
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    per = defaultdict(int)
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    per[a] += 1
+                    per[b] += 1
+                    per[c] += 1
+    return dict(per)
+
+
+def _brute_bfs(edges, seeds):
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        x = q.popleft()
+        for y in adj[x]:
+            if y not in dist:
+                dist[y] = dist[x] + 1
+                q.append(y)
+    return dist
+
+
+def test_triangles_match_brute_force(spark):
+    edges = _random_graph()
+    sdf = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.tri for r in triangle_count(sdf).collect()}
+    assert got == _brute_triangles(edges)
+
+
+def test_triangles_exactly_once(spark):
+    # duplicate edges, both directions, self loops — canonicalization
+    # must collapse them; sum of per-node counts is 3 * total triangles
+    tri = [(1, 2), (2, 3), (3, 1)]
+    noisy = tri + [(2, 1), (3, 2), (1, 1), (2, 3), (1, 3)]
+    sdf = spark.createDataFrame(noisy, "src int, dst int")
+    got = {r.node: r.tri for r in triangle_count(sdf).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_none_on_tree(spark):
+    sdf = spark.createDataFrame([(i, i + 1) for i in range(20)],
+                                "src int, dst int")
+    assert triangle_count(sdf).count() == 0
+
+
+def test_triangles_partition_invariant(spark):
+    edges = _random_graph(seed=11)
+    a = spark.createDataFrame(edges, "src int, dst int")
+    b = spark.createDataFrame(list(reversed(edges)),
+                              "src int, dst int").repartition(7)
+    ga = sorted((r.node, r.tri) for r in triangle_count(a).collect())
+    gb = sorted((r.node, r.tri) for r in triangle_count(b).collect())
+    assert ga == gb
+
+
+def test_bfs_matches_brute_force(spark):
+    edges = _random_graph(n=80, m=140, seed=3)  # sparse -> wider radius
+    seeds = [0, 41]
+    sdf = spark.createDataFrame(edges, "src int, dst int")
+    seed_df = spark.createDataFrame([(s,) for s in seeds], "node int")
+    got = {r.node: r.dist for r in bfs_distances(sdf, seed_df).collect()}
+    assert got == _brute_bfs(edges, seeds)
+
+
+def test_bfs_unreachable_absent_and_radius_bound(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11)]  # two components
+    sdf = spark.createDataFrame(edges, "src int, dst int")
+    seed_df = spark.createDataFrame([(0,)], "node int")
+    got = {r.node: r.dist for r in bfs_distances(sdf, seed_df).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    capped = {r.node: r.dist
+              for r in bfs_distances(sdf, seed_df, max_iter=2).collect()}
+    assert capped == {0: 0, 1: 1, 2: 2}
