@@ -23,6 +23,16 @@ Scale notes, in the same discipline as operators/components.py:
   nodes drop out via an anti-join, and ``localCheckpoint`` truncates
   the iterative lineage (the bounded-plan rule all iterative operators
   here follow). Iterations = graph diameter.
+* ``weighted_sssp`` is Bellman-Ford with an improved-only frontier:
+  each iteration relaxes only edges out of nodes whose tentative cost
+  just dropped, so late iterations shuffle a shrinking frontier, not
+  the whole graph. Integer weights keep every tentative cost exact
+  (min over bigints is order-independent), which is what lets the
+  result sit under a bitwise recursive-CTE oracle — the float-weight
+  variant would be the k-means/PageRank class (pytest-only). The
+  ``max_cost`` radius bound is part of the SEMANTICS (bounded-cost
+  search, the KG "trusted core neighborhood" probe), and doubles as
+  the oracle's recursion bound.
 """
 
 from __future__ import annotations
@@ -102,4 +112,42 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame,
             break
         dist = dist.unionByName(nxt).localCheckpoint()
         frontier = nxt.select("node")
+    return dist
+
+
+def weighted_sssp(edges: DataFrame, seeds: DataFrame, max_cost: int,
+                  max_iter: int = 100) -> DataFrame:
+    """edges(src, dst, w) (directed, integer w >= 1) + seeds(node) ->
+    (node, cost): cheapest path cost from the nearest seed, restricted
+    to paths of total cost <= ``max_cost`` (nodes only reachable above
+    the bound are absent). Symmetrize the edge list first for the
+    undirected reading."""
+    es = (edges.select(F.col("src").alias("a"), F.col("dst").alias("b"),
+                       F.col("w").cast("long").alias("w"))
+          .filter((F.col("a") != F.col("b")) & (F.col("w") >= 1))
+          .groupBy("a", "b").agg(F.min("w").alias("w"))
+          .localCheckpoint())
+
+    dist = (seeds.select("node").distinct()
+            .withColumn("cost", F.lit(0).cast("long")).localCheckpoint())
+    frontier = dist
+
+    for _ in range(max_iter):
+        cand = (es.join(frontier, es.a == frontier.node)
+                .select(F.col("b").alias("node"),
+                        (F.col("cost") + F.col("w")).alias("cost"))
+                .filter(F.col("cost") <= max_cost)
+                .groupBy("node").agg(F.min("cost").alias("cost")))
+        improved = (cand.join(dist.select(F.col("node"),
+                                          F.col("cost").alias("_old")),
+                              "node", "left")
+                    .filter(F.col("_old").isNull()
+                            | (F.col("cost") < F.col("_old")))
+                    .select("node", "cost")
+                    .localCheckpoint())
+        if improved.isEmpty():
+            break
+        dist = (dist.join(improved.select("node"), "node", "left_anti")
+                .unionByName(improved).localCheckpoint())
+        frontier = improved
     return dist

@@ -176,7 +176,20 @@ def test_driver_oracle_strict(spark):
     "tpch_q14ish",
     # r5f: slot freed for bfs_dist — q18ish's agg-having subquery + join
     # shape survives via tpch_q16ish and tpch_q4ish
-    "tpch_q18ish"])
+    "tpch_q18ish",
+    # r5g: slot freed for fuzzy_link — embedding_topk's broadcast-cosine
+    # surface survives via ivf_search plus its bitwise dot-fold pytest
+    # oracle
+    "embedding_topk",
+    # r5g: slot freed for sssp — lsh_pairs' banding-bucket-self-join
+    # surface survives via simhash_pairs; the minhash chain keeps its
+    # own pytest gates
+    "lsh_pairs",
+    # r5g: oracled from birth on the pytest surface (never drove a
+    # 50-slot): exact-rational PMI collocations and inverted-index
+    # conjunctive search
+    "pmi_collocations",
+    "keyword_search"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep

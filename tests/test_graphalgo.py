@@ -1,6 +1,8 @@
-"""Graph-algorithm gates: triangle counts and BFS distances vs local
-brute force, exactly-once triangle enumeration, partition invariance."""
+"""Graph-algorithm gates: triangle counts, BFS distances, and weighted
+SSSP vs local brute force; exactly-once triangle enumeration; partition
+invariance; radius-bound semantics."""
 
+import heapq
 import random
 from collections import defaultdict, deque
 
@@ -8,7 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from stackoverflowner_spark.operators.graphalgo import (
-    bfs_distances, triangle_count)
+    bfs_distances, triangle_count, weighted_sssp)
 from stackoverflowner_spark.session import get_spark
 
 
@@ -116,3 +118,71 @@ def test_bfs_unreachable_absent_and_radius_bound(spark):
     capped = {r.node: r.dist
               for r in bfs_distances(sdf, seed_df, max_iter=2).collect()}
     assert capped == {0: 0, 1: 1, 2: 2}
+
+
+def _random_weighted(n=60, m=200, wmax=5, seed=13):
+    rng = random.Random(seed)
+    edges = {}
+    while len(edges) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b and (a, b) not in edges:
+            edges[(a, b)] = rng.randint(1, wmax)
+    return [(a, b, w) for (a, b), w in sorted(edges.items())]
+
+
+def _dijkstra(edges, seeds, max_cost):
+    adj = defaultdict(list)
+    for a, b, w in edges:
+        adj[a].append((b, w))
+    dist = {}
+    heap = [(0, s) for s in seeds]
+    while heap:
+        c, x = heapq.heappop(heap)
+        if x in dist or c > max_cost:
+            continue
+        dist[x] = c
+        for y, w in adj[x]:
+            if y not in dist and c + w <= max_cost:
+                heapq.heappush(heap, (c + w, y))
+    return dist
+
+
+def test_sssp_matches_dijkstra(spark):
+    edges = _random_weighted()
+    seeds = [0, 17]
+    sdf = spark.createDataFrame(edges, "src int, dst int, w int")
+    seed_df = spark.createDataFrame([(s,) for s in seeds], "node int")
+    got = {r.node: r.cost
+           for r in weighted_sssp(sdf, seed_df, max_cost=10 ** 6).collect()}
+    assert got == _dijkstra(edges, seeds, 10 ** 6)
+
+
+def test_sssp_cost_bound_is_semantic(spark):
+    # 0 -1-> 1 -1-> 2 -5-> 3: bound 2 reaches node 2, never node 3
+    edges = [(0, 1, 1), (1, 2, 1), (2, 3, 5)]
+    sdf = spark.createDataFrame(edges, "src int, dst int, w int")
+    seed_df = spark.createDataFrame([(0,)], "node int")
+    got = {r.node: r.cost
+           for r in weighted_sssp(sdf, seed_df, max_cost=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_sssp_prefers_cheap_long_path(spark):
+    # direct hop costs 9; the three-hop detour costs 3 — Bellman-Ford's
+    # later iterations must overwrite the earlier tentative cost
+    edges = [(0, 3, 9), (0, 1, 1), (1, 2, 1), (2, 3, 1)]
+    sdf = spark.createDataFrame(edges, "src int, dst int, w int")
+    seed_df = spark.createDataFrame([(0,)], "node int")
+    got = {r.node: r.cost
+           for r in weighted_sssp(sdf, seed_df, max_cost=100).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_sssp_multi_edge_takes_min_and_directed(spark):
+    # parallel edges collapse to min weight; direction is respected
+    edges = [(0, 1, 7), (0, 1, 2), (2, 0, 1)]
+    sdf = spark.createDataFrame(edges, "src int, dst int, w int")
+    seed_df = spark.createDataFrame([(0,)], "node int")
+    got = {r.node: r.cost
+           for r in weighted_sssp(sdf, seed_df, max_cost=100).collect()}
+    assert got == {0: 0, 1: 2}  # node 2 unreachable from 0 (edge is 2->0)
