@@ -830,6 +830,100 @@ def q_keyword_search(spark, sf):
     return keyword_search(build_postings(docs), queries, k=10)
 
 
+def q_hist_quantile(spark, sf):
+    # Mergeable integer histogram + all-integer quantile readout
+    # (operators/quantiles.py): exact-cents binning (DECIMAL(18,2)*100),
+    # one bounded-key shuffle, readout picks the first bin whose
+    # cumulative count reaches ceil(q*n/100) via div/pmod — no float
+    # division anywhere, so bins, bounds, and cumulative counts replay
+    # bitwise. Pytest-gated surface.
+    from stackoverflowner_spark.operators.quantiles import (
+        histogram_quantiles, histogram_sketch, to_cents)
+    ev = _t(spark, sf, "events")
+    hist = histogram_sketch(ev, to_cents(F.col("value")), 0, 50000, 100)
+    return histogram_quantiles(hist, [50, 90, 99], 0, 50000, 100)
+
+
+def q_exact_quantiles(spark, sf):
+    # Exact per-group percentile_disc (operators/quantiles.py): value at
+    # rank ceil(q*n/100) in ascending integer-cents order — one window
+    # shuffle; only the value is emitted, so row_number's tie order
+    # can't leak nondeterminism. Pytest-gated surface.
+    from stackoverflowner_spark.operators.quantiles import (
+        exact_group_quantiles, to_cents)
+    ev = _t(spark, sf, "events")
+    return exact_group_quantiles(ev, "event_type", to_cents(F.col("value")),
+                                 [25, 50, 75, 90])
+
+
+def q_rollup_revenue(spark, sf):
+    # Grouping-sets shape for the §2.7 family: region->nation revenue
+    # ROLLUP with grouping() flags, decimal money discipline throughout.
+    # Pytest-gated surface.
+    region = _t(spark, sf, "region")
+    nation = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    j = (region.join(nation,
+                     region.r_regionkey == nation.n_regionkey)
+         .join(cust, nation.n_nationkey == cust.c_nationkey)
+         .join(orders, cust.c_custkey == orders.o_custkey))
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (j.rollup("r_name", "n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(dec).cast("double").alias("revenue"),
+                 F.grouping("r_name").cast("long").alias("g_r"),
+                 F.grouping("n_name").cast("long").alias("g_n"))
+            .select(F.coalesce(F.col("r_name"), F.lit("ALL")).alias("r_name"),
+                    F.coalesce(F.col("n_name"), F.lit("ALL")).alias("n_name"),
+                    "n_orders", "revenue", "g_r", "g_n"))
+
+
+def q_pivot_events(spark, sf):
+    # Pivot shape: per-user event-type revenue matrix with an explicit
+    # deterministic value list, decimal sums cast back to double.
+    # Pytest-gated surface.
+    ev = _t(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    dec = F.col("value").cast("decimal(18,2)")
+    piv = ev.groupBy("user_id").pivot("event_type", types).agg(F.sum(dec))
+    return piv.select("user_id",
+                      *[F.col(t).cast("double").alias(t) for t in types])
+
+
+def q_tumbling_window(spark, sf):
+    # Event-time tumbling windows via Spark's native window() expression
+    # (the batch face of the streaming windowed-agg surface), keyed out
+    # as unix micros through the cross-engine timestamp idiom.
+    # Pytest-gated surface.
+    ev = _t(spark, sf, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return (ev.groupBy(win.alias("w"), F.col("event_type"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).alias("_s"))
+            .select(F.unix_micros(F.col("w.start").cast("timestamp_ltz"))
+                    .alias("ws_us"),
+                    F.unix_micros(F.col("w.end").cast("timestamp_ltz"))
+                    .alias("we_us"),
+                    "event_type", "n",
+                    F.col("_s").cast("double").alias("sum_value")))
+
+
+def q_comention_graph(spark, sf):
+    # Entity co-mention evidence graph (operators/cooccur.py): the
+    # doc-keyed self-join over per-doc distinct entities — src < dst
+    # canonical, weight = co-mention document count. Feeds pagerank/
+    # components/triangles. Entities here are the documents' normalized
+    # tokens, with the mega-doc fanout guard exercised non-vacuously.
+    # Pytest-gated surface.
+    from stackoverflowner_spark.operators.cooccur import comention_edges
+    from stackoverflowner_spark.operators.decontam import norm_tokens
+    docs = _t(spark, sf, "documents")
+    ments = docs.select("doc_id",
+                        F.explode(norm_tokens("text")).alias("entity"))
+    return comention_edges(ments, "doc_id", "entity", max_per_doc=25)
+
+
 def q_nation_revenue(spark, sf):
     cust = _t(spark, sf, "customer")
     orders = _t(spark, sf, "orders")
@@ -2886,6 +2980,105 @@ def oracle_sql() -> dict[str, str]:
                         order by score desc, doc_id) as bigint) as rank
             from fullm
             qualify rank <= 10""",
+        "hist_quantile": """
+            with cents as (
+              select cast(cast(value as decimal(18,2)) * 100 as bigint)
+                     as c
+              from events),
+            hist as (
+              select least(99, greatest(c, 0) // 500) as bin,
+                     count(*) as cnt
+              from cents group by 1),
+            cum as (
+              select bin, cnt,
+                     sum(cnt) over (order by bin rows between unbounded
+                                    preceding and current row) as cum,
+                     sum(cnt) over () as n
+              from hist),
+            hit as (
+              select q.q_pct, bin, cum
+              from cum, (values (50), (90), (99)) q(q_pct)
+              where cum >= (q.q_pct * n + 99) // 100)
+            select cast(q_pct as bigint) as q_pct,
+                   cast(bin as bigint) as bin,
+                   cast(bin * 500 as bigint) as bin_lo_cents,
+                   cast((bin + 1) * 500 as bigint) as bin_hi_cents,
+                   cast(cum as bigint) as cum_cnt
+            from hit
+            qualify row_number() over (partition by q_pct
+                                       order by bin) = 1""",
+        "exact_quantiles": """
+            with cents as (
+              select event_type,
+                     cast(cast(value as decimal(18,2)) * 100 as bigint)
+                     as c
+              from events),
+            ranked as (
+              select event_type, c,
+                     row_number() over (partition by event_type
+                                        order by c) as rn,
+                     count(*) over (partition by event_type) as n
+              from cents)
+            select event_type, cast(q.q_pct as bigint) as q_pct,
+                   c as cents
+            from ranked, (values (25), (50), (75), (90)) q(q_pct)
+            where rn = (q.q_pct * n + 99) // 100""",
+        "rollup_revenue": """
+            select coalesce(r_name, 'ALL') as r_name,
+                   coalesce(n_name, 'ALL') as n_name,
+                   count(*) as n_orders,
+                   cast(sum(cast(o_totalprice as decimal(18,2)))
+                        as double) as revenue,
+                   cast(grouping(r_name) as bigint) as g_r,
+                   cast(grouping(n_name) as bigint) as g_n
+            from region
+            join nation on n_regionkey = r_regionkey
+            join customer on c_nationkey = n_nationkey
+            join orders on o_custkey = c_custkey
+            group by rollup(r_name, n_name)""",
+        "pivot_events": """
+            select user_id,
+                   cast(sum(case when event_type = 'click'
+                                 then cast(value as decimal(18,2)) end)
+                        as double) as click,
+                   cast(sum(case when event_type = 'error'
+                                 then cast(value as decimal(18,2)) end)
+                        as double) as error,
+                   cast(sum(case when event_type = 'purchase'
+                                 then cast(value as decimal(18,2)) end)
+                        as double) as purchase,
+                   cast(sum(case when event_type = 'signup'
+                                 then cast(value as decimal(18,2)) end)
+                        as double) as signup,
+                   cast(sum(case when event_type = 'view'
+                                 then cast(value as decimal(18,2)) end)
+                        as double) as view
+            from events group by user_id""",
+        "tumbling_window": """
+            select epoch_us(date_trunc('hour', ts)) as ws_us,
+                   epoch_us(date_trunc('hour', ts)) + 3600000000 as we_us,
+                   event_type, count(*) as n,
+                   cast(sum(cast(value as decimal(18,2))) as double)
+                     as sum_value
+            from events group by 1, 2, 3""",
+        "comention_graph": """
+            with toks as (
+              select doc_id, list_filter(list_transform(
+                  string_split_regex(lower(text), '\\s+'),
+                  x -> regexp_replace(x, '^[^a-z0-9]+|[^a-z0-9]+$',
+                                      '', 'g')), x -> x <> '') as t
+              from documents),
+            ents as (
+              select distinct doc_id, x as e
+              from (select doc_id, unnest(t) as x from toks)),
+            kept as (
+              select doc_id, e from ents
+              where doc_id in (select doc_id from ents
+                               group by doc_id having count(*) <= 25))
+            select a.e as src, b.e as dst, cast(count(*) as bigint) as w
+            from kept a join kept b
+              on a.doc_id = b.doc_id and a.e < b.e
+            group by 1, 2""",
         "eval_rollup": """
             select coalesce(event_type, '__overall__') as event_type,
                    count(*) as n,

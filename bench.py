@@ -266,7 +266,10 @@ def main() -> None:
                 "sessionize", "domain_cap", "asof_join", "range_join",
                 "crawl_delta", "doc_chunks", "pack_docs",
                 "temperature_sample", "substring_dedup",
-                "link_graph", "lm_score", "robots_filter", "boilerplate"]
+                "link_graph", "lm_score", "robots_filter", "boilerplate",
+                # r5f/r5g additions, appended for the same reason
+                "hll_tokens", "cm_freq", "bloom_prune", "triangles",
+                "bfs_dist", "sssp", "fuzzy_link", "keyword_search"]
 
     host = {"triad_gbs_start": _triad_gbs()}
     spark = _fresh_spark(CPUS)
@@ -280,8 +283,17 @@ def main() -> None:
     for extra in ("lsh_pairs_fast", "lang_id", "token_count", "pii_scrub",
                   "sessionize", "domain_cap",
                   # r5d rotations: off the driver surface, still benched
-                  "minhash", "simhash"):
+                  "minhash", "simhash",
+                  # r5g rotations + the pytest-gated-from-birth search row
+                  "lsh_pairs", "embedding_topk", "keyword_search"):
         qs[extra] = getattr(entry, f"q_{extra}")
+    # any headline row that has since rotated off the driver surface still
+    # has its q_ function + oracle in the entry module — resolve it there
+    # instead of KeyError-ing the whole bench (the r5f hll_tokens rotation
+    # dropped nation_revenue from queries() while it stayed a headline row)
+    for name in headline:
+        if name not in qs:
+            qs[name] = getattr(entry, f"q_{name}")
     # warm the session before the timed loop: the first query otherwise
     # absorbs JVM heap growth, codegen JIT, and the one-time splittable
     # fixture rewrite (tpch_q1 measured 6.2 s in the r3 driver run vs 1.9 s

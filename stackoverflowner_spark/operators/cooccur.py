@@ -71,3 +71,32 @@ def collocations(docs: DataFrame, text_col: str = "text",
         den.cast("long").alias("lift_den"),
         (F.lit(10) * num >= F.lit(strong_lift_x10) * den)
         .cast("long").alias("strong"))
+
+
+def comention_edges(mentions: DataFrame, doc_col: str = "doc_id",
+                    ent_col: str = "entity",
+                    max_per_doc: int | None = None) -> DataFrame:
+    """(src, dst, w): undirected entity co-mention edges — src < dst
+    canonical, w = number of documents where both entities appear
+    (per-document multiplicity ignored). The standard KG evidence graph
+    feeding pagerank/components/triangles.
+
+    Scale shape: the self-join is keyed on the DOCUMENT, so fan-out is
+    per-doc-distinct-entities squared — bounded by ``max_per_doc``
+    (documents above it are dropped entirely, the standard mega-doc
+    guard: a page mentioning 10k entities contributes 5e7 pairs of
+    near-zero evidential value). One distinct shuffle, one doc-keyed
+    join, one groupBy(src, dst) shuffle; never all-pairs across docs.
+    """
+    d = mentions.select(F.col(doc_col).alias("_d"),
+                        F.col(ent_col).alias("_e")).distinct()
+    if max_per_doc is not None:
+        ok = (d.groupBy("_d").agg(F.count("*").alias("_k"))
+              .filter(F.col("_k") <= max_per_doc).select("_d"))
+        d = d.join(ok, "_d", "left_semi")
+    a = d.select(F.col("_d"), F.col("_e").alias("src"))
+    b = d.select(F.col("_d"), F.col("_e").alias("dst"))
+    return (a.join(b, "_d")
+            .filter(F.col("src") < F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count("*").cast("long").alias("w")))

@@ -6,7 +6,8 @@ from collections import Counter
 
 import pytest
 
-from stackoverflowner_spark.operators.cooccur import collocations
+from stackoverflowner_spark.operators.cooccur import (
+    collocations, comention_edges)
 from stackoverflowner_spark.operators.search import (
     build_postings, keyword_search)
 from stackoverflowner_spark.session import get_spark
@@ -79,6 +80,33 @@ def test_collocations_min_count_filters(spark):
            for r in collocations(docs, min_pair_count=3).collect()}
     assert got == {(a, b) for (a, b), v in _local_colloc(3).items()}
     assert ("york", "is") not in got  # count 1 pair never surfaces
+
+
+MENTIONS = [(0, "java"), (0, "maven"), (0, "java"),     # dup ignored
+            (1, "java"), (1, "maven"), (1, "gradle"),
+            (2, "java"), (2, "gradle"),
+            (3, "solo")]                                 # no pair
+
+
+def test_comention_weights_and_canonical_order(spark):
+    m = spark.createDataFrame(MENTIONS, "doc_id long, entity string")
+    got = sorted((r.src, r.dst, r.w)
+                 for r in comention_edges(m).collect())
+    assert got == [("gradle", "java", 2), ("gradle", "maven", 1),
+                   ("java", "maven", 2)]
+
+
+def test_comention_mega_doc_guard(spark):
+    m = spark.createDataFrame(
+        MENTIONS + [(9, f"e{i}") for i in range(40)],
+        "doc_id long, entity string")
+    capped = sorted((r.src, r.dst, r.w)
+                    for r in comention_edges(m, max_per_doc=10).collect())
+    # doc 9's 40 entities (780 pairs) dropped entirely; rest unchanged
+    assert capped == [("gradle", "java", 2), ("gradle", "maven", 1),
+                      ("java", "maven", 2)]
+    uncapped = comention_edges(m).count()
+    assert uncapped == 3 + 40 * 39 // 2
 
 
 SDOCS = [(0, "spark runs fast spark scales"),

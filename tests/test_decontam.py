@@ -189,7 +189,19 @@ def test_driver_oracle_strict(spark):
     # 50-slot): exact-rational PMI collocations and inverted-index
     # conjunctive search
     "pmi_collocations",
-    "keyword_search"])
+    "keyword_search",
+    # r5g: oracled from birth on the pytest surface — distribution
+    # summaries (mergeable histogram + exact group percentiles) and the
+    # remaining §2.7 shapes (rollup grouping sets, pivot, event-time
+    # tumbling windows)
+    "hist_quantile",
+    "exact_quantiles",
+    "rollup_revenue",
+    "pivot_events",
+    "tumbling_window",
+    # r5g: the entity co-mention evidence graph (doc-keyed self-join
+    # with the mega-doc fanout guard), oracled from birth
+    "comention_graph"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep
