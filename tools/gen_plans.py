@@ -99,6 +99,16 @@ fingerprint-sized, not window-sized. The candidate pairing is a bucketed
 self-equi-join on the fingerprint — NO CartesianProduct/NestedLoop node
 (gated in tests/test_substrdedup.py).
 """,
+    "fuzzy": """## 11. FastSS fuzzy alias join (deletion-neighborhood blocking)
+
+Checklist: both sides expand to deletion variants in a row-local
+`Generate explode` over a `transform` expression (no Python), candidates
+meet in a shuffled equi-join ON THE VARIANT — no
+CartesianProduct/NestedLoop anywhere (the brute-force cross join this
+operator is bitwise-equal to never appears in the plan; gated in
+tests/test_fuzzylink.py) — and the exact `levenshtein` verify is a plain
+JVM `Filter` after the join.
+""",
     "rank": """## 5. Two-pass word-mapping ids (partitioned_rank)
 
 Checklist: NO `Exchange SinglePartition` anywhere (the r02 scale flag) —
@@ -209,6 +219,20 @@ def main() -> None:
     assert "PythonUDF" not in wc_plan and "Cartesian" not in wc_plan \
         and "NestedLoop" not in wc_plan
     sections.append(HEADERS["substrdedup"] + "\n```\n" + wc_plan[:4000]
+                    + "\n```\n")
+
+    from stackoverflowner_spark.operators.fuzzylink import fuzzy_join
+    fl = fuzzy_join(docs.select(F.substring(F.md5(F.col("doc_id")
+                                                  .cast("string")), 1, 8)
+                                .alias("mention")),
+                    docs.select(F.substring(F.md5(F.concat(
+                        F.col("doc_id").cast("string"), F.lit("x"))), 1, 8)
+                        .alias("alias")),
+                    "mention", "alias", max_dist=1)
+    fl_plan = formatted(fl)
+    assert "Cartesian" not in fl_plan and "NestedLoop" not in fl_plan \
+        and "PythonUDF" not in fl_plan
+    sections.append(HEADERS["fuzzy"] + "\n```\n" + fl_plan[:4000]
                     + "\n```\n")
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
