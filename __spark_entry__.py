@@ -924,6 +924,24 @@ def q_comention_graph(spark, sf):
     return comention_edges(ments, "doc_id", "entity", max_per_doc=25)
 
 
+def q_crawl_schedule(spark, sf):
+    # Politeness crawl scheduling (operators/crawlsched.py): every
+    # (host, url) gets a deterministic fetch slot in the host's
+    # md5(url) order and a timestamp start + slot*interval. The Spark
+    # side runs the skew-proof two-pass rank (md5-prefix salt buckets +
+    # host-level offsets, provably equal to the plain window); the
+    # oracle states the semantics with the plain window. Pytest-gated
+    # surface.
+    from stackoverflowner_spark.operators.crawlsched import crawl_schedule
+    docs = _t(spark, sf, "documents")
+    host = F.concat(F.lit("www."), F.col("source"), F.lit(".example.com"))
+    urls = docs.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, F.lit("/d/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    return crawl_schedule(urls)
+
+
 def q_nation_revenue(spark, sf):
     cust = _t(spark, sf, "customer")
     orders = _t(spark, sf, "orders")
@@ -3079,6 +3097,20 @@ def oracle_sql() -> dict[str, str]:
             from kept a join kept b
               on a.doc_id = b.doc_id and a.e < b.e
             group by 1, 2""",
+        "crawl_schedule": """
+            with urls as (
+              select 'www.' || source || '.example.com' as host,
+                     'https://www.' || source || '.example.com/d/'
+                       || cast(doc_id as varchar) as url
+              from documents)
+            select host, url,
+                   cast(row_number() over (partition by host
+                        order by md5(url), url) - 1 as bigint) as slot,
+                   cast(1704067200000000
+                        + (row_number() over (partition by host
+                           order by md5(url), url) - 1) * 2000000
+                        as bigint) as fetch_us
+            from urls""",
         "eval_rollup": """
             select coalesce(event_type, '__overall__') as event_type,
                    count(*) as n,

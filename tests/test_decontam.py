@@ -201,7 +201,10 @@ def test_driver_oracle_strict(spark):
     "tumbling_window",
     # r5g: the entity co-mention evidence graph (doc-keyed self-join
     # with the mega-doc fanout guard), oracled from birth
-    "comention_graph"])
+    "comention_graph",
+    # r5g: politeness crawl scheduling — skew-proof two-pass rank vs the
+    # plain-window oracle semantics, oracled from birth
+    "crawl_schedule"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep

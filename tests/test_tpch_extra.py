@@ -48,9 +48,21 @@ MONEY_QUERIES = ["tpch_q1", "tpch_q5ish", "tpch_q3ish", "tpch_q10ish",
                  "tpch_q4ish", "tpch_q7ish", "tpch_q9ish", "tpch_q22ish"]
 
 
-def test_money_family_strict_bitwise_sf001(spark):
-    from .oracle_harness import run_all
-    res = run_all(spark, SF, only=MONEY_QUERIES, strict=True)
-    assert sorted(res) == sorted(MONEY_QUERIES)
-    problems = [p for probs in res.values() for p in probs]
+def test_money_family_strict_bitwise_sf001(spark, con):
+    # resolve by q_ function, not through queries(): several money rows
+    # have rotated off the 50-entry driver surface (r5f/r5g) and
+    # run_all(only=...) silently skips absent names — this gate must
+    # keep covering the WHOLE family regardless of rotation state
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    oracles = mod.oracle_sql()
+    problems = []
+    for name in MONEY_QUERIES:
+        sdf = getattr(mod, f"q_{name}")(spark, SF).toPandas()
+        odf = con.execute(oracles[name]).df()
+        assert len(sdf) > 0, f"{name}: vacuous"
+        problems += compare(name, sdf, odf, strict=True)
     assert not problems, problems
