@@ -942,6 +942,41 @@ def q_crawl_schedule(spark, sf):
     return crawl_schedule(urls)
 
 
+def q_set_ops(spark, sf):
+    # INTERSECT / EXCEPT set semantics (SURVEY §2.7 noted these as the
+    # one unimplemented set-op class): high-balance customers vs the
+    # BUILDING segment, tagged 'both' / 'only_high'. Spark intersect()/
+    # subtract() against DuckDB's native INTERSECT/EXCEPT. Decimal
+    # compare on the money predicate. Pytest-gated surface.
+    cust = _t(spark, sf, "customer")
+    high = (cust.filter(F.col("c_acctbal").cast("decimal(18,2)")
+                        > F.lit(8000).cast("decimal(18,2)"))
+            .select("c_custkey").distinct())
+    bld = (cust.filter(F.col("c_mktsegment") == "BUILDING")
+           .select("c_custkey").distinct())
+    return (high.intersect(bld).withColumn("op", F.lit("both"))
+            .unionByName(high.subtract(bld)
+                         .withColumn("op", F.lit("only_high"))))
+
+
+def q_moving_sum(spark, sf):
+    # Moving window frame (rows between 3 preceding and current) per
+    # user over event time — the remaining window-frame shape; decimal
+    # sums keep the frame arithmetic exact, and the (ts, event_id)
+    # order is total so the frame contents are deterministic.
+    # Pytest-gated surface.
+    from pyspark.sql.window import Window
+    ev = _t(spark, sf, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts"), F.col("event_id"))
+         .rowsBetween(-3, 0))
+    return ev.select(
+        "event_id", "user_id",
+        F.count("*").over(w).cast("long").alias("n_win"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("mov_sum"))
+
+
 def q_nation_revenue(spark, sf):
     cust = _t(spark, sf, "customer")
     orders = _t(spark, sf, "orders")
@@ -3111,6 +3146,31 @@ def oracle_sql() -> dict[str, str]:
                            order by md5(url), url) - 1) * 2000000
                         as bigint) as fetch_us
             from urls""",
+        "set_ops": """
+            with high as (
+              select distinct c_custkey from customer
+              where cast(c_acctbal as decimal(18,2))
+                    > cast(8000 as decimal(18,2))),
+            bld as (
+              select distinct c_custkey from customer
+              where c_mktsegment = 'BUILDING')
+            select c_custkey, 'both' as op
+            from (select c_custkey from high
+                  intersect
+                  select c_custkey from bld)
+            union all
+            select c_custkey, 'only_high' as op
+            from (select c_custkey from high
+                  except
+                  select c_custkey from bld)""",
+        "moving_sum": """
+            select event_id, user_id,
+                   cast(count(*) over w as bigint) as n_win,
+                   cast(sum(cast(value as decimal(18,2))) over w
+                        as double) as mov_sum
+            from events
+            window w as (partition by user_id order by ts, event_id
+                         rows between 3 preceding and current row)""",
         "eval_rollup": """
             select coalesce(event_type, '__overall__') as event_type,
                    count(*) as n,

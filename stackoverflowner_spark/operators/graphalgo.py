@@ -23,6 +23,16 @@ Scale notes, in the same discipline as operators/components.py:
   nodes drop out via an anti-join, and ``localCheckpoint`` truncates
   the iterative lineage (the bounded-plan rule all iterative operators
   here follow). Iterations = graph diameter.
+* ``kcore`` is iterative peeling: drop nodes with degree < k, recount,
+  repeat to fixpoint. Each iteration aggregates degrees over the
+  CURRENT surviving subgraph only (one groupBy + one semi-join), the
+  edge set shrinks monotonically, and ``localCheckpoint`` keeps the
+  plan bounded. The result (the maximal subgraph with min degree >= k)
+  is unique — peeling order cannot change it — so the output is
+  deterministic even though the iteration count varies with the graph.
+  Shrinking fixpoints are not recursive-CTE-expressible (CTE unions are
+  monotone-accumulating), so this sits in the pytest-parity class with
+  PageRank/k-means rather than under a SQL oracle.
 * ``weighted_sssp`` is Bellman-Ford with an improved-only frontier:
   each iteration relaxes only edges out of nodes whose tentative cost
   just dropped, so late iterations shuffle a shrinking frontier, not
@@ -113,6 +123,36 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame,
         dist = dist.unionByName(nxt).localCheckpoint()
         frontier = nxt.select("node")
     return dist
+
+
+def kcore(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
+    """edges(src, dst) (undirected reading) -> (node, deg): the nodes of
+    the k-core — the maximal subgraph in which every node has degree
+    >= k — with their degree inside the core. Empty when no such
+    subgraph exists. The KG "trusted dense core" probe: alias clusters
+    whose members survive a 2- or 3-core are mutually corroborated."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    und = _undirected(edges).localCheckpoint()
+
+    for _ in range(max_iter):
+        deg = (und.select(F.col("u").alias("node"))
+               .unionAll(und.select(F.col("v").alias("node")))
+               .groupBy("node").agg(F.count("*").alias("deg")))
+        keep = deg.filter(F.col("deg") >= k).select("node").localCheckpoint()
+        pruned = (und.join(keep.withColumnRenamed("node", "u"), "u",
+                           "left_semi")
+                  .join(keep.withColumnRenamed("node", "v"), "v",
+                        "left_semi")
+                  .select("u", "v").localCheckpoint())
+        if pruned.count() == und.count():
+            break
+        und = pruned
+
+    return (und.select(F.col("u").alias("node"))
+            .unionAll(und.select(F.col("v").alias("node")))
+            .groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+            .filter(F.col("deg") >= k))
 
 
 def weighted_sssp(edges: DataFrame, seeds: DataFrame, max_cost: int,

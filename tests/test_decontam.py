@@ -204,7 +204,11 @@ def test_driver_oracle_strict(spark):
     "comention_graph",
     # r5g: politeness crawl scheduling — skew-proof two-pass rank vs the
     # plain-window oracle semantics, oracled from birth
-    "crawl_schedule"])
+    "crawl_schedule",
+    # r5g: INTERSECT/EXCEPT set semantics and the moving rows-frame
+    # window (decimal-exact), oracled from birth
+    "set_ops",
+    "moving_sum"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep

@@ -10,7 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from stackoverflowner_spark.operators.graphalgo import (
-    bfs_distances, triangle_count, weighted_sssp)
+    bfs_distances, kcore, triangle_count, weighted_sssp)
 from stackoverflowner_spark.session import get_spark
 
 
@@ -186,3 +186,47 @@ def test_sssp_multi_edge_takes_min_and_directed(spark):
     got = {r.node: r.cost
            for r in weighted_sssp(sdf, seed_df, max_cost=100).collect()}
     assert got == {0: 0, 1: 2}  # node 2 unreachable from 0 (edge is 2->0)
+
+
+def _brute_kcore(edges, k):
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive
+                if len(adj[n] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {n: len(adj[n] & alive) for n in alive}
+
+
+def _kcore_spark(spark, edges, k):
+    sdf = spark.createDataFrame(edges, "src int, dst int")
+    return {r.node: r.deg for r in kcore(sdf, k).collect()}
+
+
+def test_kcore_triangle_survives_tail_pruned(spark):
+    # triangle 1-2-3 plus a pendant path 3-4-5: 2-core = the triangle
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    assert _kcore_spark(spark, edges, 2) == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_cascade_empties_path(spark):
+    # peeling must CASCADE: every path endpoint removal exposes the next
+    edges = [(i, i + 1) for i in range(10)]
+    assert _kcore_spark(spark, edges, 2) == {}
+
+
+def test_kcore_clique(spark):
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    assert _kcore_spark(spark, edges, 4) == {n: 4 for n in range(5)}
+    assert _kcore_spark(spark, edges, 5) == {}
+
+
+def test_kcore_matches_brute_force(spark):
+    edges = _random_graph(n=50, m=140, seed=23)
+    for k in (2, 3, 4):
+        assert _kcore_spark(spark, edges, k) == _brute_kcore(edges, k)
