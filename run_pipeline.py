@@ -41,6 +41,11 @@ def main(argv=None) -> int:
     ap.add_argument("--link", choices=["broadcast", "salted"], default="broadcast")
     ap.add_argument("--lang", default="en")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--analytics", metavar="DIR",
+                    help="after the triple write, emit KG graph analytics "
+                         "under DIR: entity pagerank, per-node triangle "
+                         "counts, and the 2-core (operators/graphalgo.py) "
+                         "over the alias_of/instance_of edge structure")
     ap.add_argument("--tagger",
                     choices=["default", "gazetteer", "perceptron", "viterbi"],
                     default="default",
@@ -129,6 +134,36 @@ def main(argv=None) -> int:
     elapsed = time.time() - t0
     print(json.dumps({"triples": n, "sec": round(elapsed, 2),
                       "triples_per_sec": round(n / elapsed, 1), "out": out_path}))
+    if args.analytics:
+        from pyspark.sql import functions as F2
+
+        from stackoverflowner_spark.operators.graphalgo import (
+            kcore, triangle_count)
+        from stackoverflowner_spark.operators.pagerank import entity_pagerank
+        triples_df = spark.read.parquet(out_path)
+        # entity-to-entity structure only (alias_of/instance_of), the
+        # same edge reading entity_pagerank uses
+        edges = (triples_df
+                 .filter(F2.col("pred").isin("alias_of", "instance_of"))
+                 .select(F2.col("subj").alias("src"),
+                         F2.col("obj").alias("dst")).distinct()
+                 .localCheckpoint())
+        entity_pagerank(triples_df).write.mode("overwrite").parquet(
+            args.analytics + "/pagerank")
+        triangle_count(edges).write.mode("overwrite").parquet(
+            args.analytics + "/triangles")
+        kcore(edges, k=2).write.mode("overwrite").parquet(
+            args.analytics + "/kcore2")
+        stats = {
+            "edges": edges.count(),
+            "pagerank_rows": spark.read.parquet(
+                args.analytics + "/pagerank").count(),
+            "triangle_nodes": spark.read.parquet(
+                args.analytics + "/triangles").count(),
+            "kcore2_nodes": spark.read.parquet(
+                args.analytics + "/kcore2").count(),
+        }
+        print(json.dumps({"analytics": stats, "dir": args.analytics}))
     return 0
 
 

@@ -230,3 +230,26 @@ def test_kcore_matches_brute_force(spark):
     edges = _random_graph(n=50, m=140, seed=23)
     for k in (2, 3, 4):
         assert _kcore_spark(spark, edges, k) == _brute_kcore(edges, k)
+
+
+def test_cli_analytics_flag(spark, tmp_path, capsys):
+    """run_pipeline --analytics emits pagerank/triangles/kcore parquet
+    over the produced KG's entity edges."""
+    import json
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from run_pipeline import main
+
+    out = str(tmp_path / "out")
+    ana = str(tmp_path / "ana")
+    assert main(["--synth", "200", "--mode", "fused", "--tagger",
+                 "gazetteer", "--out", out, "--analytics", ana]) == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()
+             if x.startswith("{")]
+    stats = next(l["analytics"] for l in lines if "analytics" in l)
+    assert stats["edges"] > 0 and stats["pagerank_rows"] > 0
+    pr = spark.read.parquet(ana + "/pagerank")
+    assert pr.count() == stats["pagerank_rows"]
+    assert spark.read.parquet(ana + "/kcore2").count() == \
+        stats["kcore2_nodes"]
