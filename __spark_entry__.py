@@ -977,6 +977,17 @@ def q_moving_sum(spark, sf):
         .cast("double").alias("mov_sum"))
 
 
+def q_group_moments(spark, sf):
+    # Exact integer moments + population variance as an exact rational
+    # (operators/quantiles.py): n, sum, sum-of-squares over integer
+    # cents, var = (n*Sxx - Sx^2) / n^2 emitted as bigint num/den — the
+    # engine never hashes a float quotient. Pytest-gated surface.
+    from stackoverflowner_spark.operators.quantiles import (
+        group_moments, to_cents)
+    ev = _t(spark, sf, "events")
+    return group_moments(ev, "event_type", to_cents(F.col("value")))
+
+
 def q_nation_revenue(spark, sf):
     cust = _t(spark, sf, "customer")
     orders = _t(spark, sf, "orders")
@@ -3171,6 +3182,20 @@ def oracle_sql() -> dict[str, str]:
             from events
             window w as (partition by user_id order by ts, event_id
                          rows between 3 preceding and current row)""",
+        "group_moments": """
+            with cents as (
+              select event_type,
+                     cast(cast(value as decimal(18,2)) * 100 as bigint)
+                     as c
+              from events)
+            select event_type,
+                   cast(count(*) as bigint) as n,
+                   cast(sum(c) as bigint) as sum_cents,
+                   cast(sum(c * c) as bigint) as sum_sq_cents,
+                   cast(count(*) * sum(c * c) - sum(c) * sum(c)
+                        as bigint) as var_num,
+                   cast(count(*) * count(*) as bigint) as var_den
+            from cents group by event_type""",
         "eval_rollup": """
             select coalesce(event_type, '__overall__') as event_type,
                    count(*) as n,

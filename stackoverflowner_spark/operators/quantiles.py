@@ -129,3 +129,28 @@ def exact_group_quantiles(df: DataFrame, group_col: str, cents_col: Column,
             .select(F.col(group_col),
                     F.col("q_pct").cast("long").alias("q_pct"),
                     F.col("_c").alias("cents")))
+
+
+def group_moments(df: DataFrame, group_col: str,
+                  cents_col: Column) -> DataFrame:
+    """(group, n, sum_cents, sum_sq_cents, var_num, var_den): exact
+    integer moments plus the population variance as the exact rational
+    ``(n·Σx² − (Σx)²) / n²`` — mean and variance never leave integer
+    arithmetic, so the whole row hashes bitwise cross-engine (the
+    lmfilter/PMI discipline: consumers divide locally; the engine never
+    hashes a float quotient).
+
+    One map-side-combined groupBy shuffle. Overflow headroom: needs
+    ``n · max(cents)² < 2^63`` per group — at $500 values (5e4 cents)
+    that is ~3.7e9 rows/group; beyond that, pre-scale cents (divide by
+    a documented power of ten) before calling."""
+    agg = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(cents_col).cast("long").alias("sum_cents"),
+        F.sum(cents_col * cents_col).cast("long").alias("sum_sq_cents"))
+    var_num = (F.col("n") * F.col("sum_sq_cents")
+               - F.col("sum_cents") * F.col("sum_cents"))
+    return agg.select(
+        group_col, "n", "sum_cents", "sum_sq_cents",
+        var_num.cast("long").alias("var_num"),
+        (F.col("n") * F.col("n")).cast("long").alias("var_den"))

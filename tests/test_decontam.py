@@ -208,7 +208,9 @@ def test_driver_oracle_strict(spark):
     # r5g: INTERSECT/EXCEPT set semantics and the moving rows-frame
     # window (decimal-exact), oracled from birth
     "set_ops",
-    "moving_sum"])
+    "moving_sum",
+    # r5g: exact integer moments + rational population variance
+    "group_moments"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep

@@ -117,6 +117,27 @@ def test_exact_quantiles_tie_independent(spark):
     assert dict(qa) == {1: 5, 40: 5, 41: 7, 80: 7, 81: 9, 100: 9}
 
 
+def test_group_moments_match_local_fractions(spark):
+    from fractions import Fraction
+
+    from stackoverflowner_spark.operators.quantiles import group_moments
+    rng = random.Random(19)
+    rows = [(g, rng.randrange(0, 50000))
+            for g in ("a", "b") for _ in range(120)]
+    df = spark.createDataFrame(rows, "g string, c long")
+    got = {r.g: r for r in group_moments(df, "g", F.col("c")).collect()}
+    for g in ("a", "b"):
+        vals = [c for gg, c in rows if gg == g]
+        n, sx, sxx = len(vals), sum(vals), sum(v * v for v in vals)
+        r = got[g]
+        assert (r.n, r.sum_cents, r.sum_sq_cents) == (n, sx, sxx)
+        assert (r.var_num, r.var_den) == (n * sxx - sx * sx, n * n)
+        # the rational IS the exact population variance
+        mean = Fraction(sx, n)
+        pvar = sum((Fraction(v) - mean) ** 2 for v in vals) / n
+        assert Fraction(r.var_num, r.var_den) == pvar
+
+
 def test_to_cents_exact_on_two_decimal_doubles(spark):
     df = spark.createDataFrame([(0.01,), (490.02,), (0.29,), (123.45,)],
                                "value double")
