@@ -988,6 +988,47 @@ def q_group_moments(spark, sf):
     return group_moments(ev, "event_type", to_cents(F.col("value")))
 
 
+def q_disambiguate(spark, sf):
+    # Collective entity disambiguation (operators/disambig.py): each
+    # mention carries two hash-variant candidate entities; the evidence
+    # graph connects one variant pair per corpus co-mention (md5-chosen
+    # bits), and the winner per (doc, mention) is the candidate with
+    # the most distinct co-mention supporters, ties to the smaller
+    # entity id. Fully integer, fully replayed by the DuckDB oracle.
+    # Pytest-gated surface.
+    from stackoverflowner_spark.operators.decontam import norm_tokens
+    from stackoverflowner_spark.operators.disambig import disambiguate
+    docs = _t(spark, sf, "documents")
+    ents = (docs.select("doc_id", F.explode(norm_tokens("text"))
+                        .alias("e")).distinct())
+    ok = (ents.groupBy("doc_id").agg(F.count("*").alias("k"))
+          .filter(F.col("k") <= 25).select("doc_id"))
+    kept = ents.join(ok, "doc_id", "left_semi")
+    a = kept.select("doc_id", F.col("e").alias("ea"))
+    b = kept.select("doc_id", F.col("e").alias("eb"))
+    pairs = (a.join(b, "doc_id")
+             .filter(F.col("ea") < F.col("eb"))
+             .select("ea", "eb").distinct())
+
+    def _bit(side):
+        return F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.col("ea"), F.col("eb"),
+                              F.lit("v" + side))), 1, 1), 16, 10) \
+            .cast("long") % 2
+    edges = pairs.select(
+        F.concat(F.col("ea"), F.lit("#"), _bit("a").cast("string"))
+        .alias("src"),
+        F.concat(F.col("eb"), F.lit("#"), _bit("b").cast("string"))
+        .alias("dst"))
+    cands = (kept.select(F.col("doc_id"), F.col("e").alias("mention"),
+                         F.explode(F.array(F.lit("#0"), F.lit("#1")))
+                         .alias("_sfx"))
+             .select("doc_id", "mention",
+                     F.concat(F.col("mention"), F.col("_sfx"))
+                     .alias("entity")))
+    return disambiguate(cands, edges)
+
+
 def q_nation_revenue(spark, sf):
     cust = _t(spark, sf, "customer")
     orders = _t(spark, sf, "orders")
@@ -3196,6 +3237,58 @@ def oracle_sql() -> dict[str, str]:
                         as bigint) as var_num,
                    cast(count(*) * count(*) as bigint) as var_den
             from cents group by event_type""",
+        "disambiguate": """
+            with toks as (
+              select doc_id, list_filter(list_transform(
+                  string_split_regex(lower(text), '\\s+'),
+                  x -> regexp_replace(x, '^[^a-z0-9]+|[^a-z0-9]+$',
+                                      '', 'g')), x -> x <> '') as t
+              from documents),
+            ents as (
+              select distinct doc_id, x as e
+              from (select doc_id, unnest(t) as x from toks)),
+            kept as (
+              select doc_id, e from ents
+              where doc_id in (select doc_id from ents
+                               group by doc_id having count(*) <= 25)),
+            pairs as (
+              select distinct a.e as ea, b.e as eb
+              from kept a join kept b
+                on a.doc_id = b.doc_id and a.e < b.e),
+            edges as (
+              select ea || '#' || cast((cast('0x' || substr(md5(
+                       ea || ':' || eb || ':va'), 1, 1) as bigint) % 2)
+                       as varchar) as src,
+                     eb || '#' || cast((cast('0x' || substr(md5(
+                       ea || ':' || eb || ':vb'), 1, 1) as bigint) % 2)
+                       as varchar) as dst
+              from pairs),
+            cands as (
+              select doc_id, e as mention, e || sfx as entity
+              from kept, (values ('#0'), ('#1')) s(sfx)),
+            sym as (
+              select src as e, dst as n from edges where src <> dst
+              union
+              select dst as e, src as n from edges where src <> dst),
+            support as (
+              select c.doc_id, c.mention, c.entity,
+                     count(distinct o.mention) as s
+              from cands c
+              join sym on sym.e = c.entity
+              join cands o on o.doc_id = c.doc_id and o.entity = sym.n
+                           and o.mention <> c.mention
+              group by 1, 2, 3),
+            scored as (
+              select c.doc_id, c.mention, c.entity,
+                     cast(coalesce(s.s, 0) as bigint) as support
+              from cands c
+              left join support s
+                on s.doc_id = c.doc_id and s.mention = c.mention
+               and s.entity = c.entity)
+            select doc_id, mention, entity, support
+            from scored
+            qualify row_number() over (partition by doc_id, mention
+                     order by support desc, entity) = 1""",
         "eval_rollup": """
             select coalesce(event_type, '__overall__') as event_type,
                    count(*) as n,

@@ -210,7 +210,10 @@ def test_driver_oracle_strict(spark):
     "set_ops",
     "moving_sum",
     # r5g: exact integer moments + rational population variance
-    "group_moments"])
+    "group_moments",
+    # r5g: collective entity disambiguation — integer co-mention
+    # support, argmax per (doc, mention), oracled from birth
+    "disambiguate"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep
