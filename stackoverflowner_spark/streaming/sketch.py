@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.sketch import hll_sketch
+from ..operators.sketch import cm_sketch, hll_sketch
 
 DOCS_SCHEMA = "doc_id long, text string, source string"
 
@@ -60,6 +60,26 @@ def start_hll_stream(spark: SparkSession, docs_dir: str,
     regs = hll_register_stream(stream_documents(spark, docs_dir, schema),
                                keys, value, b)
     return (regs.writeStream.format("memory")
+            .queryName(table_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start())
+
+
+def start_cm_stream(spark: SparkSession, docs_dir: str,
+                    checkpoint_dir: str, table_name: str,
+                    keys: list[str], value: str,
+                    d: int = 3, w: int = 4096,
+                    schema: str = DOCS_SCHEMA):
+    """The Count-Min counterpart: counts are additive, so the d x w
+    counter matrix is the other always-small streaming aggregate
+    (state/output <= keys * d * w rows). Stream counters equal the
+    batch counters bitwise for the same reason as HLL's max — sum is
+    commutative and order-free over exact integers."""
+    counters = cm_sketch(stream_documents(spark, docs_dir, schema),
+                         keys, value, d=d, w=w)
+    return (counters.writeStream.format("memory")
             .queryName(table_name)
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("complete")

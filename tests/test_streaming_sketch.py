@@ -6,9 +6,11 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from stackoverflowner_spark.operators.sketch import hll_estimate, hll_sketch
+from stackoverflowner_spark.operators.sketch import (
+    cm_estimate, cm_sketch, hll_estimate, hll_sketch)
 from stackoverflowner_spark.session import get_spark
-from stackoverflowner_spark.streaming.sketch import start_hll_stream
+from stackoverflowner_spark.streaming.sketch import (
+    start_cm_stream, start_hll_stream)
 
 
 @pytest.fixture(scope="module")
@@ -85,3 +87,38 @@ def test_increment_advances_registers_from_checkpoint(spark, tmp_path):
     d2 = dict(((s, r), rho)
               for s, r, rho in _regs(spark.table("hll_snap_b")))
     assert all(d2[k] >= v for k, v in d1.items())
+
+
+def test_cm_stream_counters_match_batch_and_increment(spark, tmp_path):
+    docs_dir = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(docs_dir)
+    first = spark.createDataFrame(_rows(0, 250),
+                                  "doc_id long, text string, source string")
+    first.write.mode("append").parquet(docs_dir)
+    _await(start_cm_stream(spark, docs_dir, ckpt, "cm_snap",
+                           ["source"], "text", d=3, w=64))
+
+    def cells(df):
+        return sorted((r.source, r.depth, r.bucket, r.cnt)
+                      for r in df.collect())
+    assert cells(spark.table("cm_snap")) == \
+        cells(cm_sketch(first, ["source"], "text", d=3, w=64))
+
+    second = spark.createDataFrame(_rows(200, 200),
+                                   "doc_id long, text string, source string")
+    second.write.mode("append").parquet(docs_dir)
+    _await(start_cm_stream(spark, docs_dir, ckpt, "cm_snap",
+                           ["source"], "text", d=3, w=64))
+    both = first.unionByName(second)
+    snap = spark.table("cm_snap")
+    assert cells(snap) == cells(cm_sketch(both, ["source"], "text",
+                                          d=3, w=64))
+    # point estimates off the stream snapshot honor est >= exact
+    probes = both.select("source", "text").distinct()
+    est = {(r.source, r.text): r.est
+           for r in cm_estimate(snap, probes, "text", d=3, w=64).collect()}
+    exact = {(r.source, r.text): r.n for r in
+             both.groupBy("source", "text")
+             .agg(F.count("*").alias("n")).collect()}
+    assert all(est[k] >= v for k, v in exact.items())
