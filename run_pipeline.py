@@ -38,7 +38,13 @@ def main(argv=None) -> int:
     ap.add_argument("--prev-triples",
                     help="the previous snapshot's triples parquet")
     ap.add_argument("--buckets", type=int, default=64)
-    ap.add_argument("--link", choices=["broadcast", "salted"], default="broadcast")
+    ap.add_argument("--link", choices=["broadcast", "salted", "fuzzy"],
+                    default="broadcast",
+                    help="'fuzzy' adds a typo-repair pass: mentions with "
+                         "no exact alias match re-key to their nearest "
+                         "alias within Levenshtein 1 (operators/link.py "
+                         "link_fuzzy); exact matches are bit-identical "
+                         "to 'broadcast'")
     ap.add_argument("--lang", default="en")
     ap.add_argument("--master", default=None)
     ap.add_argument("--analytics", metavar="DIR",

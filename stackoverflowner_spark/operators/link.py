@@ -144,8 +144,49 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     return out.drop("_salt")
 
 
+def link_fuzzy(mentions: DataFrame, dictionary: DataFrame,
+               max_dist: int = 1, min_len: int = 4,
+               min_score: float = 0.99) -> DataFrame:
+    """link_broadcast plus a typo-repair pass for the leftovers: mentions
+    whose surface_norm matches NO alias exactly are re-keyed to their
+    nearest alias within Levenshtein ``max_dist`` (FastSS blocked join,
+    operators/fuzzylink.py; best = min dist, then alias order — a total
+    order, so the repair is deterministic) and linked through the same
+    scoring path. Exact rows are bit-identical to plain link_broadcast —
+    the repair only ever touches rows the exact pass dropped.
+
+    Scale shape: the anti-join and re-join ride the same broadcast
+    dictionary; the fuzzy candidate join runs over DISTINCT unmatched
+    surfaces (vocabulary-sized, not corpus-sized). Surfaces shorter than
+    ``min_len`` are left unlinked rather than fuzzy-matched (short-string
+    neighborhoods degenerate — 'js'→'j2'-class false repairs)."""
+    from .fuzzylink import fuzzy_join
+    from pyspark.sql.window import Window
+
+    exact = link_broadcast(mentions, dictionary, min_score)
+    aliases = dictionary.select("alias_norm").distinct()
+    unmatched = mentions.join(
+        F.broadcast(aliases),
+        mentions.surface_norm == aliases.alias_norm, "left_anti")
+    cand = fuzzy_join(unmatched.select(F.col("surface_norm")).distinct(),
+                      aliases, "surface_norm", "alias_norm",
+                      max_dist=max_dist, min_len=min_len)
+    w = (Window.partitionBy("surface_norm")
+         .orderBy(F.col("dist").asc(), F.col("alias_norm").asc()))
+    best = (cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("surface_norm", F.col("alias_norm").alias("_repair")))
+    repaired = (unmatched.join(F.broadcast(best), "surface_norm")
+                .drop("surface_norm")
+                .withColumnRenamed("_repair", "surface_norm"))
+    return exact.unionByName(
+        link_broadcast(repaired, dictionary, min_score))
+
+
 def link(mentions: DataFrame, dictionary: DataFrame, strategy: str = "broadcast",
          **kw) -> DataFrame:
     if strategy == "salted":
         return link_salted(mentions, dictionary, **kw)
+    if strategy == "fuzzy":
+        return link_fuzzy(mentions, dictionary, **kw)
     return link_broadcast(mentions, dictionary, **kw)

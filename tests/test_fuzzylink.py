@@ -96,6 +96,47 @@ def test_min_len_drops_short_strings(spark):
     assert got == [("abcd", "abcd", 0)]
 
 
+def _mentions(spark, surfaces):
+    rows = [(f"https://h/{i}", 0, 0, 1, s, s, "dict")
+            for i, s in enumerate(surfaces)]
+    return spark.createDataFrame(
+        rows, "url string, sent_idx int, tok_start int, tok_end int, "
+              "surface string, surface_norm string, tag_type string")
+
+
+def test_link_fuzzy_repairs_typos_exact_path_unchanged(spark):
+    from stackoverflowner_spark.operators.link import (
+        link_broadcast, link_fuzzy)
+    from stackoverflowner_spark.sources.dictionary import dictionary_df
+    d = dictionary_df(spark)
+    # 'pythxon' = 'python' + inserted x (dist 1); 'pandas' exact;
+    # 'zzzzzz' matches nothing within dist 1
+    m = _mentions(spark, ["pandas", "pythxon", "zzzzzz"])
+    exact = link_broadcast(m, d)
+    fuzzy = link_fuzzy(m, d)
+    # the dictionary carries duplicate alias rows (multiple sources per
+    # alias); the flagship dedups at the triple distinct — compare sets
+    exact_rows = {(r.surface, r.canonical_id) for r in exact.collect()}
+    assert exact_rows == {("pandas", "soft:pandas")}
+    got = {(r.surface, r.surface_norm, r.canonical_id)
+           for r in fuzzy.collect()}
+    # the typo'd row links to python with its ORIGINAL surface kept and
+    # surface_norm rewritten to the dictionary form; junk stays unlinked
+    assert got == {("pandas", "pandas", "soft:pandas"),
+                   ("pythxon", "python", "soft:python")}
+
+
+def test_link_fuzzy_short_surfaces_not_repaired(spark):
+    from stackoverflowner_spark.operators.link import link_fuzzy
+    from stackoverflowner_spark.sources.dictionary import dictionary_df
+    d = dictionary_df(spark)
+    # 'jxva' is dist 1 from 'java' but below min_len=5 -> left unlinked
+    m = _mentions(spark, ["jxva"])
+    assert link_fuzzy(m, d, min_len=5).count() == 0
+    assert link_fuzzy(m, d, min_len=4) \
+        .select("surface", "canonical_id").distinct().count() == 1
+
+
 def test_no_cartesian_in_plan(spark):
     ls = _rand_strings(30, seed=9)
     l = spark.createDataFrame([(x,) for x in ls], "mention string")
