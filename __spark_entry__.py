@@ -1029,6 +1029,18 @@ def q_disambiguate(spark, sf):
     return disambiguate(cands, edges)
 
 
+def q_ntriples(spark, sf):
+    # RDF N-Triples export (operators/triples.ntriples_lines) over the
+    # flagship documents-derived KG: subjects/canonicals as <ent/...>
+    # IRIs, instance_of objects as string literals, mentioned_in objects
+    # as page IRIs. The fixture charset carries no escapable characters
+    # (the escape chains are identity here and covered by planted
+    # pytest specimens), so the oracle replays the plain formatting.
+    # Pytest-gated surface.
+    from stackoverflowner_spark.operators.triples import ntriples_lines
+    return ntriples_lines(q_kg_triples_documents(spark, sf))
+
+
 def q_nation_revenue(spark, sf):
     cust = _t(spark, sf, "customer")
     orders = _t(spark, sf, "orders")
@@ -1951,6 +1963,32 @@ def oracle_sql() -> dict[str, str]:
               from m
               union all select cid, 'mentioned_in', url, url from m
               union all select surface_norm, 'alias_of', cid, url from m)""",
+        "ntriples": f"""
+            with d as (select 'doc://' || cast(doc_id as varchar) as url,
+                              list_filter(string_split(text, ' '), w -> w <> '') as ws
+                       from documents where lang = 'en'),
+                 t0 as (select url,
+                               unnest(list_transform(ws, (w, i) ->
+                                   struct_pack(w := w, p := i - 1))) as s
+                        from d),
+                 t as (select url, s.w as word from t0),
+                 a(word, cid, tag_type) as (values {doc_alias_vals3}),
+                 m as (select url, t.word as surface_norm, a.cid, a.tag_type
+                       from t join a on lower(t.word) = a.word),
+                 tri as (select distinct subj, pred, obj from (
+                   select cid as subj, 'instance_of' as pred,
+                          tag_type as obj from m
+                   union all select cid, 'mentioned_in', url from m
+                   union all select surface_norm, 'alias_of', cid from m))
+            select '<https://kg.example/ent/' || subj
+                   || '> <https://kg.example/pred/' || pred || '> '
+                   || case when pred = 'instance_of'
+                           then '"' || obj || '"'
+                           when pred = 'mentioned_in'
+                           then '<' || obj || '>'
+                           else '<https://kg.example/ent/' || obj || '>'
+                      end || ' .' as line
+            from tri""",
         "simhash_pairs": f"""
             with sigs as ({_simhash_sql(norm).replace("doc_id < 200", "true")}),
                  banded as (select doc_id, simhash, b.band,

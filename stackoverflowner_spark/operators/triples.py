@@ -64,6 +64,57 @@ def write_triples(triples: DataFrame, path: str, mode: str = "overwrite") -> Non
     triples.write.mode(mode).partitionBy("part_hash").parquet(path)
 
 
+def _esc_literal(col: F.Column) -> F.Column:
+    """N-Triples string-literal escaping: backslash first, then quote,
+    newline, carriage return, tab (the grammar's required escapes)."""
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    return F.replace(out, F.lit("\t"), F.lit("\\t"))
+
+
+def _esc_iri(col: F.Column) -> F.Column:
+    """Percent-encode the characters N-Triples forbids inside <IRI>s
+    (space, quote, angle brackets, backslash, braces, pipe, caret,
+    backtick — RFC 3987's excluded set; '%' first so encodings don't
+    double-encode). KG ids here are ASCII tokens/urls, so this bounded
+    table is the whole job; a general-purpose exporter would
+    percent-encode all non-IRI octets the same way."""
+    out = F.replace(col, F.lit("%"), F.lit("%25"))
+    for ch, enc in ((" ", "%20"), ('"', "%22"), ("<", "%3C"),
+                    (">", "%3E"), ("\\", "%5C"), ("{", "%7B"),
+                    ("}", "%7D"), ("|", "%7C"), ("^", "%5E"),
+                    ("`", "%60")):
+        out = F.replace(out, F.lit(ch), F.lit(enc))
+    return out
+
+
+def ntriples_lines(triples: DataFrame,
+                   base: str = "https://kg.example/") -> DataFrame:
+    """(line): the KG as RDF N-Triples — the standard interchange format
+    a KG product must export. Subjects and alias/canonical objects
+    become ``<{base}ent/...>`` IRIs, predicates ``<{base}pred/...>``,
+    ``mentioned_in`` objects are page IRIs as-is, and ``instance_of``
+    objects are string literals. Pure column expressions (one scan, no
+    shuffle beyond the upstream distinct); write with
+    ``df.write.text(path)``."""
+    ent = lambda c: F.concat(F.lit("<" + base + "ent/"),
+                             _esc_iri(c), F.lit(">"))
+    obj = (F.when(F.col("pred") == "instance_of",
+                  F.concat(F.lit('"'), _esc_literal(F.col("obj")),
+                           F.lit('"')))
+           .when(F.col("pred") == "mentioned_in",
+                 F.concat(F.lit("<"), _esc_iri(F.col("obj")), F.lit(">")))
+           .otherwise(ent(F.col("obj"))))
+    line = F.concat(
+        ent(F.col("subj")), F.lit(" "),
+        F.lit("<" + base + "pred/"), F.col("pred"), F.lit("> "),
+        obj, F.lit(" ."))
+    return (triples.select("subj", "pred", "obj").distinct()
+            .select(line.alias("line")))
+
+
 def write_triples_bucketed(triples: DataFrame, table: str, n_buckets: int = 64,
                            mode: str = "overwrite") -> None:
     """Bucketed managed table (`bucketBy(subj)`): downstream subject-keyed

@@ -213,7 +213,9 @@ def test_driver_oracle_strict(spark):
     "group_moments",
     # r5g: collective entity disambiguation — integer co-mention
     # support, argmax per (doc, mention), oracled from birth
-    "disambiguate"])
+    "disambiguate",
+    # r5g: RDF N-Triples export of the flagship documents-derived KG
+    "ntriples"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep
