@@ -47,6 +47,9 @@ def main(argv=None) -> int:
                          "to 'broadcast'")
     ap.add_argument("--lang", default="en")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--emit-ntriples", metavar="DIR",
+                    help="also export the triples as RDF N-Triples text "
+                         "under DIR (operators/triples.ntriples_lines)")
     ap.add_argument("--analytics", metavar="DIR",
                     help="after the triple write, emit KG graph analytics "
                          "under DIR: entity pagerank, per-node triangle "
@@ -140,6 +143,12 @@ def main(argv=None) -> int:
     elapsed = time.time() - t0
     print(json.dumps({"triples": n, "sec": round(elapsed, 2),
                       "triples_per_sec": round(n / elapsed, 1), "out": out_path}))
+    if args.emit_ntriples:
+        from stackoverflowner_spark.operators.triples import ntriples_lines
+        ntriples_lines(spark.read.parquet(out_path)) \
+            .write.mode("overwrite").text(args.emit_ntriples)
+        print(json.dumps({"ntriples": spark.read.text(
+            args.emit_ntriples).count(), "dir": args.emit_ntriples}))
     if args.analytics:
         from pyspark.sql import functions as F2
 
