@@ -9,8 +9,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from stackoverflowner_spark.operators.pagerank import (
-    entity_pagerank, hits, pagerank, pagerank_weighted,
-    personalized_pagerank)
+    entity_pagerank, entity_pagerank_weighted, hits, pagerank,
+    pagerank_weighted, personalized_pagerank)
 from stackoverflowner_spark.session import get_spark
 
 D = 0.85
@@ -330,3 +330,24 @@ def test_entity_pagerank_over_triples(spark):
     # the shared type sink accumulates the most mass
     assert got["Library"] == max(got.values())
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_entity_pagerank_weighted_counts_distinct_evidence(spark):
+    # pandas->Library asserted by 3 pages (one duplicated), numpy by 1:
+    # weights must be DISTINCT urls (3 vs 1), matching the numpy ref
+    rows = ([("soft:pandas", "instance_of", "Library", u)
+             for u in ("u1", "u2", "u3", "u3")]
+            + [("soft:numpy", "instance_of", "Library", "u1"),
+               ("soft:pandas", "alias_of", "soft:numpy", "u1"),
+               ("soft:pandas", "mentioned_in", "u1", "u1")])
+    triples = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, url string")
+    got = {r.node: r.rank
+           for r in entity_pagerank_weighted(triples,
+                                             iterations=12).collect()}
+    ref = np_pagerank_weighted(
+        [("soft:pandas", "Library", 3), ("soft:numpy", "Library", 1),
+         ("soft:pandas", "soft:numpy", 1)], iterations=12)
+    assert "u1" not in got          # mentioned_in stays excluded
+    tv = sum(abs(got[v] - ref[v]) for v in got)
+    assert set(got) == set(ref) and tv < 1e-9, tv
