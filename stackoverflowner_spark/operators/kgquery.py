@@ -1,0 +1,155 @@
+"""SPARQL-style basic-graph-pattern (BGP) queries over the materialized KG.
+
+The reference materializes its extractions as flat files and answers
+"which entities / which types / which co-mentions" questions with ad-hoc
+scripts (e.g. the entity frequency rollups around
+``/root/reference/code/DataReader/utils_so.py`` and the annotated-corpus
+count scripts); a KG engine should answer them declaratively. This module
+is the engine-side query surface over the (subj, pred, obj[, url]) triple
+table produced by ``operators/triples.py``: a conjunctive triple-pattern
+query — the core of SPARQL's WHERE clause — compiled to DataFrame
+self-joins so Catalyst plans it like any relational query.
+
+Compilation (the textbook SPARQL->SQL translation):
+
+* each pattern (s, p, o) becomes one scan of the triple table with its
+  literal terms as pushed-down filters and its ``?var`` terms projected
+  as columns named after the variable;
+* patterns are folded left-to-right with inner joins on the variables
+  they share with the accumulated prefix (a join-ordering the caller
+  controls by writing selective patterns first — the same contract as
+  SPARQL engines' BGP planners before cost-based reordering);
+* the result is one row per variable binding, DISTINCT optional.
+
+Scale notes (10^12-triple table, north rule): every literal lands in the
+parquet/Iceberg scan as a pushed filter (``pred = 'instance_of'`` prunes
+by far the most — predicates are few and the table is
+subject-hash-partitioned, so a subj literal prunes partitions too). Each
+join shuffles on the shared variable; AQE broadcasts the small side when
+a selective pattern collapses one input. No pattern ever triggers a
+cartesian product — patterns sharing no variable with the prefix are
+rejected (explicit ``allow_product`` opt-in), the same guard the fuzzy
+join and range join operators in this repo ship.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TERM_COLS = ("subj", "pred", "obj")
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _pattern_df(triples: DataFrame, pattern: Sequence[str],
+                idx: int) -> Tuple[DataFrame, Dict[str, str]]:
+    """One scan of the triple table: literals -> filters, vars -> columns.
+
+    Returns (df, var->column mapping). A variable repeated WITHIN one
+    pattern (e.g. (?x, likes, ?x)) compiles to an equality filter.
+    """
+    if len(pattern) != 3:
+        raise ValueError(f"pattern {idx}: need (subj, pred, obj), got {pattern!r}")
+    df = triples
+    seen: Dict[str, str] = {}
+    keep: List[str] = []
+    for col, term in zip(_TERM_COLS, pattern):
+        if _is_var(term):
+            var = term[1:]
+            if not var:
+                raise ValueError(f"pattern {idx}: bare '?' is not a variable")
+            if var in seen:  # repeated var inside one pattern
+                df = df.filter(F.col(col) == F.col(seen[var]))
+            else:
+                seen[var] = col
+                keep.append(F.col(col).alias(var))
+        else:
+            df = df.filter(F.col(col) == F.lit(term))
+    if not keep:
+        # all-literal pattern: an existence test; keep a marker column so
+        # the join below degenerates to a semi-ish cross of 0/1 rows
+        raise ValueError(
+            f"pattern {idx}: all-literal patterns are not supported — "
+            "filter the triple table directly for existence tests")
+    return df.select(*keep), {v: v for v in seen}
+
+
+def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
+              select: Optional[Sequence[str]] = None,
+              optional: Optional[Sequence[Sequence[str]]] = None,
+              distinct: bool = True,
+              allow_product: bool = False) -> DataFrame:
+    """Match a conjunctive basic graph pattern against a triple table.
+
+    ``triples`` must carry (subj, pred, obj) string columns (extra
+    columns are ignored). ``patterns`` is a list of (s, p, o) tuples
+    whose terms are literals or ``?var`` strings. Returns one column per
+    variable (or per ``select`` entry), one row per binding.
+
+    ``optional`` patterns are SPARQL OPTIONAL semantics: left-joined
+    after the required patterns, so their variables come back NULL where
+    the pattern has no match but never eliminate a required binding.
+    Each optional pattern must share >= 1 variable with the required
+    block (an unanchored OPTIONAL would be a product).
+
+    >>> bgp_match(t, [("?x", "instance_of", "?t"),
+    ...               ("?x", "mentioned_in", "?d")], select=["x", "t"])
+    """
+    if not patterns:
+        raise ValueError("empty basic graph pattern")
+    acc: Optional[DataFrame] = None
+    bound: List[str] = []
+    for i, pat in enumerate(patterns):
+        df, vars_i = _pattern_df(triples.select(*_TERM_COLS), pat, i)
+        if acc is None:
+            acc, bound = df, list(vars_i)
+            continue
+        shared = [v for v in vars_i if v in bound]
+        if not shared and not allow_product:
+            raise ValueError(
+                f"pattern {i} {pat!r} shares no variable with the "
+                "preceding patterns — this is a cartesian product; "
+                "reorder the BGP or pass allow_product=True")
+        acc = (acc.join(df, on=shared, how="inner") if shared
+               else acc.crossJoin(df))
+        bound += [v for v in vars_i if v not in bound]
+    for i, pat in enumerate(optional or []):
+        df, vars_i = _pattern_df(triples.select(*_TERM_COLS), pat,
+                                 len(patterns) + i)
+        shared = [v for v in vars_i if v in bound]
+        if not shared:
+            raise ValueError(
+                f"optional pattern {pat!r} shares no variable with the "
+                "required patterns — an unanchored OPTIONAL is a product")
+        acc = acc.join(df, on=shared, how="left")
+        bound += [v for v in vars_i if v not in bound]
+    out = acc.select(*(select or bound))
+    return out.distinct() if distinct else out
+
+
+def property_path(triples: DataFrame, start_var: str,
+                  preds: Sequence[str], end_var: str,
+                  distinct: bool = True) -> DataFrame:
+    """Fixed-length SPARQL property path ``start p1/p2/.../pk end``.
+
+    Sugar over ``bgp_match``: hop i joins on the intermediate variable
+    ``_h{i}``. Returns two columns (start_var, end_var). Unbounded ``*``
+    paths are the BFS/components operators' territory
+    (``operators/graphalgo.py``, ``operators/components.py``); a fixed
+    chain stays a pure relational plan with k-1 shuffles.
+    """
+    if not preds:
+        raise ValueError("property_path needs at least one predicate")
+    pats = []
+    prev = "?" + start_var
+    for i, p in enumerate(preds):
+        nxt = "?" + end_var if i == len(preds) - 1 else f"?_h{i}"
+        pats.append((prev, p, nxt))
+        prev = nxt
+    return bgp_match(triples, pats, select=[start_var, end_var],
+                     distinct=distinct)

@@ -215,7 +215,10 @@ def test_driver_oracle_strict(spark):
     # support, argmax per (doc, mention), oracled from birth
     "disambiguate",
     # r5g: RDF N-Triples export of the flagship documents-derived KG
-    "ntriples"])
+    "ntriples",
+    # r5h: slot freed for kg_bgp — kg_mentions_documents is the strict
+    # sub-pipeline of the surviving kg_triples_documents row
+    "kg_mentions_documents"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep

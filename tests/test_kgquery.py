@@ -1,0 +1,174 @@
+"""BGP triple-pattern queries (operators/kgquery.py).
+
+Gates: (a) worked-example bindings on a small hand-built KG, including
+repeated-variable and literal-filter semantics; (b) brute-force parity —
+bgp_match against a pure-Python nested-loop matcher on a generated
+random KG; (c) the no-cartesian guard; (d) property_path == chained BGP;
+(e) plan shape: literals reach the scan as pushed filters and no
+CartesianProduct/BroadcastNestedLoopJoin node appears.
+"""
+
+import itertools
+import random
+
+import pytest
+
+from stackoverflowner_spark.operators.kgquery import (bgp_match,
+                                                      property_path)
+from stackoverflowner_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(app_name="sokg-kgquery", master="local[4]",
+                  shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+TRIPLES = [
+    ("numpy", "instance_of", "Library"),
+    ("pandas", "instance_of", "Library"),
+    ("python", "instance_of", "Language"),
+    ("numpy", "mentioned_in", "doc://1"),
+    ("pandas", "mentioned_in", "doc://1"),
+    ("python", "mentioned_in", "doc://1"),
+    ("numpy", "mentioned_in", "doc://2"),
+    ("python", "mentioned_in", "doc://3"),
+    ("np", "alias_of", "numpy"),
+    ("pd", "alias_of", "pandas"),
+    ("self", "alias_of", "self"),
+]
+
+
+def _df(spark, rows=TRIPLES):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_single_pattern_literal_filter(spark):
+    out = bgp_match(_df(spark), [("?x", "instance_of", "Library")])
+    assert sorted(r.x for r in out.collect()) == ["numpy", "pandas"]
+
+
+def test_two_pattern_join(spark):
+    out = bgp_match(_df(spark), [("?x", "instance_of", "?t"),
+                                 ("?x", "mentioned_in", "doc://1")],
+                    select=["x", "t"])
+    assert sorted((r.x, r.t) for r in out.collect()) == [
+        ("numpy", "Library"), ("pandas", "Library"), ("python", "Language")]
+
+
+def test_co_mention_bgp(spark):
+    # libraries co-mentioned with a Language in the same document
+    out = bgp_match(_df(spark), [
+        ("?x", "instance_of", "Library"),
+        ("?x", "mentioned_in", "?d"),
+        ("?y", "mentioned_in", "?d"),
+        ("?y", "instance_of", "Language"),
+    ], select=["x", "y", "d"])
+    assert sorted((r.x, r.y, r.d) for r in out.collect()) == [
+        ("numpy", "python", "doc://1"), ("pandas", "python", "doc://1")]
+
+
+def test_repeated_var_within_pattern(spark):
+    out = bgp_match(_df(spark), [("?x", "alias_of", "?x")])
+    assert [r.x for r in out.collect()] == ["self"]
+
+
+def test_cartesian_guard(spark):
+    with pytest.raises(ValueError, match="cartesian"):
+        bgp_match(_df(spark), [("?x", "instance_of", "Library"),
+                               ("?y", "instance_of", "Language")])
+    out = bgp_match(_df(spark), [("?x", "instance_of", "Library"),
+                                 ("?y", "instance_of", "Language")],
+                    allow_product=True)
+    assert out.count() == 2
+
+
+def test_all_literal_pattern_rejected(spark):
+    with pytest.raises(ValueError, match="all-literal"):
+        bgp_match(_df(spark), [("numpy", "instance_of", "Library")])
+
+
+def test_property_path(spark):
+    out = property_path(_df(spark), "a", ["alias_of", "mentioned_in"], "d")
+    got = sorted((r.a, r.d) for r in out.collect())
+    # 'self' aliases itself but has no mentioned_in rows, so it drops out
+    assert got == [("np", "doc://1"), ("np", "doc://2"), ("pd", "doc://1")]
+
+
+def test_optional_pattern(spark):
+    # every Library keeps its binding; alias comes back NULL when absent
+    out = bgp_match(_df(spark), [("?x", "instance_of", "Library")],
+                    optional=[("?a", "alias_of", "?x")],
+                    select=["x", "a"])
+    got = sorted((r.x, r.a) for r in out.collect())
+    assert got == [("numpy", "np"), ("pandas", "pd")]
+    rows = TRIPLES + [("scipy", "instance_of", "Library")]
+    out2 = bgp_match(_df(spark, rows), [("?x", "instance_of", "Library")],
+                     optional=[("?a", "alias_of", "?x")],
+                     select=["x", "a"])
+    got2 = sorted((r.x, r.a) for r in out2.collect()
+                  if r.x == "scipy")
+    assert got2 == [("scipy", None)]
+
+
+def test_optional_unanchored_rejected(spark):
+    with pytest.raises(ValueError, match="unanchored OPTIONAL"):
+        bgp_match(_df(spark), [("?x", "instance_of", "Library")],
+                  optional=[("?y", "instance_of", "Language")])
+
+
+def _brute_bgp(rows, patterns, select):
+    """Nested-loop reference matcher over python tuples."""
+    def bind(pattern, row, env):
+        env = dict(env)
+        for term, val in zip(pattern, row):
+            if term.startswith("?"):
+                var = term[1:]
+                if env.get(var, val) != val:
+                    return None
+                env[var] = val
+            elif term != val:
+                return None
+        return env
+
+    envs = [{}]
+    for pat in patterns:
+        envs = [e2 for e in envs for r in rows
+                if (e2 := bind(pat, r, e)) is not None]
+    return sorted({tuple(e[v] for v in select) for e in envs})
+
+
+def test_brute_force_parity(spark):
+    rng = random.Random(20260819)
+    ents = [f"e{i}" for i in range(30)]
+    docs = [f"d{i}" for i in range(10)]
+    types = ["Library", "Language", "Application"]
+    rows = sorted({
+        *((rng.choice(ents), "instance_of", rng.choice(types))
+          for _ in range(40)),
+        *((rng.choice(ents), "mentioned_in", rng.choice(docs))
+          for _ in range(120)),
+    })
+    patterns = [("?x", "instance_of", "?t"),
+                ("?x", "mentioned_in", "?d"),
+                ("?y", "mentioned_in", "?d"),
+                ("?y", "instance_of", "Library")]
+    select = ["x", "t", "y", "d"]
+    got = sorted(tuple(r) for r in
+                 bgp_match(_df(spark, rows), patterns, select=select)
+                 .collect())
+    assert got == _brute_bgp(rows, patterns, select)
+
+
+def test_plan_pushdown_and_no_nested_loop(spark):
+    df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    out = bgp_match(df, [("?x", "instance_of", "?t"),
+                         ("?x", "mentioned_in", "?d")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the literal predicate filters exist in the optimized plan
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "instance_of" in opt and "mentioned_in" in opt

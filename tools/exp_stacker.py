@@ -11,6 +11,7 @@ Variants:
             transfers to unseen vocabulary (the base's own test-split
             degradation is vocabulary shift).
   h96     — hidden 96 / ffn 192 capacity bump, word channel kept.
+  h128    — hidden 128 / ffn 256 capacity bump, word channel kept.
   base64  — the shipped default (hidden 64, word kept), for A/B.
 """
 
@@ -43,11 +44,20 @@ def main() -> None:
     elif variant == "h96":
         vocabs = StackedNpTagger.build_vocabs(train)
         kw = {"hidden": 96, "ffn": 192}
+    elif variant == "h128":
+        vocabs = StackedNpTagger.build_vocabs(train)
+        kw = {"hidden": 128, "ffn": 256}
+    elif variant.startswith("seed"):
+        # seed ensemble members: same architecture, different init/batch
+        # order — logits averaged at fusion time (tools/tune_fusion.py)
+        vocabs = StackedNpTagger.build_vocabs(train)
+        kw = {"seed": 20260817 + int(variant[4:])}
     else:
         vocabs = StackedNpTagger.build_vocabs(train)
     model = StackedNpTagger.init(vocabs, labels, **kw)
     print(f"variant={variant} word_vocab={len(vocabs['word'])}")
-    model.fit(train, epochs=epochs, dev=dev, log=print)
+    fit_seed = 7 + int(variant[4:]) if variant.startswith("seed") else 7
+    model.fit(train, epochs=epochs, dev=dev, log=print, seed=fit_seed)
 
     golds = [g for _, g in dev]
     chans = [ch for ch, _ in dev]

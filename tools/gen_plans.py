@@ -109,6 +109,16 @@ operator is bitwise-equal to never appears in the plan; gated in
 tests/test_fuzzylink.py) — and the exact `levenshtein` verify is a plain
 JVM `Filter` after the join.
 """,
+    "bgp": """## 12. SPARQL-style BGP query (kg_bgp driver entry)
+
+Checklist: each triple pattern is its own scan of the triple table with the
+literal terms as `Filter`s ABOVE the shared source (`pred = instance_of` /
+`pred = mentioned_in` visible per branch — on a parquet/Iceberg triple
+table these land in `PushedFilters`); patterns meet in equi-joins on the
+shared variables only — NO CartesianProduct/BroadcastNestedLoopJoin node
+(guarded at the API level AND gated in tests/test_kgquery.py); AQE picks
+broadcast for branches a selective literal collapses.
+""",
     "rank": """## 5. Two-pass word-mapping ids (partitioned_rank)
 
 Checklist: NO `Exchange SinglePartition` anywhere (the r02 scale flag) —
@@ -234,6 +244,22 @@ def main() -> None:
         and "PythonUDF" not in fl_plan
     sections.append(HEADERS["fuzzy"] + "\n```\n" + fl_plan[:4000]
                     + "\n```\n")
+
+    from stackoverflowner_spark.operators.kgquery import bgp_match
+    tri = spark.createDataFrame(
+        [("numpy", "instance_of", "Library"),
+         ("numpy", "mentioned_in", "doc://1"),
+         ("python", "instance_of", "Language"),
+         ("python", "mentioned_in", "doc://1")],
+        "subj string, pred string, obj string")
+    bgp = bgp_match(tri, [("?x", "instance_of", "Library"),
+                          ("?x", "mentioned_in", "?d"),
+                          ("?y", "mentioned_in", "?d"),
+                          ("?y", "instance_of", "Language")],
+                    select=["x", "y", "d"])
+    bgp_plan = formatted(bgp)
+    assert "Cartesian" not in bgp_plan and "NestedLoop" not in bgp_plan
+    sections.append(HEADERS["bgp"] + "\n```\n" + bgp_plan[:4000] + "\n```\n")
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "PLANS.md")
