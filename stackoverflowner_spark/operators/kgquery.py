@@ -82,6 +82,7 @@ def _pattern_df(triples: DataFrame, pattern: Sequence[str],
 def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
               select: Optional[Sequence[str]] = None,
               optional: Optional[Sequence[Sequence[str]]] = None,
+              not_exists: Optional[Sequence[Sequence[str]]] = None,
               distinct: bool = True,
               allow_product: bool = False) -> DataFrame:
     """Match a conjunctive basic graph pattern against a triple table.
@@ -96,6 +97,13 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
     the pattern has no match but never eliminate a required binding.
     Each optional pattern must share >= 1 variable with the required
     block (an unanchored OPTIONAL would be a product).
+
+    ``not_exists`` is SPARQL ``FILTER NOT EXISTS {...}``: the block is
+    compiled as its own conjunctive BGP and bindings with at least one
+    consistent solution are removed via LEFT ANTI join on the variables
+    the block shares with the required patterns — the anti-join shuffles
+    on the shared vars, never materializing the negation's full binding
+    set against the main stream. The block must share >= 1 variable.
 
     >>> bgp_match(t, [("?x", "instance_of", "?t"),
     ...               ("?x", "mentioned_in", "?d")], select=["x", "t"])
@@ -128,6 +136,16 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
                 "required patterns — an unanchored OPTIONAL is a product")
         acc = acc.join(df, on=shared, how="left")
         bound += [v for v in vars_i if v not in bound]
+    if not_exists:
+        neg = bgp_match(triples, not_exists, distinct=False,
+                        allow_product=allow_product)
+        shared = [v for v in neg.columns if v in bound]
+        if not shared:
+            raise ValueError(
+                "not_exists block shares no variable with the required "
+                "patterns — an unanchored negation filters nothing or "
+                "everything; write it as a separate existence query")
+        acc = acc.join(neg.select(*shared), on=shared, how="left_anti")
     out = acc.select(*(select or bound))
     return out.distinct() if distinct else out
 

@@ -113,6 +113,39 @@ def test_optional_pattern(spark):
     assert got2 == [("scipy", None)]
 
 
+def test_not_exists(spark):
+    # entities mentioned in doc://1 that are NOT Libraries
+    out = bgp_match(_df(spark), [("?x", "mentioned_in", "doc://1")],
+                    not_exists=[("?x", "instance_of", "Library")])
+    assert sorted(r.x for r in out.collect()) == ["python"]
+
+
+def test_not_exists_multi_pattern_block(spark):
+    # entities with a type that are never co-mentioned with a Language
+    out = bgp_match(_df(spark), [("?x", "instance_of", "?t")],
+                    not_exists=[("?x", "mentioned_in", "?d"),
+                                ("?y", "mentioned_in", "?d"),
+                                ("?y", "instance_of", "Language")],
+                    select=["x"])
+    # numpy/pandas co-occur with python in doc://1; python itself
+    # co-occurs with itself (?y can bind ?x's value) -> nothing survives
+    assert sorted(r.x for r in out.collect()) == []
+    rows = TRIPLES + [("scipy", "instance_of", "Library"),
+                      ("scipy", "mentioned_in", "doc://9")]
+    out2 = bgp_match(_df(spark, rows), [("?x", "instance_of", "?t")],
+                     not_exists=[("?x", "mentioned_in", "?d"),
+                                 ("?y", "mentioned_in", "?d"),
+                                 ("?y", "instance_of", "Language")],
+                     select=["x"])
+    assert sorted(r.x for r in out2.collect()) == ["scipy"]
+
+
+def test_not_exists_unanchored_rejected(spark):
+    with pytest.raises(ValueError, match="unanchored negation"):
+        bgp_match(_df(spark), [("?x", "instance_of", "Library")],
+                  not_exists=[("?z", "instance_of", "Language")])
+
+
 def test_optional_unanchored_rejected(spark):
     with pytest.raises(ValueError, match="unanchored OPTIONAL"):
         bgp_match(_df(spark), [("?x", "instance_of", "Library")],

@@ -32,7 +32,7 @@ AUX = "/root/reference/code/Attentive_BiLSTM/auxilary_inputs_ner/"
 CTC = AUX + "ctc_pred.tsv"
 ART_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "stackoverflowner_spark", "artifacts")
-K = 5
+K = 10
 DEV_EVERY = 12  # sentence i with i % DEV_EVERY == 0 -> epoch-selection slice
 
 
