@@ -191,3 +191,55 @@ def weighted_sssp(edges: DataFrame, seeds: DataFrame, max_cost: int,
                 .unionByName(improved).localCheckpoint())
         frontier = improved
     return dist
+
+
+def lpa_communities(edges: DataFrame, max_iter: int = 10) -> DataFrame:
+    """edges(src, dst) (undirected reading) -> (node, community):
+    synchronous label propagation — the standard lightweight community
+    detector between connectivity (components) and density (kcore):
+    alias/co-mention clusters denser inside than across.
+
+    Semantics (deterministic by construction): labels start as node ids;
+    every iteration ALL nodes simultaneously adopt the label most common
+    among their neighbors, ties broken by smallest label; a node keeps
+    its label only through its neighbors (isolated nodes cannot appear —
+    edges define the node set). Synchronous updates + the (count desc,
+    label asc) tie-break make the result a pure function of (edge set,
+    max_iter) — no dependence on partitioning or visit order, unlike the
+    asynchronous LPA of the literature. The cost is the classic
+    bipartite oscillation mode, which ``max_iter`` bounds; the early
+    exit fires when an iteration changes nothing.
+
+    Scale: per iteration one shuffle to bring neighbor labels in (join
+    on nbr), one (node, community) count agg, and a per-node window for
+    the argmax — partitioned BY NODE, so no single-partition stage. The
+    iterative lineage is truncated per round (``localCheckpoint``, the
+    bounded-plan rule of this module). Label-flip convergence is
+    typically << diameter; communities stabilize in a handful of rounds.
+    Label-update fixpoints are not recursive-CTE-expressible (the update
+    is non-monotone), so this sits in the pytest-parity class with
+    kcore/PageRank/k-means.
+    """
+    from pyspark.sql.window import Window
+
+    und = _undirected(edges).localCheckpoint()
+    both = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+            .unionAll(und.select(F.col("v").alias("node"),
+                                 F.col("u").alias("nbr"))))
+    labels = (both.select("node").distinct()
+              .withColumn("community", F.col("node")).localCheckpoint())
+
+    win = Window.partitionBy("node").orderBy(F.col("cnt").desc(),
+                                             F.col("community").asc())
+    for _ in range(max_iter):
+        nxt = (both.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+               .groupBy("node", "community").agg(F.count("*").alias("cnt"))
+               .withColumn("rn", F.row_number().over(win))
+               .filter(F.col("rn") == 1)
+               .select("node", "community").localCheckpoint())
+        changed = (nxt.join(labels, ["node", "community"], "left_anti")
+                   .count())
+        labels = nxt
+        if changed == 0:
+            break
+    return labels

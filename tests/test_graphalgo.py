@@ -253,3 +253,57 @@ def test_cli_analytics_flag(spark, tmp_path, capsys):
     assert pr.count() == stats["pagerank_rows"]
     assert spark.read.parquet(ana + "/kcore2").count() == \
         stats["kcore2_nodes"]
+
+
+# ---------------------------------------------------------------- LPA --- #
+
+def _brute_lpa(edges, max_iter=10):
+    """Reference synchronous LPA with the operator's exact semantics."""
+    from collections import Counter
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nbrs = defaultdict(set)
+    for u, v in und:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    lab = {n: n for n in nbrs}
+    for _ in range(max_iter):
+        new = {}
+        for n in nbrs:
+            cnt = Counter(lab[m] for m in nbrs[n])
+            new[n] = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        changed = new != lab
+        lab = new
+        if not changed:
+            break
+    return lab
+
+
+def _lpa_spark(spark, edges, max_iter=10):
+    from stackoverflowner_spark.operators.graphalgo import lpa_communities
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    return {r.node: r.community
+            for r in lpa_communities(df, max_iter=max_iter).collect()}
+
+
+def test_lpa_two_cliques_bridge(spark):
+    clique1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    clique2 = [(a, b) for a in range(5, 9) for b in range(a + 1, 9)]
+    got = _lpa_spark(spark, clique1 + clique2 + [(4, 5)])
+    assert {got[n] for n in (1, 2, 3, 4)} == {1}
+    assert {got[n] for n in (5, 6, 7, 8)} == {5}
+
+
+def test_lpa_matches_brute_force(spark):
+    edges = _random_graph(n=40, m=90, seed=31)
+    assert _lpa_spark(spark, edges) == _brute_lpa(edges)
+    edges2 = _random_graph(n=50, m=60, seed=47)  # sparse, many comps
+    assert _lpa_spark(spark, edges2) == _brute_lpa(edges2)
+
+
+def test_lpa_bipartite_oscillation_bounded(spark):
+    # K2: labels swap forever under synchronous updates; max_iter bounds
+    # it and parity holds at any cutoff
+    edges = [(1, 2)]
+    for it in (1, 2, 3, 4):
+        assert _lpa_spark(spark, edges, max_iter=it) == \
+            _brute_lpa(edges, max_iter=it)
