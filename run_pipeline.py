@@ -53,7 +53,8 @@ def main(argv=None) -> int:
     ap.add_argument("--analytics", metavar="DIR",
                     help="after the triple write, emit KG graph analytics "
                          "under DIR: entity pagerank, per-node triangle "
-                         "counts, and the 2-core (operators/graphalgo.py) "
+                         "counts, the 2-core, and LPA communities "
+                         "(operators/graphalgo.py) "
                          "over the alias_of/instance_of edge structure")
     ap.add_argument("--tagger",
                     choices=["default", "gazetteer", "perceptron", "viterbi"],
@@ -153,7 +154,7 @@ def main(argv=None) -> int:
         from pyspark.sql import functions as F2
 
         from stackoverflowner_spark.operators.graphalgo import (
-            kcore, triangle_count)
+            kcore, lpa_communities, triangle_count)
         from stackoverflowner_spark.operators.pagerank import entity_pagerank
         triples_df = spark.read.parquet(out_path)
         # entity-to-entity structure only (alias_of/instance_of), the
@@ -169,6 +170,8 @@ def main(argv=None) -> int:
             args.analytics + "/triangles")
         kcore(edges, k=2).write.mode("overwrite").parquet(
             args.analytics + "/kcore2")
+        lpa_communities(edges).write.mode("overwrite").parquet(
+            args.analytics + "/communities")
         stats = {
             "edges": edges.count(),
             "pagerank_rows": spark.read.parquet(
@@ -177,6 +180,9 @@ def main(argv=None) -> int:
                 args.analytics + "/triangles").count(),
             "kcore2_nodes": spark.read.parquet(
                 args.analytics + "/kcore2").count(),
+            "communities": spark.read.parquet(
+                args.analytics + "/communities")
+                .select("community").distinct().count(),
         }
         print(json.dumps({"analytics": stats, "dir": args.analytics}))
     return 0

@@ -253,6 +253,9 @@ def test_cli_analytics_flag(spark, tmp_path, capsys):
     assert pr.count() == stats["pagerank_rows"]
     assert spark.read.parquet(ana + "/kcore2").count() == \
         stats["kcore2_nodes"]
+    n_comm = (spark.read.parquet(ana + "/communities")
+              .select("community").distinct().count())
+    assert stats["communities"] == n_comm and n_comm > 0
 
 
 # ---------------------------------------------------------------- LPA --- #
