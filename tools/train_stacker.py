@@ -32,7 +32,12 @@ AUX = "/root/reference/code/Attentive_BiLSTM/auxilary_inputs_ner/"
 CTC = AUX + "ctc_pred.tsv"
 ART_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "stackoverflowner_spark", "artifacts")
-K = 10
+# K=5 is measured, not arbitrary (r5h): K=10 folds give cleaner base
+# channels (dev base 74.96 vs 74.03) but the stacker then sees fewer
+# base errors to learn corrections from — fused dev drops to 76.09 vs
+# 76.93 and no test shot was spent on it. The channel-noise level of
+# 4/5-data folds is part of what the stacker usefully learns.
+K = 5
 DEV_EVERY = 12  # sentence i with i % DEV_EVERY == 0 -> epoch-selection slice
 
 
