@@ -1440,6 +1440,39 @@ def q_kg_bgp(spark, sf):
     ], select=["algo", "ds", "url"])
 
 
+def q_kg_validate(spark, sf):
+    # Domain/range constraint validation (operators/validate.py) over the
+    # same documents-derived KG as kg_triples_documents: mentioned_in
+    # subjects must be Algorithm entities, alias_of objects must be
+    # Data_Structure entities — both rules non-vacuously violated on this
+    # corpus, both sides of the checker exercised. Oracled from birth on
+    # the pytest rotation gate; the oracle replays the triple derivation
+    # and restates each anti-join as NOT EXISTS.
+    from stackoverflowner_spark.operators.document_kernel import pages_to_mentions_fused
+    from stackoverflowner_spark.operators.link import link_broadcast
+    from stackoverflowner_spark.operators.tagger import GazetteerTagger
+    from stackoverflowner_spark.operators.triples import triples_from_linked
+    from stackoverflowner_spark.operators.validate import validate_triples
+    from stackoverflowner_spark.sources.dictionary import dictionary_df
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    m = pages_to_mentions_fused(pages, GazetteerTagger(alias_map=_doc_alias_map()),
+                                lang_filter="en")
+    linked = link_broadcast(m, dictionary_df(spark, _DOC_EXTRA_ENTITIES))
+    tri = (triples_from_linked(linked)
+           .select("subj", "pred", "obj").distinct())
+    rules = spark.createDataFrame(
+        [("mentioned_in", "Algorithm", None),
+         ("alias_of", None, "Data_Structure")],
+        "pred string, subj_type string, obj_type string")
+    return validate_triples(tri, rules)
+
+
 def q_simhash_pairs(spark, sf):
     # Hamming near-dup pairs over the simhash fingerprints: banding is
     # EXACT by pigeonhole at max_hamming < bands (dedup.py docstring), so
@@ -2031,6 +2064,42 @@ def oracle_sql() -> dict[str, str]:
             join ta on m1.subj = ta.subj
             join ma m2 on m2.url = m1.url
             join td on m2.subj = td.subj""",
+        "kg_validate": f"""
+            with d as (select 'doc://' || cast(doc_id as varchar) as url,
+                              list_filter(string_split(text, ' '), w -> w <> '') as ws
+                       from documents where lang = 'en'),
+                 t0 as (select url,
+                               unnest(list_transform(ws, (w, i) ->
+                                   struct_pack(w := w, p := i - 1))) as s
+                        from d),
+                 t as (select url, s.w as word from t0),
+                 a(word, cid, tag_type) as (values {doc_alias_vals3}),
+                 m as (select url, t.word as surface_norm, a.cid, a.tag_type
+                       from t join a on lower(t.word) = a.word),
+                 tri as (select distinct subj, pred, obj from (
+                   select cid as subj, 'instance_of' as pred,
+                          tag_type as obj from m
+                   union all select cid, 'mentioned_in', url from m
+                   union all select surface_norm, 'alias_of', cid from m)),
+                 rules(pred, subj_type, obj_type) as (values
+                   ('mentioned_in', 'Algorithm', cast(NULL as varchar)),
+                   ('alias_of', cast(NULL as varchar), 'Data_Structure')),
+                 types as (select subj as ent, obj as etype from tri
+                           where pred = 'instance_of')
+            select distinct subj, pred, obj, violation from (
+              select t.subj, t.pred, t.obj, 'domain' as violation
+              from tri t join rules r on t.pred = r.pred
+              where r.subj_type is not null
+                and not exists (select 1 from types y
+                                where y.ent = t.subj
+                                  and y.etype = r.subj_type)
+              union all
+              select t.subj, t.pred, t.obj, 'range' as violation
+              from tri t join rules r on t.pred = r.pred
+              where r.obj_type is not null
+                and not exists (select 1 from types y
+                                where y.ent = t.obj
+                                  and y.etype = r.obj_type))""",
         "ntriples": f"""
             with d as (select 'doc://' || cast(doc_id as varchar) as url,
                               list_filter(string_split(text, ' '), w -> w <> '') as ws

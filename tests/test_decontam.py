@@ -218,7 +218,10 @@ def test_driver_oracle_strict(spark):
     "ntriples",
     # r5h: slot freed for kg_bgp — kg_mentions_documents is the strict
     # sub-pipeline of the surviving kg_triples_documents row
-    "kg_mentions_documents"])
+    "kg_mentions_documents",
+    # r5h: domain/range constraint validation (SHACL-lite publish gate),
+    # oracled from birth — both rules non-vacuously violated at sf0.01
+    "kg_validate"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep
