@@ -8,7 +8,6 @@ random KG; (c) the no-cartesian guard; (d) property_path == chained BGP;
 CartesianProduct/BroadcastNestedLoopJoin node appears.
 """
 
-import itertools
 import random
 
 import pytest
