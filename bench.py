@@ -269,7 +269,9 @@ def main() -> None:
                 "link_graph", "lm_score", "robots_filter", "boilerplate",
                 # r5f/r5g additions, appended for the same reason
                 "hll_tokens", "cm_freq", "bloom_prune", "triangles",
-                "bfs_dist", "sssp", "fuzzy_link", "keyword_search"]
+                "bfs_dist", "sssp", "fuzzy_link", "keyword_search",
+                # r5h: the SPARQL-style KG query surface
+                "kg_bgp"]
 
     host = {"triad_gbs_start": _triad_gbs()}
     spark = _fresh_spark(CPUS)
