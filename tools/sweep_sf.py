@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Strict bitwise oracle sweep of EVERY oracled query at a chosen SF.
+
+The driver verifies the 50-entry surface at sf0.01 and the pytest
+rotation gate runs at sf0.001; scale-dependent wrongness (the r4 money
+rounding flip was exactly this class: green at sf0.01, one boundary row
+away at bigger SF) only surfaces at larger inputs. This sweep runs both
+populations — the 50 driver entries AND the rotation-gate list parsed
+from tests/test_decontam.py — against their DuckDB oracles with the
+driver's strict compare at an arbitrary SF dir.
+
+    python tools/sweep_sf.py [/root/testdata/sf0.1]
+
+r5h result (recorded in BENCH/BASELINE.md): 50/50 + 46/46 green at
+sf0.1.
+"""
+
+import importlib.util
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def rotated_names() -> list:
+    src = open(os.path.join(REPO, "tests", "test_decontam.py")).read()
+    i = src.index("def test_rotated_entries_still_green")
+    seg = src[:i]
+    j = seg.rfind("@pytest.mark.parametrize")
+    names = re.findall(r'"([a-z0-9_]+)"', seg[j:])
+    return [n for n in names if n != "name"]
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from stackoverflowner_spark.session import get_spark
+    from tests.oracle_harness import compare, duck_con, run_all
+
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", os.path.join(REPO, "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    spark = get_spark(app_name="sweep-sf", master="local[16]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    res = run_all(spark, sf)
+    bad = {k: v for k, v in res.items() if v}
+    print(f"driver surface @ {sf}: TOTAL {len(res)} FAIL {len(bad)}")
+
+    names = rotated_names()
+    rbad = {}
+    for n in names:
+        try:
+            sdf = getattr(mod, "q_" + n)(spark, sf).toPandas()
+            odf = duck_con(sf).execute(mod.oracle_sql()[n]).df()
+            errs = compare(n, sdf, odf, strict=True)
+            if errs:
+                rbad[n] = errs
+        except Exception as e:  # surface, don't abort the sweep
+            rbad[n] = repr(e)[:200]
+    print(f"rotation gate @ {sf}: TOTAL {len(names)} FAIL {len(rbad)}")
+    for k, v in {**bad, **rbad}.items():
+        print(k, v)
+    return 1 if (bad or rbad) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
