@@ -194,6 +194,55 @@ def test_brute_force_parity(spark):
     assert got == _brute_bgp(rows, patterns, select)
 
 
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_random_pattern_fuzz(spark, seed):
+    """Random KGs x random chained BGPs vs the nested-loop matcher."""
+    rng = random.Random(seed)
+    ents = [f"e{i}" for i in range(20)]
+    docs = [f"d{i}" for i in range(8)]
+    types = ["T1", "T2", "T3"]
+    preds = ["instance_of", "mentioned_in", "linked_to"]
+    rows = sorted({
+        *((rng.choice(ents), "instance_of", rng.choice(types))
+          for _ in range(25)),
+        *((rng.choice(ents), "mentioned_in", rng.choice(docs))
+          for _ in range(60)),
+        *((rng.choice(ents), "linked_to", rng.choice(ents))
+          for _ in range(40)),
+    })
+    for _ in range(4):
+        # build a var-chained random BGP: each pattern reuses a bound
+        # var (subject side) so the no-product guard is satisfied
+        nvars = 0
+        patterns = []
+        bound = []
+        for pi in range(rng.randint(1, 4)):
+            p = rng.choice(preds)
+            if bound and rng.random() < 0.8:
+                s = "?" + rng.choice(bound)
+            else:
+                s = f"?v{nvars}"
+                bound.append(f"v{nvars}")
+                nvars += 1
+            if rng.random() < 0.4:  # literal object
+                o = rng.choice(types if p == "instance_of"
+                               else docs if p == "mentioned_in" else ents)
+            else:
+                o = f"?v{nvars}"
+                bound.append(f"v{nvars}")
+                nvars += 1
+            patterns.append((s, p, o))
+        # validate chaining (first var of later patterns must be bound);
+        # our construction guarantees subject reuse with p=0.8 but can
+        # still produce an unshared pattern — skip those draws
+        try:
+            out = bgp_match(_df(spark, rows), patterns, select=bound)
+        except ValueError:
+            continue
+        got = sorted(tuple(r) for r in out.collect())
+        assert got == _brute_bgp(rows, patterns, bound)
+
+
 def test_plan_pushdown_and_no_nested_loop(spark):
     df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
     out = bgp_match(df, [("?x", "instance_of", "?t"),
