@@ -1440,6 +1440,19 @@ def q_kg_bgp(spark, sf):
     ], select=["algo", "ds", "url"])
 
 
+def q_dsir_stats(spark, sf):
+    # DSIR importance-resampling sufficient statistics (operators/dsir.py):
+    # md5-hashed word-bigram bucket totals over a target corpus (lang='en'
+    # documents) and the raw pool (all documents) — pure integers, so the
+    # whole featurize+count pipeline sits under the bitwise oracle; the
+    # float log-likelihood/Gumbel stages are pytest-parity
+    # (tests/test_dsir.py), the same split as IVF/k-means.
+    from stackoverflowner_spark.operators.dsir import dsir_bucket_stats
+    docs = _t(spark, sf, "documents")
+    return dsir_bucket_stats(docs.filter(F.col("lang") == "en"), docs,
+                             buckets=4096)
+
+
 def q_kg_validate(spark, sf):
     # Domain/range constraint validation (operators/validate.py) over the
     # same documents-derived KG as kg_triples_documents: mentioned_in
@@ -2064,6 +2077,33 @@ def oracle_sql() -> dict[str, str]:
             join ta on m1.subj = ta.subj
             join ma m2 on m2.url = m1.url
             join td on m2.subj = td.subj""",
+        "dsir_stats": """
+            with tw as (select list_filter(string_split(text, ' '),
+                                           w -> w <> '') as ws
+                        from documents where lang = 'en'),
+                 rw as (select list_filter(string_split(text, ' '),
+                                           w -> w <> '') as ws
+                        from documents),
+                 tg as (select unnest(list_transform(
+                            list_slice(ws, 1, greatest(len(ws) - 1, 0)),
+                            (w, i) -> w || ' ' || ws[i + 1])) as g
+                        from tw),
+                 rg as (select unnest(list_transform(
+                            list_slice(ws, 1, greatest(len(ws) - 1, 0)),
+                            (w, i) -> w || ' ' || ws[i + 1])) as g
+                        from rw),
+                 tc as (select cast('0x' || substr(md5(g), 1, 15) as bigint)
+                               % 4096 as bucket,
+                               count(*) as target_c
+                        from tg group by 1),
+                 rc as (select cast('0x' || substr(md5(g), 1, 15) as bigint)
+                               % 4096 as bucket,
+                               count(*) as raw_c
+                        from rg group by 1)
+            select coalesce(tc.bucket, rc.bucket) as bucket,
+                   cast(coalesce(target_c, 0) as bigint) as target_c,
+                   cast(coalesce(raw_c, 0) as bigint) as raw_c
+            from tc full join rc on tc.bucket = rc.bucket""",
         "kg_validate": f"""
             with d as (select 'doc://' || cast(doc_id as varchar) as url,
                               list_filter(string_split(text, ' '), w -> w <> '') as ws

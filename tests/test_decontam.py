@@ -221,7 +221,10 @@ def test_driver_oracle_strict(spark):
     "kg_mentions_documents",
     # r5h: domain/range constraint validation (SHACL-lite publish gate),
     # oracled from birth — both rules non-vacuously violated at sf0.01
-    "kg_validate"])
+    "kg_validate",
+    # r5h: DSIR importance-resampling integer sufficient statistics,
+    # oracled from birth (float log/Gumbel stages are pytest-parity)
+    "dsir_stats"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep
