@@ -150,6 +150,28 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
     return out.distinct() if distinct else out
 
 
+def union_bgp(triples: DataFrame, blocks: Sequence[Sequence[Sequence[str]]],
+              select: Sequence[str],
+              distinct: bool = True) -> DataFrame:
+    """SPARQL ``{ BGP1 } UNION { BGP2 } ...``: each block is compiled
+    independently and the binding sets are unioned on the shared
+    ``select`` columns (every block must bind all of them — SPARQL's
+    unbound-var NULLs are deliberately rejected here; use ``optional``
+    inside a block for that). DISTINCT collapses duplicates across
+    blocks, matching SPARQL set semantics.
+    """
+    if not blocks:
+        raise ValueError("empty UNION")
+    outs = []
+    for i, pats in enumerate(blocks):
+        df = bgp_match(triples, pats, select=select, distinct=False)
+        outs.append(df)
+    acc = outs[0]
+    for df in outs[1:]:
+        acc = acc.unionByName(df)
+    return acc.distinct() if distinct else acc
+
+
 def property_path(triples: DataFrame, start_var: str,
                   preds: Sequence[str], end_var: str,
                   distinct: bool = True) -> DataFrame:

@@ -253,3 +253,23 @@ def test_plan_pushdown_and_no_nested_loop(spark):
     # the literal predicate filters exist in the optimized plan
     opt = out._jdf.queryExecution().optimizedPlan().toString()
     assert "instance_of" in opt and "mentioned_in" in opt
+
+
+def test_union_bgp(spark):
+    from stackoverflowner_spark.operators.kgquery import union_bgp
+    # entities that are Libraries OR are mentioned in doc://3
+    out = union_bgp(_df(spark), [
+        [("?x", "instance_of", "Library")],
+        [("?x", "mentioned_in", "doc://3")],
+    ], select=["x"])
+    assert sorted(r.x for r in out.collect()) == ["numpy", "pandas", "python"]
+    # overlap collapses under DISTINCT: Libraries OR aliased entities
+    out2 = union_bgp(_df(spark), [
+        [("?x", "instance_of", "Library")],
+        [("?a", "alias_of", "?x"), ("?x", "instance_of", "?t")],
+    ], select=["x"])
+    assert sorted(r.x for r in out2.collect()) == ["numpy", "pandas"]
+    # a block missing a select var fails loudly (Spark column resolution)
+    with pytest.raises(Exception):
+        union_bgp(_df(spark), [[("?y", "instance_of", "Library")]],
+                  select=["x"]).collect()
