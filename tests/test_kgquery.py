@@ -273,3 +273,21 @@ def test_union_bgp(spark):
     with pytest.raises(Exception):
         union_bgp(_df(spark), [[("?y", "instance_of", "Library")]],
                   select=["x"]).collect()
+
+
+def test_kgq_cli(spark, tmp_path, capsys):
+    import json
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.kgq import main, parse_patterns
+
+    assert parse_patterns("?x a b . ?x c ?d") == [("?x", "a", "b"),
+                                                  ("?x", "c", "?d")]
+    p = str(tmp_path / "tri")
+    _df(spark).write.parquet(p)
+    assert main([p, "?x instance_of Library . ?x mentioned_in ?d",
+                 "--select", "x,d", "--master", "local[2]"]) == 0
+    out = [json.loads(l) for l in
+           capsys.readouterr().out.strip().splitlines()]
+    assert sorted((r["x"], r["d"]) for r in out) == [
+        ("numpy", "doc://1"), ("numpy", "doc://2"), ("pandas", "doc://1")]
