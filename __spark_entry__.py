@@ -1537,6 +1537,20 @@ def q_tpch_q4ish(spark, sf):
     return q4ish_late_orders(spark, sf)
 
 
+def q_tpch_q17ish(spark, sf):
+    # correlated-scalar-subquery shape (decorrelated), exact-decimal 20%
+    # threshold algebra — oracled from birth on the pytest rotation gate
+    from stackoverflowner_spark.relational import q17ish_small_qty_revenue
+    return q17ish_small_qty_revenue(spark, sf)
+
+
+def q_tpch_q21ish(spark, sf):
+    # stacked semi+anti join with residual non-equi conditions — oracled
+    # from birth on the pytest rotation gate
+    from stackoverflowner_spark.relational import q21ish_waiting_supplier
+    return q21ish_waiting_supplier(spark, sf)
+
+
 def q_tpch_q7ish(spark, sf):
     from stackoverflowner_spark.relational import q7ish_nation_volume
     return q7ish_nation_volume(spark, sf)
@@ -2015,7 +2029,8 @@ def oracle_sql() -> dict[str, str]:
         " / greatest(length(text), 1)) * 0.4"
         f" + least({hits['en']} / 10.0, 1.0) * 0.2")
     from stackoverflowner_spark.relational import (Q4ISH_SQL, Q7ISH_SQL,
-                                                   Q9ISH_SQL, Q22ISH_SQL)
+                                                   Q9ISH_SQL, Q17ISH_SQL,
+                                                   Q21ISH_SQL, Q22ISH_SQL)
     return {
         "kg_mentions_documents": f"""
             with d as (select 'doc://' || cast(doc_id as varchar) as url,
@@ -2276,6 +2291,8 @@ def oracle_sql() -> dict[str, str]:
                         then 1 else 0 end as bigint) as keep
             from j""",
         "tpch_q4ish": Q4ISH_SQL,
+        "tpch_q17ish": Q17ISH_SQL,
+        "tpch_q21ish": Q21ISH_SQL,
         "tpch_q7ish": Q7ISH_SQL,
         "tpch_q9ish": Q9ISH_SQL,
         "tpch_q22ish": Q22ISH_SQL,

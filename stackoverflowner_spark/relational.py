@@ -176,9 +176,91 @@ Q22ISH_SQL = """
     group by c_mktsegment"""
 
 
+def q17ish_small_qty_revenue(spark, sf_dir) -> DataFrame:
+    """Q17 shape: average yearly revenue that small-quantity orders of one
+    brand's parts represent — the correlated scalar subquery (20% of the
+    part's own average quantity) decorrelated to a per-part agg join. The
+    0.2*avg comparison never touches a float: with exact decimal algebra
+    ``qty < 0.2 * qs/qc  <=>  qty * 5 * qc < qs``, so both engines filter
+    the identical row set; the final /7.0 is one correctly-rounded IEEE
+    division of an identical double."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    per = (li.groupBy("l_partkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qs"),
+                F.count("*").alias("qc")))
+    sel = part.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    j = (li.join(sel, li.l_partkey == sel.p_partkey)
+         .join(per, "l_partkey")
+         .filter(F.col("l_quantity").cast("decimal(12,2)")
+                 * F.lit(5) * F.col("qc") < F.col("qs")))
+    return j.agg((F.sum(_money("l_extendedprice")).cast("double") / 7.0)
+                 .alias("avg_yearly"))
+
+
+Q17ISH_SQL = """
+    with pq as (select l_partkey,
+                       sum(cast(l_quantity as decimal(12,2))) as qs,
+                       count(*) as qc
+                from lineitem group by 1)
+    select cast(sum(cast(l_extendedprice as decimal(18,2))) as double) / 7.0
+             as avg_yearly
+    from lineitem l
+    join part p on p.p_partkey = l.l_partkey
+    join pq on pq.l_partkey = l.l_partkey
+    where p.p_brand = 'Brand#4'
+      and cast(l_quantity as decimal(12,2)) * 5 * qc < qs"""
+
+
+def q21ish_waiting_supplier(spark, sf_dir) -> DataFrame:
+    """Q21 shape: suppliers that were the ONLY late supplier on a
+    multi-supplier order (late = shipped > 80 days after the order date —
+    the q4ish substitute for the fixture's missing commit/receipt dates):
+    a semi-join (some OTHER supplier shares the order) stacked on an
+    anti-join (no OTHER supplier was late on it). Both non-equi sides
+    keep an equi component on the order key, so the plan stays a hash
+    join with a residual condition — no nested loop."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    late = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 80))
+            .select("l_orderkey", "l_suppkey").distinct())
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    has_other = late.alias("a").join(
+        pairs.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")), "left_semi")
+    sole_late = has_other.alias("a").join(
+        late.alias("c"),
+        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("c.l_suppkey")), "left_anti")
+    return (sole_late.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name").agg(F.count("*").alias("numwait")))
+
+
+Q21ISH_SQL = """
+    with late as (select distinct l.l_orderkey, l.l_suppkey
+                  from lineitem l
+                  join orders o on l.l_orderkey = o.o_orderkey
+                  where l.l_shipdate > o.o_orderdate + interval 80 day)
+    select s_name, count(*) as numwait
+    from late l1
+    join supplier s on s.s_suppkey = l1.l_suppkey
+    where exists (select 1 from lineitem l2
+                  where l2.l_orderkey = l1.l_orderkey
+                    and l2.l_suppkey <> l1.l_suppkey)
+      and not exists (select 1 from late l3
+                      where l3.l_orderkey = l1.l_orderkey
+                        and l3.l_suppkey <> l1.l_suppkey)
+    group by s_name"""
+
+
 EXTRA_QUERIES = {
     "q4ish": (q4ish_late_orders, Q4ISH_SQL),
     "q7ish": (q7ish_nation_volume, Q7ISH_SQL),
     "q9ish": (q9ish_profit, Q9ISH_SQL),
+    "q17ish": (q17ish_small_qty_revenue, Q17ISH_SQL),
+    "q21ish": (q21ish_waiting_supplier, Q21ISH_SQL),
     "q22ish": (q22ish_idle_customers, Q22ISH_SQL),
 }

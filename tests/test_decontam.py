@@ -224,7 +224,12 @@ def test_driver_oracle_strict(spark):
     "kg_validate",
     # r5h: DSIR importance-resampling integer sufficient statistics,
     # oracled from birth (float log/Gumbel stages are pytest-parity)
-    "dsir_stats"])
+    "dsir_stats",
+    # r5h: the two remaining classic TPC-H shapes, oracled from birth —
+    # q17 (decorrelated scalar subquery, exact-decimal 20% threshold) and
+    # q21 (stacked semi+anti with residual non-equi conditions)
+    "tpch_q17ish",
+    "tpch_q21ish"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep
