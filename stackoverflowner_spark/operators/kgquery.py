@@ -172,6 +172,53 @@ def union_bgp(triples: DataFrame, blocks: Sequence[Sequence[Sequence[str]]],
     return acc.distinct() if distinct else acc
 
 
+_AGG_FNS = {
+    "count": lambda v: F.count(v),
+    "count_distinct": lambda v: F.countDistinct(v),
+    "min": lambda v: F.min(v),
+    "max": lambda v: F.max(v),
+}
+
+
+def bgp_agg(triples: DataFrame, patterns: Sequence[Sequence[str]],
+            group_by: Sequence[str],
+            aggs: Sequence[Tuple[str, str, str]],
+            optional: Optional[Sequence[Sequence[str]]] = None,
+            not_exists: Optional[Sequence[Sequence[str]]] = None,
+            solution_distinct: bool = False) -> DataFrame:
+    """SPARQL ``SELECT ?g (COUNT(?x) AS ?n) ... GROUP BY ?g`` over a BGP.
+
+    ``aggs`` entries are (fn, var, alias) with fn one of
+    count / count_distinct / min / max — the string-domain aggregates a
+    (subj, pred, obj) table supports. Aggregation runs over the solution
+    MULTISET (SPARQL semantics: no implicit DISTINCT on the bindings —
+    ``bgp_match`` is called with distinct=False); pass
+    ``solution_distinct=True`` for the ``SELECT DISTINCT`` sub-query
+    shape. The group-by shuffles on the grouping vars with partial
+    (map-side) aggregation, so a 10^12-triple BGP rolls up without the
+    binding set ever materializing past the first agg exchange.
+    """
+    if not aggs:
+        raise ValueError("bgp_agg needs at least one (fn, var, alias)")
+    sol = bgp_match(triples, patterns, optional=optional,
+                    not_exists=not_exists, distinct=solution_distinct)
+    missing = [v for v in group_by if v not in sol.columns]
+    if missing:
+        raise ValueError(f"group_by vars {missing} not bound by the BGP")
+    cols = []
+    for fn, var, alias in aggs:
+        if fn not in _AGG_FNS:
+            raise ValueError(f"unknown aggregate {fn!r}; "
+                             f"supported: {sorted(_AGG_FNS)}")
+        if var != "*" and var not in sol.columns:
+            raise ValueError(f"aggregate var {var!r} not bound by the BGP")
+        cols.append(_AGG_FNS[fn](F.lit(1) if var == "*" else F.col(var))
+                    .alias(alias))
+    if not group_by:  # whole-solution aggregate, one row
+        return sol.agg(*cols)
+    return sol.groupBy(*group_by).agg(*cols)
+
+
 def property_path(triples: DataFrame, start_var: str,
                   preds: Sequence[str], end_var: str,
                   distinct: bool = True) -> DataFrame:

@@ -8,6 +8,13 @@ targets the relational shapes the contract file does not already exercise:
 EXISTS-style semi-join with date arithmetic (q4), a multi-way nation-pair
 volume join (q7), a profit rollup over a 5-table join (q9), and an
 anti-join + scalar-subquery filter (q22).
+
+With the r5i additions (q2/q8/q11/q12/q13/q15/q19/q20 shapes) every one
+of the 22 classic TPC-H query shapes has an engine implementation and a
+strict bitwise DuckDB gate, adapted where the fixture lacks a column
+(no partsupp / l_shipmode / p_container — each substitution is noted on
+the query). Money/quantity arithmetic follows the exact-DECIMAL
+discipline below; ratios are ONE IEEE division of identical doubles.
 """
 
 from __future__ import annotations
@@ -256,7 +263,306 @@ Q21ISH_SQL = """
     group by s_name"""
 
 
+def q2ish_min_price_supplier(spark, sf_dir) -> DataFrame:
+    """Q2 shape: correlated min subquery — for each small part, the
+    EUROPE suppliers whose lineitem price hits the part's global minimum
+    (l_extendedprice substitutes the fixture's missing ps_supplycost).
+    Decorrelated to a per-part min agg joined back; the equality compare
+    runs in exact DECIMAL so both engines select the identical rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    gmin = (li.groupBy(F.col("l_partkey").alias("mk"))
+            .agg(F.min(_money("l_extendedprice")).alias("min_price")))
+    eu = (supp.join(nat, supp.s_nationkey == nat.n_nationkey)
+          .join(reg, nat.n_regionkey == reg.r_regionkey)
+          .filter(F.col("r_name") == "EUROPE")
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    small = part.filter(F.col("p_size") <= 5).select("p_partkey", "p_name")
+    return (
+        li.join(small, li.l_partkey == small.p_partkey)
+        .join(eu, li.l_suppkey == eu.s_suppkey)
+        .join(gmin, li.l_partkey == gmin.mk)
+        .filter(_money("l_extendedprice") == F.col("min_price"))
+        .select(_money("s_acctbal").cast("double").alias("s_acctbal"),
+                "s_name", "n_name", "p_partkey", "p_name")
+        .distinct()
+    )
+
+
+Q2ISH_SQL = f"""
+    select distinct cast(cast(s_acctbal as decimal(18,2)) as double)
+             as s_acctbal,
+           s_name, n_name, p_partkey, p_name
+    from lineitem l
+    join part p on p.p_partkey = l.l_partkey
+    join supplier s on s.s_suppkey = l.l_suppkey
+    join nation n on n.n_nationkey = s.s_nationkey
+    join region r on r.r_regionkey = n.n_regionkey
+    where r.r_name = 'EUROPE' and p.p_size <= 5
+      and {_SQL_EXT} = (select min(cast(l2.l_extendedprice as decimal(18,2)))
+                        from lineitem l2
+                        where l2.l_partkey = l.l_partkey)"""
+
+
+def q8ish_market_share(spark, sf_dir) -> DataFrame:
+    """Q8 shape: NATION_3's share of ASIA-customer volume per order year.
+    Numerator and denominator are exact DECIMAL sums; the share is ONE
+    IEEE division of two identical doubles, so it is bit-stable across
+    engines and partial-agg orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    cn = (cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+          .join(reg, nat.n_regionkey == reg.r_regionkey)
+          .filter(F.col("r_name") == "ASIA").select("c_custkey"))
+    sn = nat.select(F.col("n_nationkey").alias("snk"),
+                    F.col("n_name").alias("supp_nation"))
+    vol = _money("l_extendedprice") * _disc_factor()
+    base = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cn, orders.o_custkey == cn.c_custkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(sn, supp.s_nationkey == F.col("snk")))
+    return (base.groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg((F.coalesce(
+                      F.sum(F.when(F.col("supp_nation") == "NATION_3", vol))
+                      .cast("double"), F.lit(0.0))
+                  / F.sum(vol).cast("double")).alias("mkt_share")))
+
+
+Q8ISH_SQL = f"""
+    select year(o_orderdate) as o_year,
+           coalesce(cast(sum(case when n1.n_name = 'NATION_3'
+                                  then {_SQL_EXT} * {_SQL_DISC} end)
+                         as double), 0.0)
+             / cast(sum({_SQL_EXT} * {_SQL_DISC}) as double) as mkt_share
+    from lineitem
+    join orders on l_orderkey = o_orderkey
+    join customer on o_custkey = c_custkey
+    join nation n2 on c_nationkey = n2.n_nationkey
+    join region on n2.n_regionkey = r_regionkey
+    join supplier on l_suppkey = s_suppkey
+    join nation n1 on s_nationkey = n1.n_nationkey
+    where r_name = 'ASIA'
+    group by 1"""
+
+
+def q11ish_important_stock(spark, sf_dir) -> DataFrame:
+    """Q11 shape: per-part value concentration with a scalar-subquery
+    threshold (p_retailprice * l_quantity substitutes the fixture's
+    missing ps_supplycost * ps_availqty), scoped to NATION_1 suppliers.
+    Threshold compare stays in exact DECIMAL: sum(value) > 0.001 *
+    total(value); the output sum casts to double only for the schema."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+    n1 = (supp.join(nat, supp.s_nationkey == nat.n_nationkey)
+          .filter(F.col("n_name") == "NATION_1").select("s_suppkey"))
+    value = (_money("p_retailprice")
+             * F.col("l_quantity").cast("decimal(12,1)"))
+    scoped = (li.join(n1, li.l_suppkey == n1.s_suppkey)
+              .join(part, li.l_partkey == part.p_partkey))
+    per = scoped.groupBy("l_partkey").agg(F.sum(value).alias("val"))
+    total = scoped.agg(
+        (F.sum(value) * F.lit("0.001").cast("decimal(6,3)")).alias("thr"))
+    return (per.join(F.broadcast(total))
+            .filter(F.col("val") > F.col("thr"))
+            .select("l_partkey", F.col("val").cast("double").alias("value")))
+
+
+_SQL_STOCKVAL = ("cast(p_retailprice as decimal(18,2))"
+                 " * cast(l_quantity as decimal(12,1))")
+
+Q11ISH_SQL = f"""
+    with scoped as (select l.l_partkey, {_SQL_STOCKVAL} as v
+                    from lineitem l
+                    join supplier s on s.s_suppkey = l.l_suppkey
+                    join nation n on n.n_nationkey = s.s_nationkey
+                    join part p on p.p_partkey = l.l_partkey
+                    where n.n_name = 'NATION_1')
+    select l_partkey, cast(sum(v) as double) as value
+    from scoped
+    group by l_partkey
+    having sum(v) > (select sum(v) * cast(0.001 as decimal(6,3))
+                     from scoped)"""
+
+
+def q12ish_priority_lines(spark, sf_dir) -> DataFrame:
+    """Q12 shape: late-line priority split per category (l_returnflag
+    substitutes the fixture's missing l_shipmode; shipdate > orderdate+80
+    is the repo-wide lateness substitute for commit/receipt dates).
+    Pure integer conditional counts — no float anywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 80))
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count")))
+
+
+Q12ISH_SQL = """
+    select l_returnflag,
+           sum(case when o_orderpriority in ('1-URGENT','2-HIGH')
+                    then 1 else 0 end) as high_line_count,
+           sum(case when o_orderpriority in ('1-URGENT','2-HIGH')
+                    then 0 else 1 end) as low_line_count
+    from lineitem
+    join orders on l_orderkey = o_orderkey
+    where l_shipdate > o_orderdate + interval 80 day
+    group by l_returnflag"""
+
+
+def q13ish_order_distribution(spark, sf_dir) -> DataFrame:
+    """Q13 shape: distribution of per-customer order counts INCLUDING
+    zero-order customers — the left-outer-join-then-count-then-histogram
+    double aggregation (the one shape a semi/anti join cannot express).
+    The o_orderpriority exclusion plays q13's comment-pattern filter."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") != "5-LOW"))
+    per = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+           .groupBy("c_custkey")
+           .agg(F.count("o_orderkey").alias("c_count")))
+    return (per.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+Q13ISH_SQL = """
+    select c_count, count(*) as custdist
+    from (select c.c_custkey, count(o.o_orderkey) as c_count
+          from customer c
+          left join orders o on o.o_custkey = c.c_custkey
+                            and o.o_orderpriority <> '5-LOW'
+          group by c.c_custkey) t
+    group by c_count"""
+
+
+def q15ish_top_supplier(spark, sf_dir) -> DataFrame:
+    """Q15 shape: the revenue view + scalar-max equality select. Revenue
+    is an exact DECIMAL sum per supplier over one ship-year; the max and
+    the equality compare stay in DECIMAL (ties would surface in both
+    engines identically), cast to double only on output."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (li.filter(F.year("l_shipdate") == 1997)
+           .groupBy(F.col("l_suppkey").alias("rk"))
+           .agg(F.sum(_money("l_extendedprice") * _disc_factor())
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mr"))
+    return (rev.join(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("mr"))
+            .join(supp, F.col("rk") == supp.s_suppkey)
+            .select("s_suppkey", "s_name",
+                    F.col("total_revenue").cast("double")
+                    .alias("total_revenue")))
+
+
+Q15ISH_SQL = f"""
+    with revenue as (select l_suppkey as supplier_no,
+                            sum({_SQL_EXT} * {_SQL_DISC}) as total_revenue
+                     from lineitem
+                     where year(l_shipdate) = 1997
+                     group by l_suppkey)
+    select s_suppkey, s_name, cast(total_revenue as double) as total_revenue
+    from supplier
+    join revenue on s_suppkey = supplier_no
+    where total_revenue = (select max(total_revenue) from revenue)"""
+
+
+def q19ish_disjunctive_revenue(spark, sf_dir) -> DataFrame:
+    """Q19 shape: disjunction of three brand/size/quantity envelopes
+    (p_size band substitutes the fixture's missing p_container) folded
+    into one scan predicate — Catalyst keeps it a single join with a
+    residual OR filter, no union of three scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand) & (F.col("p_size").between(1, smax))
+        & qty.between(qlo, qhi))
+    pred = (arm("Brand#1", 5, 1, 11) | arm("Brand#2", 10, 10, 20)
+            | arm("Brand#3", 15, 20, 30))
+    return (li.join(part, li.l_partkey == part.p_partkey)
+            .filter(pred)
+            .agg(F.sum(_money("l_extendedprice") * _disc_factor())
+                 .cast("double").alias("revenue")))
+
+
+Q19ISH_SQL = f"""
+    select cast(sum({_SQL_EXT} * {_SQL_DISC}) as double) as revenue
+    from lineitem
+    join part on p_partkey = l_partkey
+    where (p_brand = 'Brand#1' and p_size between 1 and 5
+           and l_quantity between 1 and 11)
+       or (p_brand = 'Brand#2' and p_size between 1 and 10
+           and l_quantity between 10 and 20)
+       or (p_brand = 'Brand#3' and p_size between 1 and 15
+           and l_quantity between 20 and 30)"""
+
+
+def q20ish_excess_suppliers(spark, sf_dir) -> DataFrame:
+    """Q20 shape: nested semi-joins — ASIA suppliers that shipped more
+    than 60 units of some 'a'-named part in 1997+ (the shipped-quantity
+    sum substitutes the fixture's missing ps_availqty threshold).
+    Quantity sums stay DECIMAL; the only money column casts on output."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    sel_parts = (part.filter(F.col("p_name").contains("a"))
+                 .select("p_partkey"))
+    heavy = (li.filter(F.year("l_shipdate") >= 1997)
+             .join(sel_parts, li.l_partkey == sel_parts.p_partkey,
+                   "left_semi")
+             .groupBy("l_suppkey")
+             .agg(F.sum(F.col("l_quantity").cast("decimal(12,1)"))
+                  .alias("shipped"))
+             .filter(F.col("shipped") > F.lit(60).cast("decimal(12,1)"))
+             .select("l_suppkey"))
+    return (supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+            .join(nat, supp.s_nationkey == nat.n_nationkey)
+            .join(reg, nat.n_regionkey == reg.r_regionkey)
+            .filter(F.col("r_name") == "ASIA")
+            .select("s_name", _money("s_acctbal").cast("double")
+                    .alias("s_acctbal")))
+
+
+Q20ISH_SQL = """
+    select s_name, cast(cast(s_acctbal as decimal(18,2)) as double)
+             as s_acctbal
+    from supplier s
+    join nation n on n.n_nationkey = s.s_nationkey
+    join region r on r.r_regionkey = n.n_regionkey
+    where r.r_name = 'ASIA'
+      and s.s_suppkey in (
+        select l.l_suppkey
+        from lineitem l
+        where year(l.l_shipdate) >= 1997
+          and l.l_partkey in (select p_partkey from part
+                              where p_name like '%a%')
+        group by l.l_suppkey
+        having sum(cast(l.l_quantity as decimal(12,1)))
+                 > cast(60 as decimal(12,1)))"""
+
+
 EXTRA_QUERIES = {
+    "q2ish": (q2ish_min_price_supplier, Q2ISH_SQL),
+    "q8ish": (q8ish_market_share, Q8ISH_SQL),
+    "q11ish": (q11ish_important_stock, Q11ISH_SQL),
+    "q12ish": (q12ish_priority_lines, Q12ISH_SQL),
+    "q13ish": (q13ish_order_distribution, Q13ISH_SQL),
+    "q15ish": (q15ish_top_supplier, Q15ISH_SQL),
+    "q19ish": (q19ish_disjunctive_revenue, Q19ISH_SQL),
+    "q20ish": (q20ish_excess_suppliers, Q20ISH_SQL),
     "q4ish": (q4ish_late_orders, Q4ISH_SQL),
     "q7ish": (q7ish_nation_volume, Q7ISH_SQL),
     "q9ish": (q9ish_profit, Q9ISH_SQL),

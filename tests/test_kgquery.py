@@ -291,3 +291,55 @@ def test_kgq_cli(spark, tmp_path, capsys):
            capsys.readouterr().out.strip().splitlines()]
     assert sorted((r["x"], r["d"]) for r in out) == [
         ("numpy", "doc://1"), ("numpy", "doc://2"), ("pandas", "doc://1")]
+
+
+def test_bgp_agg_oracle(spark):
+    """bgp_agg vs the identical SQL in DuckDB over the same triples:
+    mention counts per type (multiset semantics — numpy's two mention
+    docs both count), plus count_distinct/min/max and the whole-solution
+    no-group-by shape."""
+    import duckdb
+
+    from stackoverflowner_spark.operators.kgquery import bgp_agg
+
+    out = bgp_agg(_df(spark),
+                  [("?x", "instance_of", "?t"),
+                   ("?x", "mentioned_in", "?d")],
+                  group_by=["t"],
+                  aggs=[("count", "*", "n_mentions"),
+                        ("count_distinct", "x", "n_entities"),
+                        ("min", "d", "first_doc"),
+                        ("max", "d", "last_doc")]).toPandas()
+    con = duckdb.connect()
+    con.execute("create table triples(subj varchar, pred varchar, obj varchar)")
+    con.executemany("insert into triples values (?,?,?)", TRIPLES)
+    oracle = con.execute("""
+        select a.obj as t, count(*) as n_mentions,
+               count(distinct a.subj) as n_entities,
+               min(b.obj) as first_doc, max(b.obj) as last_doc
+        from triples a join triples b on a.subj = b.subj
+        where a.pred = 'instance_of' and b.pred = 'mentioned_in'
+        group by 1""").df()
+    from .oracle_harness import compare
+    assert not compare("bgp_agg", out, oracle, strict=True)
+
+    # no-group-by whole-solution aggregate
+    one = bgp_agg(_df(spark), [("?x", "instance_of", "?t")],
+                  group_by=[],
+                  aggs=[("count_distinct", "t", "n_types")]).collect()
+    assert one[0].n_types == 2
+
+    # COUNT(?x) skips OPTIONAL-unbound vars (SPARQL semantics)
+    opt = bgp_agg(_df(spark), [("?x", "instance_of", "?t")],
+                  group_by=["t"],
+                  aggs=[("count", "a", "n_aliased")],
+                  optional=[("?a", "alias_of", "?x")]).toPandas()
+    got = dict(zip(opt.t, opt.n_aliased))
+    assert got == {"Library": 2, "Language": 0}
+
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_agg(_df(spark), [("?x", "instance_of", "?t")],
+                group_by=["zz"], aggs=[("count", "*", "n")])
+    with pytest.raises(ValueError, match="unknown aggregate"):
+        bgp_agg(_df(spark), [("?x", "instance_of", "?t")],
+                group_by=["t"], aggs=[("avg", "x", "n")])

@@ -64,9 +64,26 @@ def main() -> int:
         except Exception as e:  # surface, don't abort the sweep
             rbad[n] = repr(e)[:200]
     print(f"rotation gate @ {sf}: TOTAL {len(names)} FAIL {len(rbad)}")
-    for k, v in {**bad, **rbad}.items():
+
+    # the pytest-only relational family (tests/test_tpch_extra.py runs it
+    # at sf0.01; this sweep re-gates it at the chosen SF)
+    from stackoverflowner_spark.relational import EXTRA_QUERIES
+    ebad = {}
+    for n, (fn, sql) in sorted(EXTRA_QUERIES.items()):
+        try:
+            sdf = fn(spark, sf).toPandas()
+            odf = duck_con(sf).execute(sql).df()
+            errs = compare(n, sdf, odf, strict=True)
+            if errs:
+                ebad[n] = errs
+        except Exception as e:
+            ebad[n] = repr(e)[:200]
+    print(f"relational extras @ {sf}: TOTAL {len(EXTRA_QUERIES)} "
+          f"FAIL {len(ebad)}")
+
+    for k, v in {**bad, **rbad, **ebad}.items():
         print(k, v)
-    return 1 if (bad or rbad) else 0
+    return 1 if (bad or rbad or ebad) else 0
 
 
 if __name__ == "__main__":
