@@ -64,6 +64,49 @@ def write_triples(triples: DataFrame, path: str, mode: str = "overwrite") -> Non
     triples.write.mode(mode).partitionBy("part_hash").parquet(path)
 
 
+def write_triples_sorted(triples: DataFrame, path: str,
+                         mode: str = "overwrite",
+                         block_size: int | None = None) -> None:
+    """Subject-clustered layout: same partitioning, plus
+    ``sortWithinPartitions(part_hash, subj, pred)`` before the write.
+
+    Leading with the partition column means the file writer's required
+    ordering is already satisfied, so the (subj, pred) order survives
+    into the files verbatim: each parquet row group then covers a narrow
+    subject range and its min/max statistics let ANY reader (Spark
+    row-group skipping, DuckDB zone maps, Iceberg metrics) discard row
+    groups a subject-literal probe cannot hit. At 10^12 triples this is
+    the difference between a subject lookup scanning one partition
+    (hash pruning alone) and scanning ~one row group — the same data,
+    one extra sort at write time, no extra shuffle beyond the
+    partitioning exchange the plain writer needs anyway.
+
+    ``block_size`` (bytes) caps the parquet row-group size — tests use a
+    small value to get many row groups from small fixtures; production
+    leaves the 128 MB default.
+    """
+    w = (triples.repartition("part_hash")
+         .sortWithinPartitions("part_hash", "subj", "pred")
+         .write.mode(mode))
+    if block_size is not None:
+        w = w.option("parquet.block.size", str(block_size))
+    w.partitionBy("part_hash").parquet(path)
+
+
+def read_subject(spark, path: str, subj: str,
+                 n_buckets: int = 64) -> DataFrame:
+    """Point lookup: compute the literal's part_hash driver-side so the
+    scan prunes to ONE partition directory, then filter subj (pushed to
+    parquet, where the sorted layout's row-group stats bound the read
+    to ~one row group)."""
+    bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(subj)), F.lit(n_buckets)).cast("int")
+        .alias("b")).first().b
+    return (spark.read.parquet(path)
+            .filter((F.col("part_hash") == bucket)
+                    & (F.col("subj") == subj)))
+
+
 def _esc_literal(col: F.Column) -> F.Column:
     """N-Triples string-literal escaping: backslash first, then quote,
     newline, carriage return, tab (the grammar's required escapes)."""
