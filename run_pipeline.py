@@ -38,6 +38,11 @@ def main(argv=None) -> int:
     ap.add_argument("--prev-triples",
                     help="the previous snapshot's triples parquet")
     ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--sorted-layout", action="store_true",
+                    help="subject-clustered triple files (sortWithin"
+                         "Partitions before the write; row-group stats "
+                         "then prune subject point lookups) — fused "
+                         "mode only")
     ap.add_argument("--link", choices=["broadcast", "salted", "fuzzy"],
                     default="broadcast",
                     help="'fuzzy' adds a typo-repair pass: mentions with "
@@ -137,7 +142,13 @@ def main(argv=None) -> int:
         else:
             triples = pipe.run_fused(pages)
         out_path = args.out + "/triples"
-        triples.write.mode("overwrite").partitionBy("part_hash").parquet(out_path)
+        if args.sorted_layout:
+            from stackoverflowner_spark.operators.triples import \
+                write_triples_sorted
+            write_triples_sorted(triples, out_path)
+        else:
+            triples.write.mode("overwrite").partitionBy("part_hash") \
+                .parquet(out_path)
     else:
         out_path = pipe.run_checkpointed(pages)
     n = spark.read.parquet(out_path).count()

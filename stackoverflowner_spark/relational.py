@@ -554,7 +554,69 @@ Q20ISH_SQL = """
                  > cast(60 as decimal(12,1)))"""
 
 
+def range_frame_hour(spark, sf_dir) -> DataFrame:
+    """RANGE-interval window frame — the one window-frame shape the
+    rows-frame twin (__spark_entry__ moving_sum) does not cover: per
+    user, the decimal-exact sum of event values in the PRECEDING HOUR by
+    event time. RANGE semantics (all peers with equal order key join the
+    frame) are tie-identical across engines because the order key is the
+    exact integer microsecond timestamp in both."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = (Window.partitionBy("user_id").orderBy(F.col("us"))
+         .rangeBetween(-3_600_000_000, 0))
+    return (ev.withColumn("us", us)
+            .withColumn("hour_sum",
+                        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+                        .cast("double"))
+            .select("event_id", "user_id", "us", "hour_sum"))
+
+
+RANGE_FRAME_SQL = """
+    select event_id, user_id, epoch_us(ts) as us,
+           cast(sum(cast(value as decimal(18,2))) over
+                  (partition by user_id order by epoch_us(ts)
+                   range between 3600000000 preceding and current row)
+                as double) as hour_sum
+    from events"""
+
+
+def unpivot_lineitem(spark, sf_dir) -> DataFrame:
+    """UNPIVOT (wide->long melt) via ``stack``: the four lineitem
+    measures become (metric, value) rows, then a per-metric decimal
+    rollup. At scale the melt is a zero-shuffle projection (stack is a
+    generator expression inside the scan stage); only the 4-group agg
+    exchanges."""
+    li = _t(spark, sf_dir, "lineitem")
+    melted = li.select(F.expr(
+        "stack(4,"
+        " 'quantity', cast(l_quantity as decimal(18,2)),"
+        " 'extendedprice', cast(l_extendedprice as decimal(18,2)),"
+        " 'discount', cast(l_discount as decimal(18,2)),"
+        " 'tax', cast(l_tax as decimal(18,2))) as (metric, v)"))
+    return (melted.groupBy("metric")
+            .agg(F.sum("v").cast("double").alias("total"),
+                 F.count("*").alias("n")))
+
+
+UNPIVOT_SQL = """
+    with m as (
+      select 'quantity' as metric,
+             cast(l_quantity as decimal(18,2)) as v from lineitem
+      union all select 'extendedprice',
+             cast(l_extendedprice as decimal(18,2)) from lineitem
+      union all select 'discount',
+             cast(l_discount as decimal(18,2)) from lineitem
+      union all select 'tax',
+             cast(l_tax as decimal(18,2)) from lineitem)
+    select metric, cast(sum(v) as double) as total, count(*) as n
+    from m group by metric"""
+
+
 EXTRA_QUERIES = {
+    "range_frame": (range_frame_hour, RANGE_FRAME_SQL),
+    "unpivot": (unpivot_lineitem, UNPIVOT_SQL),
     "q2ish": (q2ish_min_price_supplier, Q2ISH_SQL),
     "q8ish": (q8ish_market_share, Q8ISH_SQL),
     "q11ish": (q11ish_important_stock, Q11ISH_SQL),

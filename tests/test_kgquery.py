@@ -343,3 +343,20 @@ def test_bgp_agg_oracle(spark):
     with pytest.raises(ValueError, match="unknown aggregate"):
         bgp_agg(_df(spark), [("?x", "instance_of", "?t")],
                 group_by=["t"], aggs=[("avg", "x", "n")])
+
+
+def test_kgq_cli_aggregate(spark, tmp_path, capsys):
+    import json
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.kgq import main
+
+    p = str(tmp_path / "tri_agg")
+    _df(spark).write.parquet(p)
+    assert main([p, "?x instance_of ?t", "--group-by", "t",
+                 "--agg", "count:*:n", "--agg", "count_distinct:x:ents",
+                 "--master", "local[2]"]) == 0
+    out = [json.loads(l) for l in
+           capsys.readouterr().out.strip().splitlines()]
+    assert sorted((r["t"], r["n"], r["ents"]) for r in out) == [
+        ("Language", 1, 1), ("Library", 2, 2)]

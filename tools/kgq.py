@@ -10,6 +10,7 @@ by whitespace, ``?name`` terms are variables — compiled straight to
         "?x instance_of Library . ?x mentioned_in ?d" [--select x,d]
         [--optional "?a alias_of ?x"] [--not-exists "?x flagged_as spam"]
         [--limit 100] [--master local[8]]
+        [--group-by t --agg count:*:n --agg count_distinct:x:entities]
 
 Literals containing spaces are not expressible in this mini-syntax (the
 Python API takes arbitrary strings); it covers the dominant
@@ -49,22 +50,45 @@ def main(argv=None) -> int:
     ap.add_argument("--not-exists", dest="not_exists", default=None,
                     help="FILTER NOT EXISTS block, same mini-syntax")
     ap.add_argument("--limit", type=int, default=1000)
+    ap.add_argument("--group-by", dest="group_by", default=None,
+                    help="comma-separated grouping vars; switches to the "
+                         "aggregate surface (bgp_agg)")
+    ap.add_argument("--agg", action="append", default=[],
+                    help="fn:var:alias with fn in count/count_distinct/"
+                         "min/max (repeatable; var '*' counts bindings); "
+                         "requires --group-by (may be empty: "
+                         "--group-by '' aggregates the whole solution)")
     ap.add_argument("--master", default="local[8]")
     args = ap.parse_args(argv)
+    if args.agg and args.group_by is None:
+        ap.error("--agg requires --group-by (use --group-by '' for a "
+                 "whole-solution aggregate)")
 
-    from stackoverflowner_spark.operators.kgquery import bgp_match
+    from stackoverflowner_spark.operators.kgquery import bgp_agg, bgp_match
     from stackoverflowner_spark.session import get_spark
 
     spark = get_spark(app_name="kgq", master=args.master,
                       shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     tri = spark.read.parquet(args.triples)
-    out = bgp_match(
-        tri, parse_patterns(args.where),
-        select=args.select.split(",") if args.select else None,
-        optional=parse_patterns(args.optional) if args.optional else None,
-        not_exists=(parse_patterns(args.not_exists)
-                    if args.not_exists else None))
+    optional = parse_patterns(args.optional) if args.optional else None
+    not_exists = (parse_patterns(args.not_exists)
+                  if args.not_exists else None)
+    if args.group_by is not None:
+        aggs = []
+        for spec in (args.agg or ["count:*:n"]):
+            parts = spec.split(":")
+            if len(parts) != 3:
+                raise SystemExit(f"--agg needs fn:var:alias, got {spec!r}")
+            aggs.append(tuple(parts))
+        out = bgp_agg(tri, parse_patterns(args.where),
+                      group_by=[g for g in args.group_by.split(",") if g],
+                      aggs=aggs, optional=optional, not_exists=not_exists)
+    else:
+        out = bgp_match(
+            tri, parse_patterns(args.where),
+            select=args.select.split(",") if args.select else None,
+            optional=optional, not_exists=not_exists)
     rows = out.limit(args.limit).collect()
     for r in rows:
         print(json.dumps(r.asDict(), sort_keys=True))
