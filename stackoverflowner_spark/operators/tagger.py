@@ -114,11 +114,18 @@ class PerceptronTagger(Tagger):
 
     def __init__(self, model, alias_types: Dict[str, str],
                  ctc_dict: Optional[Dict[str, str]] = None,
-                 use_seg_channel: bool = False):
+                 use_seg_channel: bool = False,
+                 seg_model: Optional["PerceptronTagger"] = None):
         self.model = model
         self.alias_types = alias_types
         self.ctc_dict = ctc_dict
         self.use_seg_channel = use_seg_channel
+        # r5: optional TRAINED binary segmenter (a nested PerceptronTagger
+        # over collapsed single-type spans) supplying the deployment seg
+        # channel; measured 78.2 dev channel-F1 vs the alias segmenter's
+        # 41.5 (the reference's own fixture channel: 93.9 — partially
+        # gold-derived, make_segment_pred.py). None = alias fallback.
+        self.seg_model = seg_model
         self._seg_base: Optional[GazetteerTagger] = None
 
     def _aux_channel(self, tokens: Sequence[str],
@@ -136,18 +143,25 @@ class PerceptronTagger(Tagger):
             out.append(c)
         return out
 
-    def _model_inputs(self, tokens: Sequence[str], md_tags: Sequence[str]):
-        seg = None
-        if self.use_seg_channel:
-            # at inference on arbitrary pages the segmenter channel comes
-            # from the deterministic binary segmenter (the two-pass E2E flow:
-            # segmenter first, NER consumes pred_seg_label); the base
-            # segmenter is built once, not per sentence
+    def _infer_seg(self, tokens: Sequence[str],
+                   md_tags: Sequence[str]) -> List[str]:
+        """Deployment seg channel for one sentence: the trained binary
+        segmenter when shipped with the artifact, else the alias
+        segmenter (the two-pass E2E flow: segmenter first, NER consumes
+        pred_seg_label)."""
+        seg_model = getattr(self, "seg_model", None)  # pre-r5 pickles
+        if seg_model is not None:
+            bio = seg_model.tag(tokens, md_tags)
+        else:
+            # the base segmenter is built once, not per sentence
             if self._seg_base is None:
                 self._seg_base = GazetteerTagger(alias_map={
                     k: ("x", v) for k, v in self.alias_types.items()})
             bio = self._seg_base.tag(tokens, md_tags)
-            seg = ["Name" if t != "O" else "O" for t in bio]
+        return ["Name" if t != "O" else "O" for t in bio]
+
+    def _model_inputs(self, tokens: Sequence[str], md_tags: Sequence[str]):
+        seg = self._infer_seg(tokens, md_tags) if self.use_seg_channel else None
         return (list(tokens), list(md_tags), self._aux_channel(tokens, seg))
 
     def tag(self, tokens: Sequence[str], md_tags: Sequence[str]) -> List[str]:
@@ -196,7 +210,20 @@ class PerceptronTagger(Tagger):
                 pending.setdefault(key, []).append(k)
         if pending:
             reps = [ks[0] for ks in pending.values()]
-            inputs = [self._model_inputs(*sentences[k]) for k in reps]
+            seg_model = getattr(self, "seg_model", None)  # pre-r5 pickles
+            if self.use_seg_channel and seg_model is not None:
+                # batch the nested segmenter decode too (it has its own
+                # batched Viterbi + memo), instead of per-sentence calls
+                seg_bios = seg_model.tag_sentences(
+                    [sentences[k] for k in reps])
+                inputs = []
+                for k, bio in zip(reps, seg_bios):
+                    t, m = sentences[k]
+                    seg = ["Name" if x != "O" else "O" for x in bio]
+                    inputs.append((list(t), list(m),
+                                   self._aux_channel(t, seg)))
+            else:
+                inputs = [self._model_inputs(*sentences[k]) for k in reps]
             if hasattr(self.model, "tag_sentences"):
                 tagged = self.model.tag_sentences(inputs)
             else:
@@ -222,7 +249,10 @@ class PerceptronTagger(Tagger):
                       min_alias_count: int = 3, structured: bool = False,
                       ctc_path: Optional[str] = None,
                       seg_path: Optional[str] = None,
-                      seg_mode: str = "ref") -> "PerceptronTagger":
+                      seg_mode: str = "ref",
+                      own_seg_channels: Optional[list] = None,
+                      seg_model: Optional["PerceptronTagger"] = None
+                      ) -> "PerceptronTagger":
         """``structured=True`` trains the Viterbi-decoded variant
         (kernel.perceptron.StructuredPerceptron — the M10 CRF-decode shape).
         ``ctc_path`` adds the reference's CTC prediction dictionary
@@ -304,9 +334,19 @@ class PerceptronTagger(Tagger):
             md = [t.md_label for t in s]
             gold = [t.tag for t in s]
             if use_seg and seg_mode in ("own", "multi"):
-                # the deployment channel: the same alias segmenter
-                # _model_inputs runs at inference
-                own = proto._model_inputs(w, md)[2]
+                # the deployment channel. ``own_seg_channels`` (sentence-
+                # aligned 'Name'/'O' lists, normally JACKKNIFED trained-
+                # segmenter predictions — fold models that never saw the
+                # sentence, so the train-time channel carries the same
+                # noise profile inference will) overrides the default
+                # alias-segmenter channel _model_inputs would build.
+                own = None
+                if own_seg_channels is not None and i < len(own_seg_channels):
+                    ch = own_seg_channels[i]
+                    if ch is not None and len(ch) == len(w):
+                        own = proto._aux_channel(w, ch)
+                if own is None:
+                    own = proto._model_inputs(w, md)[2]
                 data.append((w, md, own, gold))
             if seg_mode in ("ref", "multi"):
                 seg = None
@@ -317,7 +357,8 @@ class PerceptronTagger(Tagger):
                     data.append((w, md, proto._aux_channel(w, seg), gold))
         model = StructuredPerceptron() if structured else AveragedPerceptron()
         model.fit(data, epochs=epochs)
-        return cls(model, alias_types, ctc_dict, use_seg_channel=use_seg)
+        return cls(model, alias_types, ctc_dict, use_seg_channel=use_seg,
+                   seg_model=seg_model)
 
     def save(self, path: str) -> None:
         import gzip
@@ -325,7 +366,8 @@ class PerceptronTagger(Tagger):
         with gzip.open(path, "wb") as f:
             pickle.dump({"model": self.model, "alias_types": self.alias_types,
                          "ctc_dict": self.ctc_dict,
-                         "use_seg_channel": self.use_seg_channel}, f)
+                         "use_seg_channel": self.use_seg_channel,
+                         "seg_model": getattr(self, "seg_model", None)}, f)
 
     @classmethod
     def load(cls, path: str) -> "PerceptronTagger":
@@ -334,7 +376,8 @@ class PerceptronTagger(Tagger):
         with gzip.open(path, "rb") as f:
             d = pickle.load(f)
         return cls(d["model"], d["alias_types"], d.get("ctc_dict"),
-                   d.get("use_seg_channel", False))
+                   d.get("use_seg_channel", False),
+                   seg_model=d.get("seg_model"))
 
 
 _DEFAULT_TAGGER: dict = {}

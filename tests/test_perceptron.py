@@ -240,3 +240,36 @@ def test_float32_decode_matches_float64_on_web_corpus():
         assert got == [m.labels[j] for j in m._viterbi(E)]
         checked += 1
     assert checked > 2000
+
+
+@pytest.mark.skipif(not os.path.exists(REF_SEG_TRAIN), reason="seg fixture absent")
+def test_trained_seg_model_plumbing(tmp_path):
+    """r5 trained-segmenter plug point: a nested binary segmenter supplies
+    the deployment seg channel; per-sentence tag == batched tag_sentences,
+    and the nested model survives save/load. (Shipped OFF: the dev gate
+    measured the perceptron segmenter channel as a wash — same feature
+    family as the NER model — but the plug point is the supported path for
+    a stronger external segmenter, tools/tune_segchannel.py.)"""
+    from stackoverflowner_spark.kernel.goldload import parse_gold_lines
+    from stackoverflowner_spark.operators.tagger import PerceptronTagger
+    from tools.train_segmenter import sentences_to_gold_lines
+
+    sents = list(itertools.islice(
+        parse_gold_lines(open(GOLD_TRAIN).read().splitlines()), 0, 300))
+    binpath = str(tmp_path / "bin.txt")
+    with open(binpath, "w") as f:
+        f.writelines(sentences_to_gold_lines(sents))
+    seg = PerceptronTagger.fit_from_gold(binpath, epochs=1, structured=True)
+    ner = PerceptronTagger.fit_from_gold(
+        GOLD_TRAIN, epochs=1, ctc_path=REF_CTC_TSV, seg_path=REF_SEG_TRAIN,
+        seg_mode="multi", seg_model=seg)
+    assert ner.seg_model is not None
+    batch = [([t.word for t in s], [t.md_label for t in s])
+             for s in sents[:40]]
+    one_by_one = [ner.tag(t, m) for t, m in batch]
+    assert ner.tag_sentences(batch) == one_by_one
+    p = str(tmp_path / "nested.pkl.gz")
+    ner.save(p)
+    t2 = PerceptronTagger.load(p)
+    assert t2.seg_model is not None
+    assert [t2.tag(t, m) for t, m in batch] == one_by_one
