@@ -924,6 +924,62 @@ def q_comention_graph(spark, sf):
     return comention_edges(ments, "doc_id", "entity", max_per_doc=25)
 
 
+def q_link_predict(spark, sf):
+    # KG link prediction (operators/linkpred.py): common-neighbor /
+    # Adamic-Adar / fixed-point Resource-Allocation scores for
+    # unconnected pairs over the co-mention evidence graph — the
+    # missing-edge curation queue. aa is float (JVM Math.log vs libm
+    # last-ulp gap, tolerance-gated in tests/test_linkpred.py) so the
+    # strict surface carries cn + the exact-integer ra_fp.
+    # Pytest-gated surface.
+    from stackoverflowner_spark.operators.linkpred import link_predict
+    edges = q_comention_graph(spark, sf).select("src", "dst")
+    return (link_predict(edges, max_degree=12, min_cn=2)
+            .select("u", "w", "cn", "ra_fp"))
+
+
+def q_bpe_pairs(spark, sf):
+    # First BPE training iteration: adjacent-symbol pair counts over the
+    # distinct (word, cnt) table (operators/bpe.py) — the vocabulary-
+    # bounded aggregate every merge iteration re-runs. The full iterative
+    # trainer is gated bitwise against the single-process reference
+    # implementation in tests/test_bpe.py. Pytest-gated surface.
+    from stackoverflowner_spark.operators.bpe import pair_counts, word_counts
+    from stackoverflowner_spark.operators.bpe import _initial_seqs
+    docs = _t(spark, sf, "documents")
+    return (pair_counts(_initial_seqs(word_counts(docs)))
+            .select("a", "b", F.col("n").cast("long").alias("n")))
+
+
+def _link_predict_oracle() -> str:
+    # strict-oracle twin of q_link_predict: the co-mention edge CTE (same
+    # as the comention_graph oracle, pairs only) fed through the
+    # operator's own DuckDB replay template, projected to the exact
+    # columns (cn + integer fixed-point ra_fp; float aa stays pytest-
+    # tolerance-gated per the JVM-log-vs-libm ulp gap).
+    from stackoverflowner_spark.operators.linkpred import link_predict_sql
+    edges = """
+            with toks as (
+              select doc_id, list_filter(list_transform(
+                  string_split_regex(lower(text), '\\s+'),
+                  x -> regexp_replace(x, '^[^a-z0-9]+|[^a-z0-9]+$',
+                                      '', 'g')), x -> x <> '') as t
+              from documents),
+            ents as (
+              select distinct doc_id, x as e
+              from (select doc_id, unnest(t) as x from toks)),
+            kept as (
+              select doc_id, e from ents
+              where doc_id in (select doc_id from ents
+                               group by doc_id having count(*) <= 25))
+            select a.e as src, b.e as dst
+            from kept a join kept b
+              on a.doc_id = b.doc_id and a.e < b.e
+            group by 1, 2"""
+    return ("select u, w, cn, ra_fp from (" +
+            link_predict_sql(edges, max_degree=12, min_cn=2) + ")")
+
+
 def q_crawl_schedule(spark, sf):
     # Politeness crawl scheduling (operators/crawlsched.py): every
     # (host, url) gets a deterministic fetch slot in the host's
@@ -3416,6 +3472,22 @@ def oracle_sql() -> dict[str, str]:
             from kept a join kept b
               on a.doc_id = b.doc_id and a.e < b.e
             group by 1, 2""",
+        "link_predict": _link_predict_oracle(),
+        "bpe_pairs": r"""
+            with words as (
+              select unnest(list_filter(
+                  regexp_split_to_array(lower(text), '\s+'),
+                  x -> x <> '')) as w
+              from documents),
+            wc as (select w, count(*) as cnt from words group by w),
+            seqs as (select list_append(string_split(w, ''), '</w>') as s,
+                            cnt
+                     from wc),
+            pairs as (
+              select s[i] as a, s[i+1] as b, cnt
+              from seqs, unnest(generate_series(1, len(s)-1)) as t(i))
+            select a, b, cast(sum(cnt) as bigint) as n
+            from pairs group by a, b""",
         "crawl_schedule": """
             with urls as (
               select 'www.' || source || '.example.com' as host,

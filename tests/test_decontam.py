@@ -229,7 +229,15 @@ def test_driver_oracle_strict(spark):
     # q17 (decorrelated scalar subquery, exact-decimal 20% threshold) and
     # q21 (stacked semi+anti with residual non-equi conditions)
     "tpch_q17ish",
-    "tpch_q21ish"])
+    "tpch_q21ish",
+    # r5j: distributed BPE training's per-iteration pair aggregate,
+    # oracled from birth — the iterative trainer itself is gated bitwise
+    # vs the single-process reference in tests/test_bpe.py
+    "bpe_pairs",
+    # r5j: link prediction over the co-mention graph — cn + exact
+    # fixed-point ra_fp strict; float aa is ulp-tolerance-gated in
+    # tests/test_linkpred.py
+    "link_predict"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep
