@@ -951,6 +951,34 @@ def q_bpe_pairs(spark, sf):
             .select("a", "b", F.col("n").cast("long").alias("n")))
 
 
+def q_transe_grad(spark, sf):
+    # Deterministic distributed TransE (operators/kgembed.py): the epoch-0
+    # fixed-point gradient aggregate over the flagship documents-derived
+    # KG — the trainer's ONE cross-row reduction, in exact 1e-9 integer
+    # units, so the whole init -> normalize -> hash-corrupt ->
+    # margin-gradient chain replays bitwise in DuckDB (row-local float64
+    # is + - * / sqrt only). The iterative trainer itself is gated
+    # bitwise vs a pure-Python replay plus partitioning invariance in
+    # tests/test_kgembed.py. Pytest-gated surface.
+    from stackoverflowner_spark.operators.kgembed import (
+        _l2_normalize, init_embeddings, transe_grad_fp)
+    from stackoverflowner_spark.operators.prepare import partitioned_rank
+    tri = (q_kg_triples_documents(spark, sf)
+           .select("subj", "pred", "obj").distinct().localCheckpoint())
+    ents = (tri.select(F.col("subj").alias("id"))
+            .union(tri.select(F.col("obj").alias("id"))).distinct())
+    ent_idx = (partitioned_rank(ents, order_by=["id"], id_col="idx")
+               .select("id", "idx").localCheckpoint())
+    n_ent = ent_idx.count()
+    rels = tri.select(F.col("pred").alias("id")).distinct()
+    ent = _l2_normalize(init_embeddings(ent_idx.select("id"), 4, 0, "ent"))
+    rel = _l2_normalize(init_embeddings(rels, 4, 0, "rel"))
+    return (transe_grad_fp(tri, ent, rel, ent_idx, n_ent, margin=1.0,
+                           seed=0, epoch=0)
+            .select("id", "kind", F.col("dim").cast("long").alias("dim"),
+                    "gfp_sum"))
+
+
 def _link_predict_oracle() -> str:
     # strict-oracle twin of q_link_predict: the co-mention edge CTE (same
     # as the comention_graph oracle, pairs only) fed through the
@@ -3473,6 +3501,99 @@ def oracle_sql() -> dict[str, str]:
               on a.doc_id = b.doc_id and a.e < b.e
             group by 1, 2""",
         "link_predict": _link_predict_oracle(),
+        "transe_grad": f"""
+            with d as (select 'doc://' || cast(doc_id as varchar) as url,
+                              list_filter(string_split(text, ' '), w -> w <> '') as ws
+                       from documents where lang = 'en'),
+                 t0 as (select url,
+                               unnest(list_transform(ws, (w, i) ->
+                                   struct_pack(w := w, p := i - 1))) as s
+                        from d),
+                 t as (select url, s.w as word from t0),
+                 a(word, cid, tag_type) as (values {doc_alias_vals3}),
+                 m as (select url, t.word as surface_norm, a.cid, a.tag_type
+                       from t join a on lower(t.word) = a.word),
+                 tri as (select distinct subj, pred, obj from (
+                   select cid as subj, 'instance_of' as pred,
+                          tag_type as obj from m
+                   union all select cid, 'mentioned_in', url from m
+                   union all select surface_norm, 'alias_of', cid from m)),
+                 ents as (select subj as id from tri
+                          union select obj from tri),
+                 eidx as (select id, row_number() over (order by id) as idx
+                          from ents),
+                 rels as (select distinct pred as id from tri),
+                 dims as (select unnest(range(0, 4)) as i),
+                 einit as (select e.id, d.i,
+                           ((cast('0x' || substr(md5('0:ent:' || e.id
+                                                     || ':' || d.i), 1, 15)
+                                  as bigint)
+                             / 1152921504606846976.0) * 2.0 - 1.0) * 3.0 as v
+                           from ents e cross join dims d),
+                 enrm as (select id,
+                                 sqrt(list_reduce(
+                                   list_prepend(0.0, list(v order by i)),
+                                   (a, x) -> a + x * x)) as nrm
+                          from einit group by id),
+                 evec as (select e.id, e.i, e.v / q.nrm as v
+                          from einit e join enrm q using (id)),
+                 rinit as (select r.id, d.i,
+                           ((cast('0x' || substr(md5('0:rel:' || r.id
+                                                     || ':' || d.i), 1, 15)
+                                  as bigint)
+                             / 1152921504606846976.0) * 2.0 - 1.0) * 3.0 as v
+                           from rels r cross join dims d),
+                 rnrm as (select id,
+                                 sqrt(list_reduce(
+                                   list_prepend(0.0, list(v order by i)),
+                                   (a, x) -> a + x * x)) as nrm
+                          from rinit group by id),
+                 rvec as (select r.id, r.i, r.v / q.nrm as v
+                          from rinit r join rnrm q using (id)),
+                 tn as (select subj, pred, obj,
+                               (cast('0x' || substr(md5('neg:0:0:' || subj
+                                     || ':' || pred || ':' || obj), 1, 15)
+                                     as bigint)
+                                % (select count(*) from ents)) + 1 as nidx
+                        from tri),
+                 tn2 as (select tn.subj, tn.pred, tn.obj, x.id as nid
+                         from tn join eidx x on x.idx = tn.nidx),
+                 base as (select t.subj, t.pred, t.obj, t.nid, d.i,
+                                 h.v + r.v - tt.v as pos,
+                                 h.v + r.v - nv.v as neg
+                          from tn2 t
+                          cross join dims d
+                          join evec h on h.id = t.subj and h.i = d.i
+                          join rvec r on r.id = t.pred and r.i = d.i
+                          join evec tt on tt.id = t.obj and tt.i = d.i
+                          join evec nv on nv.id = t.nid and nv.i = d.i),
+                 dist as (select subj, pred, obj,
+                                 list_reduce(
+                                   list_prepend(0.0, list(pos order by i)),
+                                   (a, x) -> a + x * x) as dpos,
+                                 list_reduce(
+                                   list_prepend(0.0, list(neg order by i)),
+                                   (a, x) -> a + x * x) as dneg
+                          from base group by subj, pred, obj),
+                 act as (select subj, pred, obj from dist
+                         where 1.0 + dpos - dneg > 0),
+                 grows as (
+                   select b.subj as id, 'e' as kind, b.i,
+                          2.0 * (b.pos - b.neg) as g
+                   from base b join act using (subj, pred, obj)
+                   union all
+                   select b.pred, 'r', b.i, 2.0 * (b.pos - b.neg)
+                   from base b join act using (subj, pred, obj)
+                   union all
+                   select b.obj, 'e', b.i, -2.0 * b.pos
+                   from base b join act using (subj, pred, obj)
+                   union all
+                   select b.nid, 'e', b.i, 2.0 * b.neg
+                   from base b join act using (subj, pred, obj))
+            select id, kind, cast(i as bigint) as dim,
+                   cast(sum(cast(trunc(g * 1000000000.0) as bigint))
+                        as bigint) as gfp_sum
+            from grows group by id, kind, i""",
         "bpe_pairs": r"""
             with words as (
               select unnest(list_filter(

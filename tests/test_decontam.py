@@ -237,7 +237,13 @@ def test_driver_oracle_strict(spark):
     # r5j: link prediction over the co-mention graph — cn + exact
     # fixed-point ra_fp strict; float aa is ulp-tolerance-gated in
     # tests/test_linkpred.py
-    "link_predict"])
+    "link_predict",
+    # r5k: TransE epoch-0 fixed-point gradient sums — the one cross-row
+    # reduction of the distributed embedding trainer, replayed bitwise
+    # in DuckDB (init/normalize/corrupt/margin all restated in SQL); the
+    # iterative trainer itself is gated vs a pure-Python replay plus
+    # partitioning invariance in tests/test_kgembed.py
+    "transe_grad"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep
