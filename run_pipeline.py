@@ -61,6 +61,14 @@ def main(argv=None) -> int:
                          "counts, the 2-core, and LPA communities "
                          "(operators/graphalgo.py) "
                          "over the alias_of/instance_of edge structure")
+    ap.add_argument("--embeddings", metavar="DIR",
+                    help="after the triple write, train deterministic "
+                         "TransE embeddings on the KG (operators/"
+                         "kgembed.py) and emit entity/relation vectors "
+                         "under DIR, plus a filtered link-prediction "
+                         "eval (MRR, hits@k) on a hash-held-out split")
+    ap.add_argument("--embed-dim", type=int, default=16)
+    ap.add_argument("--embed-epochs", type=int, default=10)
     ap.add_argument("--tagger",
                     choices=["default", "gazetteer", "perceptron", "viterbi"],
                     default="default",
@@ -196,6 +204,34 @@ def main(argv=None) -> int:
                 .select("community").distinct().count(),
         }
         print(json.dumps({"analytics": stats, "dir": args.analytics}))
+    if args.embeddings:
+        from pyspark.sql import functions as F3
+
+        from stackoverflowner_spark.operators.kgembed import (
+            transe_eval, transe_train)
+        kg = (spark.read.parquet(out_path)
+              .select("subj", "pred", "obj").distinct())
+        # hash-held-out test split (backfill-stable, like hash_split):
+        # ~5% of triples, never seen by the trainer
+        key = F3.md5(F3.concat_ws("\x1f", "subj", "pred", "obj"))
+        is_test = (F3.conv(F3.substring(key, 1, 8), 16, 10)
+                   .cast("long") % 20 == 0)
+        train = kg.filter(~is_test).localCheckpoint()
+        test = kg.filter(is_test).localCheckpoint()
+        ent, rel = transe_train(train, dim=args.embed_dim,
+                                epochs=args.embed_epochs)
+        ent.write.mode("overwrite").parquet(args.embeddings + "/entities")
+        rel.write.mode("overwrite").parquet(args.embeddings + "/relations")
+        ev = transe_eval(test, train, ent, rel).collect()[0]
+        print(json.dumps({"embeddings": {
+            "entities": spark.read.parquet(
+                args.embeddings + "/entities").count(),
+            "relations": spark.read.parquet(
+                args.embeddings + "/relations").count(),
+            "dim": args.embed_dim, "epochs": args.embed_epochs,
+            "eval_n": ev.n, "mrr": round(ev.mrr, 4),
+            "hits1": round(ev.hits1, 4), "hits10": round(ev.hits10, 4),
+        }, "dir": args.embeddings}))
     return 0
 
 

@@ -189,6 +189,74 @@ def transe_train(triples: DataFrame, dim: int = 8, epochs: int = 5,
     return ent, rel
 
 
+def transe_eval(test: DataFrame, train: DataFrame, ent: DataFrame,
+                rel: DataFrame) -> DataFrame:
+    """Standard filtered link-prediction evaluation (the TransE paper's
+    protocol): for each held-out triple (h, r, t), rank the true tail
+    among ALL entities by the h + r - t' distance, skipping candidates
+    t' where (h, r, t') is itself a known train/test triple ("filtered"
+    setting). Returns one row: (n, mrr, hits1, hits3, hits10).
+
+    Scale shape: the candidate fan-out is the one O(test · entities)
+    stage, produced by a single join of per-test-triple (h+r) vectors
+    against the entity table and reduced IMMEDIATELY by a partial-agg
+    count — no window, no sort, no per-(h, r) partition ever holds more
+    than a counter. The filter set joins as a left-anti on (subj, pred,
+    obj). Rank ties break deterministically: a candidate beats the true
+    tail iff (dist, id) < (dist_true, t) lexicographically, so the
+    reported ranks are identical under any partitioning (distances are
+    row-local IEEE folds of identical doubles on every engine). The
+    integer rank counters (n, hits@k) are exact under any partitioning;
+    the one order-dependent float is the final reciprocal-rank sum,
+    ulp-tolerance-gated vs the pure-Python replay in tests.
+    """
+    hv = ent.select(F.col("id").alias("_h"), F.col("vec").alias("hv"))
+    rv = rel.select(F.col("id").alias("_r"), F.col("vec").alias("rv"))
+    tv = ent.select(F.col("id").alias("_t"), F.col("vec").alias("tv"))
+    q = (test.select("subj", "pred", "obj")
+         .join(hv, F.col("subj") == F.col("_h")).drop("_h")
+         .join(rv, F.col("pred") == F.col("_r")).drop("_r")
+         .withColumn("qv", F.zip_with("hv", "rv", lambda a, b: a + b))
+         .drop("hv", "rv"))
+    dist_of = lambda vec: F.aggregate(  # noqa: E731
+        F.zip_with("qv", vec, lambda s, x: s - x), F.lit(0.0),
+        lambda a, x: a + x * x)
+    truth = (q.join(tv, F.col("obj") == F.col("_t")).drop("_t")
+             .withColumn("dtrue", dist_of(F.col("tv"))).drop("tv")
+             .localCheckpoint())
+    known = (train.select("subj", "pred", "obj")
+             .union(test.select("subj", "pred", "obj")).distinct())
+    cands = (truth.crossJoin(tv)
+             .filter(F.col("_t") != F.col("obj")))
+    cands = cands.join(
+        known.select(F.col("subj").alias("ks"), F.col("pred").alias("kp"),
+                     F.col("obj").alias("ko")),
+        (F.col("subj") == F.col("ks")) & (F.col("pred") == F.col("kp"))
+        & (F.col("_t") == F.col("ko")), "left_anti")
+    beats = (F.col("d") < F.col("dtrue")) | (
+        (F.col("d") == F.col("dtrue")) & (F.col("_t") < F.col("obj")))
+    ranks = (cands.withColumn("d", dist_of(F.col("tv")))
+             .groupBy("subj", "pred", "obj")
+             .agg(F.sum(F.when(beats, 1).otherwise(0)).alias("nb"))
+             # right-join the truth rows so a test triple with zero
+             # surviving candidates still scores (rank 1)
+             .join(truth.select("subj", "pred", "obj"),
+                   ["subj", "pred", "obj"], "right")
+             .select((F.coalesce(F.col("nb"), F.lit(0)) + 1).alias("rank")))
+    agg = ranks.agg(
+        F.count("*").alias("n"),
+        F.sum(1.0 / F.col("rank")).alias("rr"),
+        F.sum(F.when(F.col("rank") <= 1, 1).otherwise(0)).alias("h1"),
+        F.sum(F.when(F.col("rank") <= 3, 1).otherwise(0)).alias("h3"),
+        F.sum(F.when(F.col("rank") <= 10, 1).otherwise(0)).alias("h10"))
+    nd = F.col("n").cast("double")
+    return agg.select(
+        "n", (F.col("rr") / nd).alias("mrr"),
+        (F.col("h1") / nd).alias("hits1"),
+        (F.col("h3") / nd).alias("hits3"),
+        (F.col("h10") / nd).alias("hits10"))
+
+
 def transe_score(cands: DataFrame, ent: DataFrame,
                  rel: DataFrame) -> DataFrame:
     """cands(subj, pred, obj) -> + (dist): the L2² translation distance

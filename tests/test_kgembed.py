@@ -177,3 +177,97 @@ def test_score_matches_replay_arithmetic(spark):
             x = (hv[d] + rv[d]) - tv[d]
             acc = acc + x * x
         assert got[(h, r, t)] == acc, (h, r, t)
+
+def _eval_replay(test, train, ent, rel, dim=DIM):
+    """Pure-Python replay of transe_eval's filtered ranking protocol."""
+    known = set(train) | set(test)
+    ents = sorted(ent)
+    ranks = []
+    # the operator's inner joins drop test triples with entities or
+    # relations unseen in training — the standard protocol
+    test = [(h, r, t) for (h, r, t) in test
+            if h in ent and t in ent and r in rel]
+    for (h, r, t) in test:
+        qv = [ent[h][d] + rel[r][d] for d in range(dim)]
+
+        def dist(tid):
+            acc = 0.0
+            for d in range(dim):
+                x = qv[d] - ent[tid][d]
+                acc = acc + x * x
+            return acc
+
+        dtrue = dist(t)
+        nb = sum(
+            1 for c in ents
+            if c != t and (h, r, c) not in known
+            and (dist(c), c) < (dtrue, t))
+        ranks.append(nb + 1)
+    return ranks
+
+
+def test_eval_matches_replay(spark):
+    from stackoverflowner_spark.operators.kgembed import transe_eval
+    tri = _triples()
+    # hold out every 4th triple whose head stays connected through the rest
+    test = [t for i, t in enumerate(tri) if i % 4 == 0]
+    train = [t for t in tri if t not in test]
+    tdf = spark.createDataFrame(train, "subj string, pred string, obj string")
+    edf = spark.createDataFrame(test, "subj string, pred string, obj string")
+    ent, rel = transe_train(tdf, dim=DIM, epochs=3)
+    row = transe_eval(edf, tdf, ent, rel).collect()[0]
+    want_e, want_r = replay(train, epochs=3)
+    ranks = _eval_replay(test, train, want_e, want_r)
+    n = len(ranks)
+    assert row.n == n
+    assert row.hits1 == sum(1 for k in ranks if k <= 1) / n
+    assert row.hits3 == sum(1 for k in ranks if k <= 3) / n
+    assert row.hits10 == sum(1 for k in ranks if k <= 10) / n
+    # the reciprocal-rank sum is the one order-dependent float: tolerance
+    import math as _m
+    assert _m.isclose(row.mrr, sum(1.0 / k for k in ranks) / n,
+                      rel_tol=1e-12)
+
+
+def test_eval_beats_untrained(spark):
+    """Trained embeddings must rank the tails of TRAINING triples far
+    better than the normalized init (reconstruction — the learnability
+    assertion a 14-entity toy can actually support; held-out
+    generalization at this size is noise)."""
+    from stackoverflowner_spark.operators.kgembed import transe_eval
+    tri = _triples()
+    probe = [t for i, t in enumerate(tri) if i % 3 == 0]
+    tdf = spark.createDataFrame(tri, "subj string, pred string, obj string")
+    edf = spark.createDataFrame(probe, "subj string, pred string, obj string")
+    ent, rel = transe_train(tdf, dim=8, epochs=8, lr=0.05)
+    trained = transe_eval(edf, tdf, ent, rel).collect()[0]
+    from stackoverflowner_spark.operators.kgembed import (
+        _l2_normalize, init_embeddings)
+    e0 = _l2_normalize(init_embeddings(ent.select("id"), 8, SEED, "ent"))
+    r0 = _l2_normalize(init_embeddings(rel.select("id"), 8, SEED, "rel"))
+    untrained = transe_eval(edf, tdf, e0, r0).collect()[0]
+    assert trained.n == untrained.n == len(probe)
+    assert trained.mrr > untrained.mrr, (trained.mrr, untrained.mrr)
+
+def test_cli_embeddings_flag(spark, tmp_path, capsys):
+    """run_pipeline --embeddings trains TransE on the produced KG and
+    emits entity/relation vectors plus a filtered-eval stats line."""
+    import json
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from run_pipeline import main
+
+    out = str(tmp_path / "out")
+    emb = str(tmp_path / "emb")
+    assert main(["--synth", "200", "--mode", "fused", "--tagger",
+                 "gazetteer", "--out", out, "--embeddings", emb,
+                 "--embed-dim", "4", "--embed-epochs", "2"]) == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()
+             if x.startswith("{")]
+    stats = next(l["embeddings"] for l in lines if "embeddings" in l)
+    ent = spark.read.parquet(emb + "/entities")
+    assert ent.count() == stats["entities"] > 0
+    assert stats["relations"] > 0
+    assert len(ent.first().vec) == 4
+    assert 0.0 <= stats["mrr"] <= 1.0 and stats["eval_n"] >= 0
