@@ -229,8 +229,11 @@ def main(argv=None) -> int:
             "relations": spark.read.parquet(
                 args.embeddings + "/relations").count(),
             "dim": args.embed_dim, "epochs": args.embed_epochs,
-            "eval_n": ev.n, "mrr": round(ev.mrr, 4),
-            "hits1": round(ev.hits1, 4), "hits10": round(ev.hits10, 4),
+            # a tiny KG can leave the hash-held-out split empty: the
+            # ratios come back null, reported as 0.0
+            "eval_n": ev.n, "mrr": round(ev.mrr or 0.0, 4),
+            "hits1": round(ev.hits1 or 0.0, 4),
+            "hits10": round(ev.hits10 or 0.0, 4),
         }, "dir": args.embeddings}))
     return 0
 
