@@ -979,14 +979,10 @@ def q_transe_grad(spark, sf):
                     "gfp_sum"))
 
 
-def _link_predict_oracle() -> str:
-    # strict-oracle twin of q_link_predict: the co-mention edge CTE (same
-    # as the comention_graph oracle, pairs only) fed through the
-    # operator's own DuckDB replay template, projected to the exact
-    # columns (cn + integer fixed-point ra_fp; float aa stays pytest-
-    # tolerance-gated per the JVM-log-vs-libm ulp gap).
-    from stackoverflowner_spark.operators.linkpred import link_predict_sql
-    edges = """
+# The co-mention edge CTE (same derivation as the comention_graph
+# oracle, pairs only) — shared by every graph-operator oracle that runs
+# over the evidence graph (link_predict, random_walks, merge_candidates).
+_COMENTION_EDGES_SQL = """
             with toks as (
               select doc_id, list_filter(list_transform(
                   string_split_regex(lower(text), '\\s+'),
@@ -1004,8 +1000,58 @@ def _link_predict_oracle() -> str:
             from kept a join kept b
               on a.doc_id = b.doc_id and a.e < b.e
             group by 1, 2"""
+
+
+def _link_predict_oracle() -> str:
+    # strict-oracle twin of q_link_predict: the co-mention edge CTE fed
+    # through the operator's own DuckDB replay template, projected to the
+    # exact columns (cn + integer fixed-point ra_fp; float aa stays
+    # pytest-tolerance-gated per the JVM-log-vs-libm ulp gap).
+    from stackoverflowner_spark.operators.linkpred import link_predict_sql
     return ("select u, w, cn, ra_fp from (" +
-            link_predict_sql(edges, max_degree=12, min_cn=2) + ")")
+            link_predict_sql(_COMENTION_EDGES_SQL, max_degree=12, min_cn=2)
+            + ")")
+
+
+def q_random_walks(spark, sf):
+    # DeepWalk-style node-embedding walk corpus (operators/walks.py):
+    # deterministic uniform random walks over the co-mention evidence
+    # graph, every step a pure md5 function of (salt, walk_id, step) —
+    # the engine-portable-hash discipline that puts a "stochastic"
+    # operator under a bitwise DuckDB recursive-CTE oracle. Feeds
+    # skip-gram node embeddings, the classical alternative to the TransE
+    # trainer (operators/kgembed.py). Pytest-gated surface.
+    from stackoverflowner_spark.operators.walks import random_walks
+    edges = q_comention_graph(spark, sf).select("src", "dst")
+    return random_walks(edges, walks_per_node=2, walk_len=6,
+                        start_bucket=None)
+
+
+def _random_walks_oracle() -> str:
+    from stackoverflowner_spark.operators.walks import random_walks_sql
+    return random_walks_sql(_COMENTION_EDGES_SQL, walks_per_node=2,
+                            walk_len=6, start_bucket=None)
+
+
+def q_merge_candidates(spark, sf):
+    # Neighborhood-Jaccard alias-merge candidates (operators/walks.py)
+    # over the flagship KG's projection graph: node pairs scored by
+    # neighbor-set overlap as an exact integer rational — the
+    # KG-canonicalization candidate queue (two canonical ids mentioned on
+    # the same pages / sharing a type are merge candidates; the co-mention
+    # graph is a complete K31 on the synthetic corpus, so the KG
+    # projection is the substrate with real Jaccard variety). The
+    # midpoint hub cap and the `connected` flag are non-vacuously gated
+    # in tests/test_walks.py (structurally vacuous here: the KG
+    # projection is tripartite). Pytest-gated surface.
+    from stackoverflowner_spark.operators.walks import merge_candidates
+    tri = q_kg_triples_documents(spark, sf)
+    edges = (tri.filter(F.col("subj") != F.col("obj"))
+             .select(F.least("subj", "obj").alias("src"),
+                     F.greatest("subj", "obj").alias("dst"))
+             .distinct())
+    return merge_candidates(edges, min_jaccard_pct=50, max_degree=None,
+                            min_common=2)
 
 
 def q_crawl_schedule(spark, sf):
@@ -2067,6 +2113,7 @@ def _simhash_sql(norm: str, bits: int = 64) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from stackoverflowner_spark.operators.similarity import hyperplanes, ivf_centroids
+    from stackoverflowner_spark.operators.walks import merge_candidates_sql
 
     ann_planes = hyperplanes(64, LSH_ANN_BANDS * LSH_ANN_ROWS)
     nd_planes = hyperplanes(64, NEAR_DUP_BANDS * NEAR_DUP_ROWS)
@@ -3501,6 +3548,27 @@ def oracle_sql() -> dict[str, str]:
               on a.doc_id = b.doc_id and a.e < b.e
             group by 1, 2""",
         "link_predict": _link_predict_oracle(),
+        "random_walks": _random_walks_oracle(),
+        "merge_candidates": merge_candidates_sql(f"""
+            with d as (select 'doc://' || cast(doc_id as varchar) as url,
+                              list_filter(string_split(text, ' '), w -> w <> '') as ws
+                       from documents where lang = 'en'),
+                 t0 as (select url,
+                               unnest(list_transform(ws, (w, i) ->
+                                   struct_pack(w := w, p := i - 1))) as s
+                        from d),
+                 t as (select url, s.w as word from t0),
+                 a(word, cid, tag_type) as (values {doc_alias_vals3}),
+                 m as (select url, t.word as surface_norm, a.cid, a.tag_type
+                       from t join a on lower(t.word) = a.word),
+                 tri as (select distinct subj, obj from (
+                   select cid as subj, tag_type as obj from m
+                   union all select cid, url from m
+                   union all select surface_norm, cid from m))
+            select distinct least(subj, obj) as src,
+                   greatest(subj, obj) as dst
+            from tri where subj <> obj""", min_jaccard_pct=50,
+            max_degree=None, min_common=2),
         "transe_grad": f"""
             with d as (select 'doc://' || cast(doc_id as varchar) as url,
                               list_filter(string_split(text, ' '), w -> w <> '') as ws

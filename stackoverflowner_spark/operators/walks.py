@@ -1,0 +1,221 @@
+"""Deterministic random-walk corpus generation + neighborhood-Jaccard
+merge candidates over plain edge DataFrames.
+
+KG-embedding feeder and canonicalization surface (engine-beyond-reference,
+SURVEY §2.8 class alongside graphalgo/linkpred/kgembed; the reference has
+no graph analytics):
+
+* ``random_walks`` emits the DeepWalk/node2vec-style walk corpus
+  (Perozzi et al. 2014) that skip-gram node-embedding trainers consume —
+  the classical alternative input to the TransE trainer already shipped
+  in operators/kgembed.py. Every "random" choice is a pure function of
+  (salt, walk_id, step) through md5, so the corpus is bit-identical
+  across executors, partitionings, reruns AND engines — the same
+  engine-portable-hash discipline as operators/sampling.py — which is
+  what puts an inherently "stochastic" operator under a bitwise DuckDB
+  recursive-CTE oracle.
+* ``merge_candidates`` scores node pairs by neighbor-set Jaccard — the
+  standard alias-merge candidate generator for KG canonicalization (two
+  surface forms of one entity co-mention with the same company, not with
+  each other). Integer-only output: the Jaccard ships as an exact
+  rational (common, union) plus a threshold flag decided by integer
+  cross-multiplication, the operators/cooccur.py lift discipline.
+
+Scale shape at 10^12 docs:
+
+* adjacency is built once ((v, n, rnk, d): neighbor rank by sorted id +
+  degree) and reused across all walk steps; each step shuffles only the
+  CONSTANT-size walk frontier (n_starts rows) against it — walks never
+  grow state, and ``localCheckpoint`` truncates the per-step lineage
+  (the bounded-plan rule all iterative operators here follow). On a
+  cluster the adjacency side would be bucketed by v so every step's
+  join is co-located; frontier rows are O(walks), not O(edges).
+* undirected graphs have no dead ends (every node in the adjacency has
+  degree >= 1), so the output size is exactly
+  n_starts * walk_len rows — predictable write amplification.
+* ``merge_candidates`` reuses the linkpred wedge discipline: the join
+  fans out on the MIDPOINT node, ``max_degree`` drops hub midpoints
+  above the cap (their endpoint role is untouched), one groupBy(u, w)
+  shuffle over surviving wedges — never all-pairs.
+
+Input contract (both operators): canonical undirected edges —
+``src < dst``, distinct, no self-loops — exactly what
+operators/cooccur.comention_edges emits.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _adjacency(edges: DataFrame) -> DataFrame:
+    """(v, n, rnk, d): both directions of the canonical edge list with a
+    deterministic neighbor rank (sorted by neighbor id) and the degree."""
+    e = edges.select("src", "dst")
+    und = (e.select(F.col("src").alias("v"), F.col("dst").alias("n"))
+           .unionAll(e.select(F.col("dst").alias("v"),
+                              F.col("src").alias("n"))))
+    w = Window.partitionBy("v").orderBy("n")
+    return (und.withColumn("rnk", F.row_number().over(w) - 1)
+            .withColumn("d", F.count("*").over(Window.partitionBy("v"))))
+
+
+def _pick(salt: str, step: int) -> F.Column:
+    """Engine-portable uniform pick in [0, d): md5(salt:walk_id:step)
+    first 15 hex chars -> bigint (< 2^60, so never negative) mod degree."""
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col("walk_id"),
+                          F.lit(str(step))))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % F.col("d")
+
+
+def random_walks(edges: DataFrame, walks_per_node: int = 2,
+                 walk_len: int = 5, salt: str = "walk",
+                 start_bucket: Optional[str] = "0") -> DataFrame:
+    """(walk_id, step, node): ``walks_per_node`` deterministic uniform
+    random walks of ``walk_len`` steps from every start node.
+
+    ``start_bucket`` keeps the corpus bounded on huge graphs: only nodes
+    whose md5 first hex char equals it start walks (1/16 of nodes);
+    ``None`` starts from every node. Walks traverse the WHOLE graph
+    either way. walk_id = "<node>#<i>"."""
+    adj = _adjacency(edges).localCheckpoint()
+    nodes = adj.select("v").distinct()
+    if start_bucket is not None:
+        nodes = nodes.filter(
+            F.substring(F.md5(F.col("v")), 1, 1) == start_bucket)
+    frontier = (nodes.select(
+        F.col("v").alias("node"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1)))
+        .alias("i"))
+        .select(F.concat_ws("#", F.col("node"), F.col("i"))
+                .alias("walk_id"),
+                F.lit(0).cast("long").alias("step"), "node")
+        .localCheckpoint())
+    out = frontier
+    for s in range(1, walk_len):
+        frontier = (frontier.join(adj, frontier.node == adj.v)
+                    .filter(F.col("rnk") == _pick(salt, s))
+                    .select("walk_id", F.lit(s).cast("long").alias("step"),
+                            F.col("n").alias("node"))
+                    .localCheckpoint())
+        out = out.unionByName(frontier)
+    return out
+
+
+RANDOM_WALKS_SQL_TMPL = """
+    with recursive e as ({edges_sql}),
+    und as (select src as v, dst as n from e
+            union all
+            select dst as v, src as n from e),
+    adj as (select v, n,
+                   row_number() over (partition by v order by n) - 1 as rnk,
+                   count(*) over (partition by v) as d
+            from und),
+    starts as (select v from (select distinct v from und) t
+               {start_filter}),
+    walk(walk_id, step, node) as (
+        select s.v || '#' || cast(t.i as varchar) as walk_id,
+               cast(0 as bigint) as step, s.v as node
+        from starts s, (select unnest(range({wpn})) as i) t
+        union all
+        select w.walk_id, w.step + 1, a.n
+        from walk w
+        join adj a on a.v = w.node
+         and a.rnk = cast('0x' || substr(
+                 md5('{salt}:' || w.walk_id || ':'
+                     || cast(w.step + 1 as varchar)), 1, 15) as bigint)
+             % a.d
+        where w.step + 1 < {walk_len})
+    select walk_id, step, node from walk"""
+
+
+def random_walks_sql(edges_sql: str, walks_per_node: int = 2,
+                     walk_len: int = 5, salt: str = "walk",
+                     start_bucket: Optional[str] = "0") -> str:
+    """DuckDB recursive-CTE replay of ``random_walks`` over an
+    edge-producing SQL (columns src, dst, canonical src < dst) — the
+    strict bitwise oracle twin."""
+    start_filter = (f"where substr(md5(v), 1, 1) = '{start_bucket}'"
+                    if start_bucket is not None else "")
+    return RANDOM_WALKS_SQL_TMPL.format(
+        edges_sql=edges_sql, wpn=walks_per_node, walk_len=walk_len,
+        salt=salt, start_filter=start_filter)
+
+
+def merge_candidates(edges: DataFrame, min_jaccard_pct: int = 30,
+                     max_degree: Optional[int] = None,
+                     min_common: int = 2) -> DataFrame:
+    """(u, w, common, du, dw, uni, cand, connected): neighbor-set overlap
+    for every node pair sharing >= ``min_common`` neighbors.
+
+    Jaccard = common / uni as an exact rational (uni = du + dw - common);
+    ``cand`` = 1 iff 100 * common >= min_jaccard_pct * uni, decided in
+    integers. ``connected`` marks pairs that are ALSO direct edges (alias
+    duplicates usually are not — the flag lets the curator split the
+    queue without a second pass)."""
+    e = edges.select("src", "dst")
+    und = (e.select(F.col("src").alias("v"), F.col("dst").alias("n"))
+           .unionAll(e.select(F.col("dst").alias("v"),
+                              F.col("src").alias("n"))))
+    deg = und.groupBy("v").agg(F.count("*").alias("d"))
+    mid = und.join(deg, "v")
+    if max_degree is not None:
+        mid = mid.filter(F.col("d") <= max_degree)
+    a = mid.select("v", F.col("n").alias("u"))
+    b = mid.select("v", F.col("n").alias("w"))
+    pairs = (a.join(b, "v").filter(F.col("u") < F.col("w"))
+             .groupBy("u", "w")
+             .agg(F.count("*").cast("long").alias("common"))
+             .filter(F.col("common") >= min_common))
+    du = deg.select(F.col("v").alias("u"), F.col("d").alias("du"))
+    dw = deg.select(F.col("v").alias("w"), F.col("d").alias("dw"))
+    out = (pairs.join(du, "u").join(dw, "w")
+           .join(e.select(F.col("src").alias("u"), F.col("dst").alias("w"),
+                          F.lit(1).alias("_c")), ["u", "w"], "left"))
+    uni = F.col("du") + F.col("dw") - F.col("common")
+    return out.select(
+        "u", "w", "common",
+        F.col("du").cast("long").alias("du"),
+        F.col("dw").cast("long").alias("dw"),
+        uni.cast("long").alias("uni"),
+        (F.lit(100) * F.col("common") >= F.lit(min_jaccard_pct) * uni)
+        .cast("long").alias("cand"),
+        F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("connected"))
+
+
+MERGE_CANDIDATES_SQL_TMPL = """
+    with e as ({edges_sql}),
+    und as (select src as v, dst as n from e
+            union all
+            select dst as v, src as n from e),
+    deg as (select v, count(*) as d from und group by v),
+    mid as (select und.v, und.n from und join deg using (v)
+            {degree_filter}),
+    pairs as (select a.n as u, b.n as w, count(*) as common
+              from mid a join mid b on a.v = b.v and a.n < b.n
+              group by 1, 2
+              having count(*) >= {min_common})
+    select p.u, p.w, cast(p.common as bigint) as common,
+           cast(du.d as bigint) as du, cast(dw.d as bigint) as dw,
+           cast(du.d + dw.d - p.common as bigint) as uni,
+           cast(100 * p.common >= {min_jaccard_pct}
+                * (du.d + dw.d - p.common) as bigint) as cand,
+           cast(exists (select 1 from e
+                        where e.src = p.u and e.dst = p.w) as bigint)
+             as connected
+    from pairs p
+    join deg du on du.v = p.u
+    join deg dw on dw.v = p.w"""
+
+
+def merge_candidates_sql(edges_sql: str, min_jaccard_pct: int = 30,
+                         max_degree: Optional[int] = None,
+                         min_common: int = 2) -> str:
+    """DuckDB replay of ``merge_candidates`` — the strict oracle twin."""
+    degree_filter = f"where deg.d <= {max_degree}" if max_degree else ""
+    return MERGE_CANDIDATES_SQL_TMPL.format(
+        edges_sql=edges_sql, min_jaccard_pct=min_jaccard_pct,
+        degree_filter=degree_filter, min_common=min_common)

@@ -243,7 +243,13 @@ def test_driver_oracle_strict(spark):
     # in DuckDB (init/normalize/corrupt/margin all restated in SQL); the
     # iterative trainer itself is gated vs a pure-Python replay plus
     # partitioning invariance in tests/test_kgembed.py
-    "transe_grad"])
+    "transe_grad",
+    # r5l: deterministic DeepWalk corpus (bitwise recursive-CTE oracle —
+    # every step a pure md5 function of (salt, walk_id, step)) and
+    # neighborhood-Jaccard alias-merge candidates (exact integer
+    # rational), both oracled from birth on the pytest surface
+    "random_walks",
+    "merge_candidates"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep
