@@ -271,7 +271,10 @@ def main() -> None:
                 "hll_tokens", "cm_freq", "bloom_prune", "triangles",
                 "bfs_dist", "sssp", "fuzzy_link", "keyword_search",
                 # r5h: the SPARQL-style KG query surface
-                "kg_bgp"]
+                "kg_bgp",
+                # r5l: DeepWalk corpus + neighborhood-Jaccard merge
+                # candidates, appended for the same reason
+                "random_walks", "merge_candidates"]
 
     host = {"triad_gbs_start": _triad_gbs()}
     spark = _fresh_spark(CPUS)

@@ -155,8 +155,15 @@ def merge_candidates(edges: DataFrame, min_jaccard_pct: int = 30,
     ``cand`` = 1 iff 100 * common >= min_jaccard_pct * uni, decided in
     integers. ``connected`` marks pairs that are ALSO direct edges (alias
     duplicates usually are not — the flag lets the curator split the
-    queue without a second pass)."""
-    e = edges.select("src", "dst")
+    queue without a second pass).
+
+    The edge list is localCheckpoint'ed first (eager): the plan
+    references it six times (two wedge branches, two degree joins, the
+    connected join, plus the degree build), and without the lineage cut
+    Spark re-executes the caller's full upstream DAG per reference —
+    the operators/components.py r4 lesson. Each recompute after the cut
+    is edge-list-sized."""
+    e = edges.select("src", "dst").localCheckpoint()
     und = (e.select(F.col("src").alias("v"), F.col("dst").alias("n"))
            .unionAll(e.select(F.col("dst").alias("v"),
                               F.col("src").alias("n"))))

@@ -119,6 +119,26 @@ shared variables only — NO CartesianProduct/BroadcastNestedLoopJoin node
 (guarded at the API level AND gated in tests/test_kgquery.py); AQE picks
 broadcast for branches a selective literal collapses.
 """,
+    "merge_cand": """## 13. Neighborhood-Jaccard merge candidates (walks.merge_candidates)
+
+Checklist: the wedge join is an equi-join ON THE MIDPOINT node — NO
+CartesianProduct/NestedLoop node (the all-pairs formulation never
+appears); one `HashAggregate` pair around the (u, w) Exchange counts
+common neighbors; degree joins are broadcast-eligible (degree table is
+node-sized); the Jaccard rational and threshold flag are pure JVM
+integer `Project` expressions — no Python anywhere.
+""",
+    "walk_step": """## 14. Random-walk step (walks.random_walks, one iteration)
+
+Checklist: each step is an equi-join frontier.node = adjacency.v with
+the md5 pick as a JVM `Filter` (`conv(substring(md5(...)))` — visible in
+the plan, no Python worker anywhere); the frontier side is
+constant-size (walks), the adjacency side is built once per corpus and
+reused every step (bucketed by v on a cluster -> co-located step
+joins). In the shipped operator each step is `localCheckpoint`ed so the
+iterative lineage stays bounded; this section shows one step WITHOUT
+the checkpoint so the join shape is visible.
+""",
     "rank": """## 5. Two-pass word-mapping ids (partitioned_rank)
 
 Checklist: NO `Exchange SinglePartition` anywhere (the r02 scale flag) —
@@ -260,6 +280,28 @@ def main() -> None:
     bgp_plan = formatted(bgp)
     assert "Cartesian" not in bgp_plan and "NestedLoop" not in bgp_plan
     sections.append(HEADERS["bgp"] + "\n```\n" + bgp_plan[:4000] + "\n```\n")
+
+    from stackoverflowner_spark.operators.walks import (_adjacency, _pick,
+                                                        merge_candidates)
+    edges = tri.select(F.least("subj", "obj").alias("src"),
+                       F.greatest("subj", "obj").alias("dst")).distinct()
+    mc_plan = formatted(merge_candidates(edges, 50, max_degree=20))
+    assert "Cartesian" not in mc_plan and "NestedLoop" not in mc_plan \
+        and "PythonUDF" not in mc_plan
+    sections.append(HEADERS["merge_cand"] + "\n```\n" + mc_plan[:4000]
+                    + "\n```\n")
+
+    adj = _adjacency(edges)
+    frontier = (adj.select("v").distinct()
+                .select(F.concat_ws("#", F.col("v"), F.lit(0))
+                        .alias("walk_id"), F.col("v").alias("node")))
+    step = (frontier.join(adj, frontier.node == adj.v)
+            .filter(F.col("rnk") == _pick("walk", 1))
+            .select("walk_id", F.col("n").alias("node")))
+    ws_plan = formatted(step)
+    assert "Cartesian" not in ws_plan and "PythonUDF" not in ws_plan
+    sections.append(HEADERS["walk_step"] + "\n```\n" + ws_plan[:4000]
+                    + "\n```\n")
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "PLANS.md")
