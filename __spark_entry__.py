@@ -1033,6 +1033,53 @@ def _random_walks_oracle() -> str:
                             walk_len=6, start_bucket=None)
 
 
+def q_sgns_pairs(spark, sf):
+    # Skip-gram training pairs from the walk corpus (operators/sgns.py):
+    # the walk-keyed self-join whose per-key fan-out is bounded by
+    # construction (walk_len * 2window) — DeepWalk's pair-generation
+    # stage, feeding the deterministic SGNS trainer. Pytest-gated
+    # surface.
+    from stackoverflowner_spark.operators.sgns import walk_pairs
+    return walk_pairs(q_random_walks(spark, sf), window=2)
+
+
+def _sgns_pairs_oracle() -> str:
+    from stackoverflowner_spark.operators.sgns import walk_pairs_sql
+    return walk_pairs_sql("(" + _random_walks_oracle() + ")", window=2)
+
+
+def q_sgns_grad(spark, sf):
+    # Deterministic distributed SGNS (operators/sgns.py): the epoch-0
+    # fixed-point gradient aggregate over the walk corpus — hash-random
+    # init, hash-drawn negatives, rational fast sigmoid (exp is not
+    # cross-engine bitwise; the word2vec C implementation itself uses a
+    # lookup-table logistic), one exact integer reduction. The iterative
+    # trainer is gated bitwise vs a pure-Python replay plus partitioning
+    # invariance in tests/test_sgns.py. Pytest-gated surface.
+    from stackoverflowner_spark.operators.kgembed import init_embeddings
+    from stackoverflowner_spark.operators.prepare import partitioned_rank
+    from stackoverflowner_spark.operators.sgns import (sgns_grad_fp,
+                                                       walk_pairs)
+    walks = q_random_walks(spark, sf).localCheckpoint()
+    pairs = walk_pairs(walks, window=2)
+    nodes = walks.select(F.col("node").alias("id")).distinct()
+    node_idx = (partitioned_rank(nodes, order_by=["id"], id_col="idx")
+                .select("id", "idx").localCheckpoint())
+    n_nodes = node_idx.count()
+    ein = init_embeddings(node_idx.select("id"), 4, 0, "in")
+    eout = init_embeddings(node_idx.select("id"), 4, 0, "out")
+    return sgns_grad_fp(pairs, ein, eout, node_idx, n_nodes, k_neg=2,
+                        seed=0, epoch=0)
+
+
+def _sgns_grad_oracle() -> str:
+    from stackoverflowner_spark.operators.sgns import (sgns_grad_sql,
+                                                       walk_pairs_sql)
+    walks = "(" + _random_walks_oracle() + ")"
+    return sgns_grad_sql(walk_pairs_sql(walks, window=2), walks,
+                         dim=4, k_neg=2, seed=0, epoch=0)
+
+
 def q_merge_candidates(spark, sf):
     # Neighborhood-Jaccard alias-merge candidates (operators/walks.py)
     # over the flagship KG's projection graph: node pairs scored by
@@ -3549,6 +3596,8 @@ def oracle_sql() -> dict[str, str]:
             group by 1, 2""",
         "link_predict": _link_predict_oracle(),
         "random_walks": _random_walks_oracle(),
+        "sgns_pairs": _sgns_pairs_oracle(),
+        "sgns_grad": _sgns_grad_oracle(),
         "merge_candidates": merge_candidates_sql(f"""
             with d as (select 'doc://' || cast(doc_id as varchar) as url,
                               list_filter(string_split(text, ' '), w -> w <> '') as ws

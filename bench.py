@@ -273,8 +273,9 @@ def main() -> None:
                 # r5h: the SPARQL-style KG query surface
                 "kg_bgp",
                 # r5l: DeepWalk corpus + neighborhood-Jaccard merge
-                # candidates, appended for the same reason
-                "random_walks", "merge_candidates"]
+                # candidates + the SGNS epoch-gradient aggregate,
+                # appended for the same reason
+                "random_walks", "merge_candidates", "sgns_grad"]
 
     host = {"triad_gbs_start": _triad_gbs()}
     spark = _fresh_spark(CPUS)

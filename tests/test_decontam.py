@@ -249,7 +249,13 @@ def test_driver_oracle_strict(spark):
     # neighborhood-Jaccard alias-merge candidates (exact integer
     # rational), both oracled from birth on the pytest surface
     "random_walks",
-    "merge_candidates"])
+    "merge_candidates",
+    # r5l: DeepWalk's second half — skip-gram pair generation and the
+    # SGNS epoch-0 fixed-point gradient aggregate (hash negatives,
+    # rational fast sigmoid), both bitwise DuckDB twins; the iterative
+    # trainer is replay-gated in tests/test_sgns.py
+    "sgns_pairs",
+    "sgns_grad"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep
