@@ -69,6 +69,12 @@ def main(argv=None) -> int:
                          "eval (MRR, hits@k) on a hash-held-out split")
     ap.add_argument("--embed-dim", type=int, default=16)
     ap.add_argument("--embed-epochs", type=int, default=10)
+    ap.add_argument("--embed-model", choices=["transe", "sgns"],
+                    default="transe",
+                    help="transe: translation embeddings on typed triples "
+                         "(operators/kgembed); sgns: DeepWalk — random-walk "
+                         "corpus + skip-gram on the KG projection graph "
+                         "(operators/walks + operators/sgns)")
     ap.add_argument("--tagger",
                     choices=["default", "gazetteer", "perceptron", "viterbi"],
                     default="default",
@@ -204,7 +210,32 @@ def main(argv=None) -> int:
                 .select("community").distinct().count(),
         }
         print(json.dumps({"analytics": stats, "dir": args.analytics}))
-    if args.embeddings:
+    if args.embeddings and args.embed_model == "sgns":
+        from pyspark.sql import functions as F3
+
+        from stackoverflowner_spark.operators.sgns import sgns_train
+        from stackoverflowner_spark.operators.walks import random_walks
+        kg = (spark.read.parquet(out_path)
+              .select("subj", "pred", "obj").distinct())
+        edges = (kg.filter(F3.col("subj") != F3.col("obj"))
+                 .select(F3.least("subj", "obj").alias("src"),
+                         F3.greatest("subj", "obj").alias("dst"))
+                 .distinct())
+        walks = random_walks(edges, walks_per_node=4, walk_len=8,
+                             start_bucket=None)
+        emb_in, emb_out = sgns_train(walks, dim=args.embed_dim,
+                                     epochs=args.embed_epochs)
+        emb_in.write.mode("overwrite").parquet(args.embeddings + "/nodes")
+        emb_out.write.mode("overwrite").parquet(
+            args.embeddings + "/nodes_out")
+        print(json.dumps({"embeddings": {
+            "model": "sgns",
+            "nodes": spark.read.parquet(
+                args.embeddings + "/nodes").count(),
+            "walks": walks.count(),
+            "dim": args.embed_dim, "epochs": args.embed_epochs,
+        }, "dir": args.embeddings}))
+    elif args.embeddings:
         from pyspark.sql import functions as F3
 
         from stackoverflowner_spark.operators.kgembed import (
