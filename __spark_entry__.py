@@ -1033,6 +1033,26 @@ def _random_walks_oracle() -> str:
                             walk_len=6, start_bucket=None)
 
 
+def q_node2vec_walks(spark, sf):
+    # node2vec second-order biased walks (operators/walks.py): the
+    # (prev, cur) frontier with exact INTEGER return/near/far weights —
+    # the weighted draw is integer cumulative arithmetic, so a biased
+    # "stochastic" walk replays bitwise in a DuckDB recursive CTE.
+    # Pytest-gated surface.
+    from stackoverflowner_spark.operators.walks import node2vec_walks
+    edges = q_comention_graph(spark, sf).select("src", "dst")
+    return node2vec_walks(edges, walks_per_node=2, walk_len=5,
+                          w_return=1, w_near=4, w_far=2,
+                          start_bucket=None)
+
+
+def _node2vec_walks_oracle() -> str:
+    from stackoverflowner_spark.operators.walks import node2vec_walks_sql
+    return node2vec_walks_sql(_COMENTION_EDGES_SQL, walks_per_node=2,
+                              walk_len=5, w_return=1, w_near=4, w_far=2,
+                              start_bucket=None)
+
+
 def q_sgns_pairs(spark, sf):
     # Skip-gram training pairs from the walk corpus (operators/sgns.py):
     # the walk-keyed self-join whose per-key fan-out is bounded by
@@ -3596,6 +3616,7 @@ def oracle_sql() -> dict[str, str]:
             group by 1, 2""",
         "link_predict": _link_predict_oracle(),
         "random_walks": _random_walks_oracle(),
+        "node2vec_walks": _node2vec_walks_oracle(),
         "sgns_pairs": _sgns_pairs_oracle(),
         "sgns_grad": _sgns_grad_oracle(),
         "merge_candidates": merge_candidates_sql(f"""

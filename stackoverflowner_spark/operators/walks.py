@@ -145,6 +145,155 @@ def random_walks_sql(edges_sql: str, walks_per_node: int = 2,
         salt=salt, start_filter=start_filter)
 
 
+def node2vec_walks(edges: DataFrame, walks_per_node: int = 2,
+                   walk_len: int = 5, w_return: int = 1, w_near: int = 4,
+                   w_far: int = 2, salt: str = "n2v",
+                   start_bucket: Optional[str] = "0") -> DataFrame:
+    """(walk_id, step, node): node2vec's second-order biased walks
+    (Grover & Leskovec 2016) with EXACT integer edge weights.
+
+    The paper parameterizes the bias as 1/p (return to the previous
+    node), 1 (neighbor of the previous node) and 1/q (move farther);
+    this operator takes the same three weights as integers
+    (w_return, w_near, w_far) — i.e. (1/p : 1 : 1/q) scaled to a common
+    denominator — so the weighted draw is integer arithmetic end to end:
+    draw = md5(salt, walk_id, step) mod sum(weights), pick the first
+    neighbor (in rank order) whose cumulative weight exceeds the draw.
+    No float ever enters the choice, which is what makes a biased walk
+    bitwise-reproducible across engines (the DuckDB twin replays the
+    cumulative pick as a join-aggregate).
+
+    Second-order state rides the frontier as (prev, cur); step 0 sets
+    prev = cur, which classifies every first-step candidate as
+    "neighbor of prev" (they all touch cur) — a uniform first step,
+    matching the paper. Scale shape matches ``random_walks`` plus one
+    extra broadcast-or-shuffle probe per step: the is-near flag is a
+    left join of the candidate set against the adjacency on
+    (prev, candidate). Candidate fan-out per step is sum-of-frontier-
+    degrees; the per-walk cumulative sum is a window over that walk's
+    candidates only (bounded by max degree, never corpus-wide).
+
+    ``w_return`` may be 0 (forbids immediate backtracking — a
+    zero-weight candidate can never win the cumulative draw) EXCEPT at
+    a dead end: when every candidate weighs 0 (a degree-1 node whose
+    only neighbor is the previous step), the step falls back to a
+    uniform draw so the walk backtracks instead of dying — the same
+    escape hatch reference node2vec implementations take by never
+    letting 1/p reach exact zero."""
+    adj = _adjacency(edges).localCheckpoint()
+    nodes = adj.select("v").distinct()
+    if start_bucket is not None:
+        nodes = nodes.filter(
+            F.substring(F.md5(F.col("v")), 1, 1) == start_bucket)
+    frontier = (nodes.select(
+        F.col("v").alias("node"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1)))
+        .alias("i"))
+        .select(F.concat_ws("#", F.col("node"), F.col("i"))
+                .alias("walk_id"),
+                F.lit(0).cast("long").alias("step"),
+                F.col("node").alias("prev"), F.col("node"))
+        .localCheckpoint())
+    out = frontier.select("walk_id", "step", "node")
+    prev_edge = adj.select(F.col("v").alias("_pv"), F.col("n").alias("_pn"),
+                           F.lit(1).alias("_near"))
+    for s in range(1, walk_len):
+        cand = (frontier.join(adj, frontier.node == adj.v)
+                .join(prev_edge,
+                      (F.col("prev") == F.col("_pv"))
+                      & (F.col("n") == F.col("_pn")), "left")
+                .withColumn("w", F.when(F.col("n") == F.col("prev"),
+                                        F.lit(w_return))
+                            .when(F.col("_near").isNotNull(), F.lit(w_near))
+                            .otherwise(F.lit(w_far)).cast("long")))
+        wwin = Window.partitionBy("walk_id")
+        # dead-end escape: if every candidate weighs 0, draw uniformly
+        cand = (cand.withColumn("tot", F.sum("w").over(wwin))
+                .withColumn("weff", F.when(F.col("tot") > 0, F.col("w"))
+                            .otherwise(F.lit(1)).cast("long")))
+        cum = (F.sum("weff").over(
+            wwin.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)))
+        total = F.sum("weff").over(wwin)
+        h = F.md5(F.concat_ws(":", F.lit(salt), F.col("walk_id"),
+                              F.lit(str(s))))
+        draw = (F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+                % total)
+        nxt = (cand.withColumn("cum", cum).withColumn("draw", draw)
+               .filter((F.col("draw") < F.col("cum"))
+                       & (F.col("draw") >= F.col("cum") - F.col("weff")))
+               .select("walk_id", F.lit(s).cast("long").alias("step"),
+                       F.col("node").alias("prev"),
+                       F.col("n").alias("node"))
+               .localCheckpoint())
+        frontier = nxt
+        out = out.unionByName(frontier.select("walk_id", "step", "node"))
+    return out
+
+
+NODE2VEC_SQL_TMPL = """
+    with recursive e as ({edges_sql}),
+    und as (select src as v, dst as n from e
+            union all
+            select dst as v, src as n from e),
+    adj as (select v, n,
+                   row_number() over (partition by v order by n) - 1 as rnk
+            from und),
+    starts as (select v from (select distinct v from und) t
+               {start_filter}),
+    walk(walk_id, step, prev, node) as (
+        select s.v || '#' || cast(t.i as varchar) as walk_id,
+               cast(0 as bigint) as step, s.v as prev, s.v as node
+        from starts s, (select unnest(range({wpn})) as i) t
+        union all
+        select q.walk_id, q.step, q.prev, q.node from (
+          select c.walk_id, c.step, c.prev, c.node, c.weff,
+                 sum(c.weff) over (partition by c.walk_id, c.step
+                                   order by c.rnk
+                                   rows between unbounded preceding
+                                            and current row) as cum,
+                 c.draw_raw % sum(c.weff)
+                   over (partition by c.walk_id, c.step) as draw
+          from (
+            select b.*, case when b.tot > 0 then b.wt else 1 end as weff
+            from (
+              select w.walk_id, w.step + 1 as step, w.node as prev,
+                     a.n as node, a.rnk,
+                     case when a.n = w.prev then {w_return}
+                          when exists (select 1 from adj p
+                                       where p.v = w.prev and p.n = a.n)
+                               then {w_near}
+                          else {w_far} end as wt,
+                     sum(case when a.n = w.prev then {w_return}
+                              when exists (select 1 from adj p
+                                           where p.v = w.prev
+                                             and p.n = a.n) then {w_near}
+                              else {w_far} end)
+                       over (partition by w.walk_id, w.step) as tot,
+                     cast('0x' || substr(md5('{salt}:' || w.walk_id || ':'
+                              || cast(w.step + 1 as varchar)), 1, 15)
+                          as bigint) as draw_raw
+              from walk w
+              join adj a on a.v = w.node
+              where w.step + 1 < {walk_len}) b) c) q
+        where q.draw < q.cum and q.draw >= q.cum - q.weff)
+    select walk_id, step, node from walk"""
+
+
+def node2vec_walks_sql(edges_sql: str, walks_per_node: int = 2,
+                       walk_len: int = 5, w_return: int = 1,
+                       w_near: int = 4, w_far: int = 2, salt: str = "n2v",
+                       start_bucket: Optional[str] = "0") -> str:
+    """DuckDB recursive-CTE replay of ``node2vec_walks`` — the strict
+    bitwise oracle twin (the weighted pick is integer cumulative
+    arithmetic, so the two engines cannot diverge)."""
+    start_filter = (f"where substr(md5(v), 1, 1) = '{start_bucket}'"
+                    if start_bucket is not None else "")
+    return NODE2VEC_SQL_TMPL.format(
+        edges_sql=edges_sql, wpn=walks_per_node, walk_len=walk_len,
+        w_return=w_return, w_near=w_near, w_far=w_far, salt=salt,
+        start_filter=start_filter)
+
+
 def merge_candidates(edges: DataFrame, min_jaccard_pct: int = 30,
                      max_degree: Optional[int] = None,
                      min_common: int = 2) -> DataFrame:

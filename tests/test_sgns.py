@@ -144,6 +144,42 @@ def test_pairs_brute_force(spark, walks_df):
     assert got == want
 
 
+def test_learns_community_structure(spark):
+    """End-to-end DeepWalk gate: SGNS over node2vec walks on two
+    4-cliques joined by one bridge must embed same-clique nodes closer
+    (mean intra-clique cosine > mean inter-clique cosine of the in
+    embeddings). Fully deterministic — hash walks, full-batch trainer —
+    so this is a fixed arithmetic fact, not a stochastic assertion."""
+    import itertools
+    import math
+
+    from stackoverflowner_spark.operators.walks import node2vec_walks
+    ca = [f"a{i}" for i in range(4)]
+    cb = [f"b{i}" for i in range(4)]
+    edges = ([(x, y) for x, y in itertools.combinations(ca, 2)]
+             + [(x, y) for x, y in itertools.combinations(cb, 2)]
+             + [("a0", "b0")])
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    walks = node2vec_walks(df, walks_per_node=6, walk_len=8,
+                           w_return=1, w_near=4, w_far=1,
+                           start_bucket=None)
+    ein, _ = sgns_train(walks, dim=8, window=2, epochs=6, lr=0.05,
+                        k_neg=3)
+    vecs = _collect(ein)
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        nu = math.sqrt(sum(x * x for x in u))
+        nv = math.sqrt(sum(x * x for x in v))
+        return d / (nu * nv)
+
+    intra = [cos(vecs[x], vecs[y]) for grp in (ca, cb)
+             for x, y in itertools.combinations(grp, 2)]
+    inter = [cos(vecs[x], vecs[y]) for x in ca for y in cb]
+    mi, mx = sum(intra) / len(intra), sum(inter) / len(inter)
+    assert mi > mx, (mi, mx)
+
+
 def test_positive_scores_rise_over_epochs(spark, walks_df):
     """SGNS learns: the mean positive-pair score dot(u_center, v_ctx)
     must rise monotonically over the first epochs (full-batch

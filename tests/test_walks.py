@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from stackoverflowner_spark.operators.walks import (merge_candidates,
                                                     merge_candidates_sql,
+                                                    node2vec_walks,
+                                                    node2vec_walks_sql,
                                                     random_walks,
                                                     random_walks_sql)
 from stackoverflowner_spark.session import get_spark
@@ -98,6 +100,56 @@ def test_walks_strict_oracle_random_graphs(spark, seed):
     want = con.execute(random_walks_sql(esql, 2, 5,
                                         start_bucket=None)).df()
     assert compare(f"walks-{seed}", got, want, strict=True) == []
+
+
+def test_node2vec_walks_are_valid_paths(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    out = node2vec_walks(df, walks_per_node=2, walk_len=5,
+                         start_bucket=None).toPandas()
+    assert len(out) == 6 * 2 * 5
+    adj = {}
+    for a, b in EDGES:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for _, w in out.sort_values("step").groupby("walk_id"):
+        path = list(w.node)
+        for prev, cur in zip(path, path[1:]):
+            assert cur in adj[prev]
+
+
+def test_node2vec_zero_return_weight_never_backtracks(spark):
+    # w_return=0: a zero-weight candidate cannot win the integer
+    # cumulative draw, so no walk ever revisits its previous node
+    edges = random_graph(21, 20, 50)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = node2vec_walks(df, 2, 6, w_return=0, w_near=3, w_far=2,
+                         start_bucket=None).toPandas()
+    assert len(out) > 0
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for _, w in out.sort_values("step").groupby("walk_id"):
+        path = list(w.node)
+        for i in range(2, len(path)):
+            # backtracking allowed ONLY via the dead-end escape hatch
+            if path[i] == path[i - 2]:
+                assert deg[path[i - 1]] == 1, path
+    # and walks never die: full length everywhere
+    assert set(out.groupby("walk_id").size()) == {6}
+
+
+def test_node2vec_partitioning_invariance_and_strict_oracle(spark):
+    edges = random_graph(22, 15, 30)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = node2vec_walks(df, 2, 5, start_bucket=None).toPandas()
+    b = node2vec_walks(df.repartition(32), 2, 5,
+                       start_bucket=None).toPandas()
+    assert compare("n2v-part", a, b, strict=True) == []
+    con, esql = _duck(edges)
+    want = con.execute(node2vec_walks_sql(esql, 2, 5,
+                                          start_bucket=None)).df()
+    assert compare("n2v-oracle", a, want, strict=True) == []
 
 
 def test_merge_candidates_flags_and_rational(spark):

@@ -139,6 +139,16 @@ joins). In the shipped operator each step is `localCheckpoint`ed so the
 iterative lineage stays bounded; this section shows one step WITHOUT
 the checkpoint so the join shape is visible.
 """,
+    "n2v_step": """## 15. node2vec biased-walk step (walks.node2vec_walks, one iteration)
+
+Checklist: the second-order step is TWO equi-joins — frontier.node =
+adjacency.v (candidates) and the left probe (prev, candidate) =
+adjacency (the is-near flag) — plus two per-walk `Window`s (integer
+total + running cumulative weight) and a JVM integer filter for the
+draw; NO CartesianProduct/NestedLoop, no Python anywhere. The windows
+partition by walk_id, so their state is one walk's candidate list
+(bounded by max degree), never corpus-wide.
+""",
     "rank": """## 5. Two-pass word-mapping ids (partitioned_rank)
 
 Checklist: NO `Exchange SinglePartition` anywhere (the r02 scale flag) —
@@ -301,6 +311,36 @@ def main() -> None:
     ws_plan = formatted(step)
     assert "Cartesian" not in ws_plan and "PythonUDF" not in ws_plan
     sections.append(HEADERS["walk_step"] + "\n```\n" + ws_plan[:4000]
+                    + "\n```\n")
+
+    from pyspark.sql import Window
+    adj2 = _adjacency(edges)
+    fr2 = (adj2.select("v").distinct()
+           .select(F.concat_ws("#", F.col("v"), F.lit(0)).alias("walk_id"),
+                   F.col("v").alias("prev"), F.col("v").alias("node")))
+    pe = adj2.select(F.col("v").alias("_pv"), F.col("n").alias("_pn"),
+                     F.lit(1).alias("_near"))
+    c2 = (fr2.join(adj2, fr2.node == adj2.v)
+          .join(pe, (F.col("prev") == F.col("_pv"))
+                & (F.col("n") == F.col("_pn")), "left")
+          .withColumn("w", F.when(F.col("n") == F.col("prev"), F.lit(1))
+                      .when(F.col("_near").isNotNull(), F.lit(4))
+                      .otherwise(F.lit(2)).cast("long")))
+    wwin = Window.partitionBy("walk_id")
+    c2 = (c2.withColumn("tot", F.sum("w").over(wwin))
+          .withColumn("cum", F.sum("w").over(
+              wwin.orderBy("rnk").rowsBetween(Window.unboundedPreceding,
+                                              0))))
+    draw = (F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit("n2v"), F.col("walk_id"), F.lit("1"))), 1, 15),
+        16, 10).cast("long") % F.col("tot"))
+    n2v_step = (c2.withColumn("draw", draw)
+                .filter((F.col("draw") < F.col("cum"))
+                        & (F.col("draw") >= F.col("cum") - F.col("w")))
+                .select("walk_id", F.col("n").alias("node")))
+    n2v_plan = formatted(n2v_step)
+    assert "Cartesian" not in n2v_plan and "PythonUDF" not in n2v_plan
+    sections.append(HEADERS["n2v_step"] + "\n```\n" + n2v_plan[:4000]
                     + "\n```\n")
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
