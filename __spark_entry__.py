@@ -1033,6 +1033,28 @@ def _random_walks_oracle() -> str:
                             walk_len=6, start_bucket=None)
 
 
+def q_weighted_walks(spark, sf):
+    # Weight-proportional first-order walks (operators/walks.py) over
+    # the weighted co-mention graph — heavily co-attested relations
+    # attract the walk; the draw is integer cumulative arithmetic over
+    # the document-count edge weights, bitwise under the recursive-CTE
+    # twin. Pytest-gated surface.
+    from stackoverflowner_spark.operators.walks import weighted_walks
+    edges = q_comention_graph(spark, sf)
+    return weighted_walks(edges, walks_per_node=2, walk_len=5,
+                          start_bucket=None)
+
+
+def _weighted_walks_oracle() -> str:
+    from stackoverflowner_spark.operators.walks import weighted_walks_sql
+    weighted_edges = _COMENTION_EDGES_SQL.replace(
+        "select a.e as src, b.e as dst",
+        "select a.e as src, b.e as dst, cast(count(*) as bigint) as w")
+    assert "as w" in weighted_edges  # the edge CTE text moved — fix me
+    return weighted_walks_sql(weighted_edges, walks_per_node=2,
+                              walk_len=5, start_bucket=None)
+
+
 def q_node2vec_walks(spark, sf):
     # node2vec second-order biased walks (operators/walks.py): the
     # (prev, cur) frontier with exact INTEGER return/near/far weights —
@@ -3617,6 +3639,7 @@ def oracle_sql() -> dict[str, str]:
         "link_predict": _link_predict_oracle(),
         "random_walks": _random_walks_oracle(),
         "node2vec_walks": _node2vec_walks_oracle(),
+        "weighted_walks": _weighted_walks_oracle(),
         "sgns_pairs": _sgns_pairs_oracle(),
         "sgns_grad": _sgns_grad_oracle(),
         "merge_candidates": merge_candidates_sql(f"""

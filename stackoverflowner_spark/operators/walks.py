@@ -294,6 +294,103 @@ def node2vec_walks_sql(edges_sql: str, walks_per_node: int = 2,
         start_filter=start_filter)
 
 
+def weighted_walks(edges: DataFrame, walks_per_node: int = 2,
+                   walk_len: int = 5, salt: str = "wwalk",
+                   start_bucket: Optional[str] = "0") -> DataFrame:
+    """(walk_id, step, node): first-order walks whose step distribution
+    is proportional to INTEGER edge weights — edges must carry
+    (src, dst, w) with w >= 1 (the co-mention graph's document count is
+    the natural input: heavily co-attested relations attract the walk).
+
+    Same exact-arithmetic draw as node2vec_walks (cumulative integer
+    weights, md5 draw mod total), same recursive-CTE DuckDB twin, no
+    second-order state — the cheap middle rung between uniform
+    ``random_walks`` and biased ``node2vec_walks``."""
+    e = edges.select("src", "dst", "w")
+    und = (e.select(F.col("src").alias("v"), F.col("dst").alias("n"), "w")
+           .unionAll(e.select(F.col("dst").alias("v"),
+                              F.col("src").alias("n"), "w")))
+    rw = Window.partitionBy("v").orderBy("n")
+    adj = (und.withColumn("rnk", F.row_number().over(rw) - 1)
+           .withColumn("w", F.col("w").cast("long"))
+           .localCheckpoint())
+    nodes = adj.select("v").distinct()
+    if start_bucket is not None:
+        nodes = nodes.filter(
+            F.substring(F.md5(F.col("v")), 1, 1) == start_bucket)
+    frontier = (nodes.select(
+        F.col("v").alias("node"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1)))
+        .alias("i"))
+        .select(F.concat_ws("#", F.col("node"), F.col("i"))
+                .alias("walk_id"),
+                F.lit(0).cast("long").alias("step"), "node")
+        .localCheckpoint())
+    out = frontier
+    wwin = Window.partitionBy("walk_id")
+    for s in range(1, walk_len):
+        cand = frontier.join(adj, frontier.node == adj.v)
+        cum = F.sum("w").over(
+            wwin.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0))
+        total = F.sum("w").over(wwin)
+        h = F.md5(F.concat_ws(":", F.lit(salt), F.col("walk_id"),
+                              F.lit(str(s))))
+        draw = (F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+                % total)
+        frontier = (cand.withColumn("cum", cum).withColumn("draw", draw)
+                    .filter((F.col("draw") < F.col("cum"))
+                            & (F.col("draw") >= F.col("cum") - F.col("w")))
+                    .select("walk_id", F.lit(s).cast("long").alias("step"),
+                            F.col("n").alias("node"))
+                    .localCheckpoint())
+        out = out.unionByName(frontier)
+    return out
+
+
+WEIGHTED_WALKS_SQL_TMPL = """
+    with recursive e as ({edges_sql}),
+    und as (select src as v, dst as n, w from e
+            union all
+            select dst as v, src as n, w from e),
+    adj as (select v, n, cast(w as bigint) as w,
+                   row_number() over (partition by v order by n) - 1 as rnk
+            from und),
+    starts as (select v from (select distinct v from und) t
+               {start_filter}),
+    walk(walk_id, step, node) as (
+        select s.v || '#' || cast(t.i as varchar) as walk_id,
+               cast(0 as bigint) as step, s.v as node
+        from starts s, (select unnest(range({wpn})) as i) t
+        union all
+        select q.walk_id, q.step, q.node from (
+          select w.walk_id, w.step + 1 as step, a.n as node, a.w as wt,
+                 sum(a.w) over (partition by w.walk_id, w.step
+                                order by a.rnk
+                                rows between unbounded preceding
+                                         and current row) as cum,
+                 cast('0x' || substr(md5('{salt}:' || w.walk_id || ':'
+                          || cast(w.step + 1 as varchar)), 1, 15)
+                      as bigint)
+                 % sum(a.w) over (partition by w.walk_id, w.step) as draw
+          from walk w
+          join adj a on a.v = w.node
+          where w.step + 1 < {walk_len}) q
+        where q.draw < q.cum and q.draw >= q.cum - q.wt)
+    select walk_id, step, node from walk"""
+
+
+def weighted_walks_sql(edges_sql: str, walks_per_node: int = 2,
+                       walk_len: int = 5, salt: str = "wwalk",
+                       start_bucket: Optional[str] = "0") -> str:
+    """DuckDB recursive-CTE replay of ``weighted_walks`` — the strict
+    bitwise oracle twin."""
+    start_filter = (f"where substr(md5(v), 1, 1) = '{start_bucket}'"
+                    if start_bucket is not None else "")
+    return WEIGHTED_WALKS_SQL_TMPL.format(
+        edges_sql=edges_sql, wpn=walks_per_node, walk_len=walk_len,
+        salt=salt, start_filter=start_filter)
+
+
 def merge_candidates(edges: DataFrame, min_jaccard_pct: int = 30,
                      max_degree: Optional[int] = None,
                      min_common: int = 2) -> DataFrame:

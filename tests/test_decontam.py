@@ -259,7 +259,11 @@ def test_driver_oracle_strict(spark):
     # r5l: node2vec second-order biased walks — exact integer
     # return/near/far weights make the weighted draw bitwise; DuckDB
     # recursive-CTE twin with the same dead-end escape hatch
-    "node2vec_walks"])
+    "node2vec_walks",
+    # r5l: weight-proportional first-order walks over the weighted
+    # co-mention graph (document-count edge weights), same integer
+    # cumulative draw
+    "weighted_walks"])
 def test_rotated_entries_still_green(spark, name):
     """Rotation gates: entries that left the 50-entry driver surface
     (cap_feature in r5 — slot freed for decontam; the rest in r4) keep

@@ -17,7 +17,9 @@ from stackoverflowner_spark.operators.walks import (merge_candidates,
                                                     node2vec_walks,
                                                     node2vec_walks_sql,
                                                     random_walks,
-                                                    random_walks_sql)
+                                                    random_walks_sql,
+                                                    weighted_walks,
+                                                    weighted_walks_sql)
 from stackoverflowner_spark.session import get_spark
 from tests.oracle_harness import compare
 
@@ -150,6 +152,41 @@ def test_node2vec_partitioning_invariance_and_strict_oracle(spark):
     want = con.execute(node2vec_walks_sql(esql, 2, 5,
                                           start_bucket=None)).df()
     assert compare("n2v-oracle", a, want, strict=True) == []
+
+
+def test_weighted_walks_follow_edge_weights(spark):
+    # star: c-a weighs 99, c-b weighs 1 — walks from c should step to a
+    # the overwhelming majority of the time (deterministic hash draws,
+    # so this is a fixed count, asserted with slack)
+    df = spark.createDataFrame([("a", "c", 99), ("b", "c", 1)],
+                               ["src", "dst", "w"])
+    out = weighted_walks(df, walks_per_node=64, walk_len=2,
+                         start_bucket=None).toPandas()
+    first = out[(out.step == 1)
+                & out.walk_id.str.startswith("c#")].node.tolist()
+    assert len(first) == 64
+    assert first.count("a") >= 55, first.count("a")
+    # validity: every step follows an edge
+    adj = {"a": {"c"}, "b": {"c"}, "c": {"a", "b"}}
+    for _, w in out.sort_values("step").groupby("walk_id"):
+        path = list(w.node)
+        for prev, cur in zip(path, path[1:]):
+            assert cur in adj[prev]
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_weighted_walks_strict_oracle_random_graphs(spark, seed):
+    rng = random.Random(seed)
+    edges = [(a, b, rng.randint(1, 9)) for a, b in random_graph(seed, 15, 30)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    con = duckdb.connect()
+    con.execute("create table e_tbl(src varchar, dst varchar, w int)")
+    con.executemany("insert into e_tbl values (?, ?, ?)", edges)
+    got = weighted_walks(df.repartition(16), 2, 5,
+                         start_bucket=None).toPandas()
+    want = con.execute(weighted_walks_sql(
+        "select src, dst, w from e_tbl", 2, 5, start_bucket=None)).df()
+    assert compare(f"ww-{seed}", got, want, strict=True) == []
 
 
 def test_merge_candidates_flags_and_rational(spark):
