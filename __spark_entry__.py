@@ -1705,6 +1705,58 @@ def q_kg_validate(spark, sf):
     return validate_triples(tri, rules)
 
 
+# In-band ontology for the documents-derived KG: the four gazetteer tag
+# types under a 2-level class tree (multi-hop rdfs9 is non-vacuous) and a
+# 2-level property chain over mentioned_in (multi-hop rdfs7 likewise).
+# Module-level so the DuckDB oracle replays the identical VALUES.
+_KG_TAXONOMY = [
+    ("Algorithm", "subclass_of", "Computational_Concept"),
+    ("Data_Structure", "subclass_of", "Computational_Concept"),
+    ("Function", "subclass_of", "Code_Entity"),
+    ("User_Interface_Element", "subclass_of", "UI_Concept"),
+    ("Computational_Concept", "subclass_of", "Concept"),
+    ("Code_Entity", "subclass_of", "Concept"),
+    ("UI_Concept", "subclass_of", "Concept"),
+    ("mentioned_in", "subproperty_of", "occurs_in"),
+    ("occurs_in", "subproperty_of", "related_to"),
+]
+
+
+def q_kg_inference(spark, sf):
+    # RDFS-style forward-chaining materialization (operators/inference.py)
+    # over the same documents-derived KG as kg_triples_documents, plus an
+    # in-band ontology (subclass_of / subproperty_of rows ride in the same
+    # triple stream, as RDF ontologies do). The class and property trees
+    # close transitively schema-side (rdfs11/rdfs5, semi-naive delta
+    # iteration), mentioned_in assertions lift through the property chain
+    # (rdfs7 -> occurs_in -> related_to), and instance_of assertions lift
+    # through the class tree (rdfs9, multi-hop: Algorithm ->
+    # Computational_Concept -> Concept). Oracled from birth on the pytest
+    # rotation gate: the oracle replays both closures as recursive CTEs
+    # and each rule as one join, same rdfs7-before-rdfs9 stratification.
+    from stackoverflowner_spark.operators.document_kernel import pages_to_mentions_fused
+    from stackoverflowner_spark.operators.inference import rdfs_materialize
+    from stackoverflowner_spark.operators.link import link_broadcast
+    from stackoverflowner_spark.operators.tagger import GazetteerTagger
+    from stackoverflowner_spark.operators.triples import triples_from_linked
+    from stackoverflowner_spark.sources.dictionary import dictionary_df
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    m = pages_to_mentions_fused(pages, GazetteerTagger(alias_map=_doc_alias_map()),
+                                lang_filter="en")
+    linked = link_broadcast(m, dictionary_df(spark, _DOC_EXTRA_ENTITIES))
+    tri = (triples_from_linked(linked)
+           .select("subj", "pred", "obj").distinct())
+    schema = spark.createDataFrame(
+        _KG_TAXONOMY, "subj string, pred string, obj string")
+    return rdfs_materialize(tri.unionByName(schema), already_distinct=False)
+
+
 def q_simhash_pairs(spark, sf):
     # Hamming near-dup pairs over the simhash fingerprints: banding is
     # EXACT by pigeonhole at max_hamming < bands (dedup.py docstring), so
@@ -2242,6 +2294,8 @@ def oracle_sql() -> dict[str, str]:
     # additionally replays the link stage's canonical assignment
     doc_alias_vals3 = ", ".join(
         f"('{k}', '{v[0]}', '{v[1]}')" for k, v in sorted(doc_aliases.items()))
+    taxonomy_vals = ", ".join(
+        f"('{s}', '{p}', '{o}')" for s, p, o in _KG_TAXONOMY)
     quality_expr = (
         "least(len(list_filter(string_split(text, ' '), x -> x <> '')) / 100.0,"
         " 1.0) * 0.4"
@@ -2375,6 +2429,50 @@ def oracle_sql() -> dict[str, str]:
                 and not exists (select 1 from types y
                                 where y.ent = t.obj
                                   and y.etype = r.obj_type))""",
+        "kg_inference": f"""
+            with recursive
+                 d as (select 'doc://' || cast(doc_id as varchar) as url,
+                              list_filter(string_split(text, ' '), w -> w <> '') as ws
+                       from documents where lang = 'en'),
+                 t0 as (select url,
+                               unnest(list_transform(ws, (w, i) ->
+                                   struct_pack(w := w, p := i - 1))) as s
+                        from d),
+                 t as (select url, s.w as word from t0),
+                 a(word, cid, tag_type) as (values {doc_alias_vals3}),
+                 m as (select url, t.word as surface_norm, a.cid, a.tag_type
+                       from t join a on lower(t.word) = a.word),
+                 base as (select distinct subj, pred, obj from (
+                   select cid as subj, 'instance_of' as pred,
+                          tag_type as obj from m
+                   union all select cid, 'mentioned_in', url from m
+                   union all select surface_norm, 'alias_of', cid from m
+                   union all select subj, pred, obj
+                   from (values {taxonomy_vals}) s(subj, pred, obj))),
+                 subcl(src, dst) as (
+                   select subj, obj from base where pred = 'subclass_of'
+                   union
+                   select s.src, b.obj from subcl s
+                   join base b on b.subj = s.dst and b.pred = 'subclass_of'),
+                 propcl(src, dst) as (
+                   select subj, obj from base where pred = 'subproperty_of'
+                   union
+                   select p.src, b.obj from propcl p
+                   join base b on b.subj = p.dst
+                                and b.pred = 'subproperty_of'),
+                 withprops as (
+                   select subj, pred, obj from base
+                   union all
+                   select b.subj, p.dst as pred, b.obj
+                   from base b join propcl p on b.pred = p.src)
+            select distinct subj, pred, obj from (
+              select subj, pred, obj from withprops
+              union all select src, 'subclass_of', dst from subcl
+              union all select src, 'subproperty_of', dst from propcl
+              union all
+              select w.subj, 'instance_of', c.dst
+              from withprops w join subcl c on w.obj = c.src
+              where w.pred = 'instance_of')""",
         "ntriples": f"""
             with d as (select 'doc://' || cast(doc_id as varchar) as url,
                               list_filter(string_split(text, ' '), w -> w <> '') as ws

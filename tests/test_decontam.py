@@ -225,6 +225,10 @@ def test_driver_oracle_strict(spark):
     # r5h: DSIR importance-resampling integer sufficient statistics,
     # oracled from birth (float log/Gumbel stages are pytest-parity)
     "dsir_stats",
+    # r5n: RDFS-style forward-chaining materialization (rdfs11/5/7/9 over
+    # the documents-derived KG + in-band ontology), oracled from birth —
+    # the oracle replays both transitive closures as recursive CTEs
+    "kg_inference",
     # r5h: the two remaining classic TPC-H shapes, oracled from birth —
     # q17 (decorrelated scalar subquery, exact-decimal 20% threshold) and
     # q21 (stacked semi+anti with residual non-equi conditions)
