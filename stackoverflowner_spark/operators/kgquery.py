@@ -52,9 +52,43 @@ def _pattern_df(triples: DataFrame, pattern: Sequence[str],
 
     Returns (df, var->column mapping). A variable repeated WITHIN one
     pattern (e.g. (?x, likes, ?x)) compiles to an equality filter.
+
+    A literal predicate ending in ``+`` or ``*`` (e.g. ``subclass_of+``)
+    is an unbounded SPARQL property path: the pattern's relation becomes
+    the predicate's transitive closure (``property_path_plus``) instead
+    of a table scan, and the subj/obj terms bind against its two columns
+    with the same literal/var rules. Note the closure runs its semi-naive
+    iteration EAGERLY at compile time (schema-scale jobs — the loop scans
+    only that predicate's edges).
     """
     if len(pattern) != 3:
         raise ValueError(f"pattern {idx}: need (subj, pred, obj), got {pattern!r}")
+    s_term, p_term, o_term = pattern
+    if (not _is_var(p_term) and len(p_term) > 1 and p_term[-1] in "+*"):
+        rel = property_path_plus(triples, p_term[:-1],
+                                 start_var="__path_s", end_var="__path_o",
+                                 zero_or_more=p_term.endswith("*"))
+        df = rel
+        seen: Dict[str, str] = {}
+        keep: List[str] = []
+        for col, term in (("__path_s", s_term), ("__path_o", o_term)):
+            if _is_var(term):
+                var = term[1:]
+                if not var:
+                    raise ValueError(
+                        f"pattern {idx}: bare '?' is not a variable")
+                if var in seen:
+                    df = df.filter(F.col(col) == F.col(seen[var]))
+                else:
+                    seen[var] = col
+                    keep.append(F.col(col).alias(var))
+            else:
+                df = df.filter(F.col(col) == F.lit(term))
+        if not keep:
+            raise ValueError(
+                f"pattern {idx}: all-literal patterns are not supported — "
+                "filter the closure directly for existence tests")
+        return df.select(*keep), {v: v for v in seen}
     df = triples
     seen: Dict[str, str] = {}
     keep: List[str] = []
@@ -240,3 +274,39 @@ def property_path(triples: DataFrame, start_var: str,
         prev = nxt
     return bgp_match(triples, pats, select=[start_var, end_var],
                      distinct=distinct)
+
+
+def property_path_plus(triples: DataFrame, pred: str,
+                       start_var: str = "start",
+                       end_var: str = "end",
+                       zero_or_more: bool = False,
+                       max_depth: int = 30) -> DataFrame:
+    """Unbounded SPARQL property path ``start pred+ end`` (or ``pred*``).
+
+    ``pred+`` (one-or-more) is the transitive closure of the predicate's
+    edge set — delegated to ``operators/inference.transitive_closure``
+    (semi-naive delta iteration, O(new pairs) per round, cycle-safe).
+    ``zero_or_more=True`` gives ``pred*``: the closure unioned with the
+    zero-length path, which this engine scopes to every node incident to
+    a ``pred`` edge (SPARQL's spec text binds zero-length paths to ALL
+    terms in the graph; the incident-node scope is the useful subset and
+    keeps the result proportional to the predicate, not the whole KG —
+    documented divergence).
+
+    Scale shape: the closure loop touches only ``pred`` edges (one pushed
+    ``pred = literal`` scan), so cost tracks that predicate's edge count
+    and hierarchy depth — not the 10^12-triple table. Closure output is
+    pair-bounded; for corpus-diameter graphs use bfs_dist/sssp instead
+    (same guidance as ``property_path``).
+    """
+    from .inference import transitive_closure
+    edges = (triples.filter(F.col("pred") == pred)
+             .select(F.col("subj").alias("src"), F.col("obj").alias("dst")))
+    cl = transitive_closure(edges, max_iter=max_depth)
+    if zero_or_more:
+        nodes = (edges.select(F.col("src").alias("n"))
+                 .union(edges.select(F.col("dst").alias("n"))).distinct())
+        cl = cl.union(nodes.select(F.col("n").alias("src"),
+                                   F.col("n").alias("dst"))).distinct()
+    return cl.select(F.col("src").alias(start_var),
+                     F.col("dst").alias(end_var))

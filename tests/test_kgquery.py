@@ -360,3 +360,80 @@ def test_kgq_cli_aggregate(spark, tmp_path, capsys):
            capsys.readouterr().out.strip().splitlines()]
     assert sorted((r["t"], r["n"], r["ents"]) for r in out) == [
         ("Language", 1, 1), ("Library", 2, 2)]
+
+
+def test_property_path_plus(spark):
+    from stackoverflowner_spark.operators.kgquery import property_path_plus
+    tri = _df(spark, [
+        ("a", "subclass_of", "b"),
+        ("b", "subclass_of", "c"),
+        ("c", "subclass_of", "d"),
+        ("x", "other_pred", "y"),   # must not leak into the closure
+    ])
+    out = property_path_plus(tri, "subclass_of")
+    got = {(r.start, r.end) for r in out.collect()}
+    assert got == {("a", "b"), ("b", "c"), ("c", "d"),
+                   ("a", "c"), ("b", "d"), ("a", "d")}
+
+
+def test_property_path_star_adds_zero_length(spark):
+    from stackoverflowner_spark.operators.kgquery import property_path_plus
+    tri = _df(spark, [("a", "p", "b"), ("b", "p", "c")])
+    out = property_path_plus(tri, "p", zero_or_more=True)
+    got = {(r.start, r.end) for r in out.collect()}
+    assert got == {("a", "a"), ("b", "b"), ("c", "c"),
+                   ("a", "b"), ("b", "c"), ("a", "c")}
+
+
+def test_property_path_plus_cycle_terminates(spark):
+    from stackoverflowner_spark.operators.kgquery import property_path_plus
+    tri = _df(spark, [("a", "p", "b"), ("b", "p", "a")])
+    got = {(r.start, r.end) for r in
+           property_path_plus(tri, "p").collect()}
+    assert got == {("a", "b"), ("b", "a"), ("a", "a"), ("b", "b")}
+
+
+def test_bgp_with_path_predicate(spark):
+    # ?x subclass_of+ Concept joined with ?e instance_of ?x: the path
+    # pattern is a first-class BGP member (shared var join)
+    tri = _df(spark, [
+        ("Algorithm", "subclass_of", "Method"),
+        ("Method", "subclass_of", "Concept"),
+        ("quicksort", "instance_of", "Algorithm"),
+        ("bfs", "instance_of", "Method"),
+        ("doc1", "instance_of", "Document"),
+    ])
+    out = bgp_match(tri, [
+        ("?e", "instance_of", "?x"),
+        ("?x", "subclass_of+", "Concept"),
+    ], select=["e", "x"])
+    got = {(r.e, r.x) for r in out.collect()}
+    assert got == {("quicksort", "Algorithm"), ("bfs", "Method")}
+
+
+def test_bgp_path_star_includes_self(spark):
+    tri = _df(spark, [
+        ("Algorithm", "subclass_of", "Concept"),
+        ("quicksort", "instance_of", "Algorithm"),
+    ])
+    out = bgp_match(tri, [("?x", "subclass_of*", "?y")])
+    got = {(r.x, r.y) for r in out.collect()}
+    assert got == {("Algorithm", "Concept"), ("Algorithm", "Algorithm"),
+                   ("Concept", "Concept")}
+
+
+def test_kgq_cli_path_predicate(spark, tmp_path, capsys):
+    import tools.kgq as kgq
+    tri = _df(spark, [
+        ("a", "subclass_of", "b"),
+        ("b", "subclass_of", "c"),
+    ])
+    p = str(tmp_path / "tri.parquet")
+    tri.write.parquet(p)
+    rc = kgq.main([p, "?x subclass_of+ c", "--select", "x",
+                   "--master", "local[2]"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    import json as _json
+    xs = sorted(_json.loads(l)["x"] for l in lines)
+    assert xs == ["a", "b"]
