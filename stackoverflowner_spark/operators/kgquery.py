@@ -310,3 +310,65 @@ def property_path_plus(triples: DataFrame, pred: str,
                                    F.col("n").alias("dst"))).distinct()
     return cl.select(F.col("src").alias(start_var),
                      F.col("dst").alias(end_var))
+
+
+def construct(triples: DataFrame, patterns: Sequence[Sequence[str]],
+              template: Sequence[Sequence[str]],
+              optional: Optional[Sequence[Sequence[str]]] = None,
+              not_exists: Optional[Sequence[Sequence[str]]] = None,
+              distinct: bool = True) -> DataFrame:
+    """SPARQL ``CONSTRUCT { template } WHERE { BGP }``: build NEW triples
+    from every solution of the WHERE block — the declarative rule surface
+    for KG enrichment (the imperative cousin of what rdfs_materialize
+    hard-codes for the RDFS rules).
+
+    ``template`` is a list of (s, p, o) tuples whose terms are literals
+    or ``?var`` bound by the WHERE block; each solution instantiates
+    every template pattern, and solutions where a template variable came
+    back NULL (an OPTIONAL var with no match) drop that pattern's
+    instantiation — SPARQL's incomplete-triple rule. Output is a
+    (subj, pred, obj) DataFrame, DISTINCT by default (CONSTRUCT returns
+    a graph, i.e. a set).
+
+    Scale shape: the template instantiation is a generator projection
+    (one ``explode`` of a template-sized array per solution row) fused
+    into the solution stream's stage — no shuffle beyond the WHERE
+    block's own joins and the final set-distinct.
+    """
+    if not template:
+        raise ValueError("construct needs at least one template pattern")
+    sol = bgp_match(triples, patterns, optional=optional,
+                    not_exists=not_exists, distinct=False)
+    bound = set(sol.columns)
+
+    def term_col(term: str, idx: int) -> F.Column:
+        if _is_var(term):
+            var = term[1:]
+            if var not in bound:
+                raise ValueError(
+                    f"template pattern {idx}: variable ?{var} is not "
+                    f"bound by the WHERE block (bound: {sorted(bound)})")
+            return F.col(var).cast("string")
+        return F.lit(term)
+
+    structs = [
+        F.struct(term_col(s, i).alias("subj"), term_col(p, i).alias("pred"),
+                 term_col(o, i).alias("obj"))
+        for i, (s, p, o) in enumerate(template)
+    ]
+    out = (sol.select(F.explode(F.array(*structs)).alias("t"))
+           .select("t.subj", "t.pred", "t.obj")
+           .filter(F.col("subj").isNotNull() & F.col("pred").isNotNull()
+                   & F.col("obj").isNotNull()))
+    return out.distinct() if distinct else out
+
+
+def ask(triples: DataFrame, patterns: Sequence[Sequence[str]],
+        optional: Optional[Sequence[Sequence[str]]] = None,
+        not_exists: Optional[Sequence[Sequence[str]]] = None) -> bool:
+    """SPARQL ``ASK { BGP }``: True iff the pattern has >= 1 solution.
+    Planned as the BGP with a LIMIT 1 — every join's output is cut at
+    the first row, so the probe never materializes the binding set."""
+    sol = bgp_match(triples, patterns, optional=optional,
+                    not_exists=not_exists, distinct=False)
+    return sol.limit(1).count() > 0

@@ -437,3 +437,86 @@ def test_kgq_cli_path_predicate(spark, tmp_path, capsys):
     import json as _json
     xs = sorted(_json.loads(l)["x"] for l in lines)
     assert xs == ["a", "b"]
+
+
+def test_construct_basic(spark):
+    from stackoverflowner_spark.operators.kgquery import construct
+    tri = _df(spark)
+    out = construct(tri, [
+        ("?a", "alias_of", "?e"),
+        ("?e", "mentioned_in", "?d"),
+    ], template=[
+        ("?a", "indirectly_mentioned_in", "?d"),
+        ("?a", "resolves_to", "?e"),
+    ])
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert ("np", "indirectly_mentioned_in", "doc://1") in got
+    assert ("np", "indirectly_mentioned_in", "doc://2") in got
+    assert ("pd", "resolves_to", "pandas") in got
+    # 'self' aliases itself but has no mentioned_in -> no row at all
+    assert not any(s == "self" for s, _, _ in got)
+
+
+def test_construct_is_a_set(spark):
+    from stackoverflowner_spark.operators.kgquery import construct
+    # two docs mention numpy -> the doc-free template row must dedup
+    tri = _df(spark)
+    out = construct(tri, [("?e", "mentioned_in", "?d")],
+                    template=[("?e", "is_mentioned", "somewhere")])
+    rows = [r for r in out.collect() if r.subj == "numpy"]
+    assert len(rows) == 1
+
+
+def test_construct_optional_null_drops_instantiation(spark):
+    from stackoverflowner_spark.operators.kgquery import construct
+    tri = _df(spark, [
+        ("numpy", "instance_of", "Library"),
+        ("np", "alias_of", "numpy"),
+        ("pandas", "instance_of", "Library"),
+    ])
+    out = construct(
+        tri, [("?e", "instance_of", "Library")],
+        optional=[("?a", "alias_of", "?e")],
+        template=[("?e", "typed", "lib"), ("?a", "short_for", "?e")])
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    # both entities instantiate the first pattern; only numpy (which has
+    # an alias binding) instantiates the second
+    assert ("numpy", "typed", "lib") in got and ("pandas", "typed", "lib") in got
+    assert ("np", "short_for", "numpy") in got
+    assert not any(p == "short_for" and o == "pandas" for _, p, o in got)
+
+
+def test_construct_unbound_template_var_rejected(spark):
+    from stackoverflowner_spark.operators.kgquery import construct
+    with pytest.raises(ValueError, match="not bound"):
+        construct(_df(spark), [("?e", "mentioned_in", "?d")],
+                  template=[("?e", "p", "?nope")])
+
+
+def test_ask(spark):
+    from stackoverflowner_spark.operators.kgquery import ask
+    tri = _df(spark)
+    assert ask(tri, [("?x", "instance_of", "Library")])
+    assert not ask(tri, [("?x", "instance_of", "Operating_System")])
+    assert ask(tri, [("?x", "alias_of", "?x")])  # the 'self' loop
+
+
+def test_kgq_cli_construct_and_ask(spark, tmp_path, capsys):
+    import tools.kgq as kgq
+    tri = _df(spark, [
+        ("np", "alias_of", "numpy"),
+        ("numpy", "mentioned_in", "doc://1"),
+    ])
+    p = str(tmp_path / "tri2.parquet")
+    tri.write.parquet(p)
+    rc = kgq.main([p, "?a alias_of ?e . ?e mentioned_in ?d",
+                   "--construct", "?a indirectly_mentioned_in ?d",
+                   "--master", "local[2]"])
+    assert rc == 0
+    import json as _json
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert _json.loads(lines[0]) == {
+        "subj": "np", "pred": "indirectly_mentioned_in", "obj": "doc://1"}
+    rc = kgq.main([p, "?a alias_of numpy", "--ask", "--master", "local[2]"])
+    assert rc == 0
+    assert _json.loads(capsys.readouterr().out.strip()) == {"ask": True}

@@ -11,6 +11,11 @@ by whitespace, ``?name`` terms are variables — compiled straight to
         [--optional "?a alias_of ?x"] [--not-exists "?x flagged_as spam"]
         [--limit 100] [--master local[8]]
         [--group-by t --agg count:*:n --agg count_distinct:x:entities]
+        [--construct "?x derived_pred ?d"] [--ask]
+
+Predicates ending in ``+`` or ``*`` are unbounded property paths
+(transitive closure); ``--construct`` emits new (subj, pred, obj) rows
+from each solution; ``--ask`` prints a boolean existence answer.
 
 Literals containing spaces are not expressible in this mini-syntax (the
 Python API takes arbitrary strings); it covers the dominant
@@ -58,13 +63,23 @@ def main(argv=None) -> int:
                          "min/max (repeatable; var '*' counts bindings); "
                          "requires --group-by (may be empty: "
                          "--group-by '' aggregates the whole solution)")
+    ap.add_argument("--construct", default=None,
+                    help="CONSTRUCT template, same mini-syntax: emits "
+                         "(subj, pred, obj) JSON rows built from each "
+                         "WHERE solution instead of variable bindings")
+    ap.add_argument("--ask", action="store_true",
+                    help="ASK: print true/false for pattern existence")
     ap.add_argument("--master", default="local[8]")
     args = ap.parse_args(argv)
+    if args.construct and (args.group_by is not None or args.ask):
+        ap.error("--construct is exclusive with --group-by/--ask")
     if args.agg and args.group_by is None:
         ap.error("--agg requires --group-by (use --group-by '' for a "
                  "whole-solution aggregate)")
 
-    from stackoverflowner_spark.operators.kgquery import bgp_agg, bgp_match
+    from stackoverflowner_spark.operators.kgquery import (ask, bgp_agg,
+                                                           bgp_match,
+                                                           construct)
     from stackoverflowner_spark.session import get_spark
 
     spark = get_spark(app_name="kgq", master=args.master,
@@ -74,7 +89,16 @@ def main(argv=None) -> int:
     optional = parse_patterns(args.optional) if args.optional else None
     not_exists = (parse_patterns(args.not_exists)
                   if args.not_exists else None)
-    if args.group_by is not None:
+    if args.ask:
+        hit = ask(tri, parse_patterns(args.where), optional=optional,
+                  not_exists=not_exists)
+        print(json.dumps({"ask": bool(hit)}))
+        return 0
+    if args.construct:
+        out = construct(tri, parse_patterns(args.where),
+                        template=parse_patterns(args.construct),
+                        optional=optional, not_exists=not_exists)
+    elif args.group_by is not None:
         aggs = []
         for spec in (args.agg or ["count:*:n"]):
             parts = spec.split(":")
