@@ -117,8 +117,14 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
               select: Optional[Sequence[str]] = None,
               optional: Optional[Sequence[Sequence[str]]] = None,
               not_exists: Optional[Sequence[Sequence[str]]] = None,
+              minus: Optional[Sequence[Sequence[str]]] = None,
+              values: Optional[Tuple[Sequence[str],
+                                     Sequence[Sequence[Optional[str]]]]] = None,
               distinct: bool = True,
-              allow_product: bool = False) -> DataFrame:
+              allow_product: bool = False,
+              order_by: Optional[Sequence[str]] = None,
+              limit: Optional[int] = None,
+              offset: Optional[int] = None) -> DataFrame:
     """Match a conjunctive basic graph pattern against a triple table.
 
     ``triples`` must carry (subj, pred, obj) string columns (extra
@@ -138,6 +144,35 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
     the block shares with the required patterns — the anti-join shuffles
     on the shared vars, never materializing the negation's full binding
     set against the main stream. The block must share >= 1 variable.
+
+    ``minus`` is SPARQL ``MINUS {...}``: like ``not_exists`` it removes
+    solutions that the block also produces, but with the spec's
+    domain-intersection semantics — a block sharing NO variable with the
+    required patterns removes NOTHING (SPARQL 1.1 §8.3's classic
+    ``MINUS {?x ?y ?z}`` no-op), where ``not_exists`` would reject the
+    query as unanchored. Restriction vs the spec: the anti-join keys on
+    ALL shared variables, so a solution carrying an OPTIONAL-unbound
+    NULL in one shared var while matching on the others is kept (Spark
+    NULL-key semantics) though SPARQL's per-solution domain intersection
+    would remove it — documented divergence; fully-bound solutions (the
+    non-OPTIONAL case) match the spec exactly.
+
+    ``values`` is SPARQL ``VALUES (?v1 ?v2) { (lit UNDEF) ... }``:
+    ``([var, ...], [[lit_or_None, ...], ...])`` — an inline binding
+    table joined against the solutions with compatibility semantics
+    (``None`` = UNDEF constrains nothing in that row). Every values var
+    must be bound by the required patterns. Join multiset semantics:
+    a solution compatible with k values rows appears k times (collapsed
+    by DISTINCT unless ``distinct=False``). Compiled per UNDEF-mask
+    group into broadcast hash joins on the defined columns — inline data
+    is literal-sized, so no shuffle and never a nested loop.
+
+    ``order_by`` / ``limit`` / ``offset`` are the SPARQL solution
+    modifiers, applied in spec order after projection+DISTINCT:
+    ``order_by`` entries are variable names, ``-var`` for DESC.
+    ``order_by``+``limit`` plans as Spark's TakeOrderedAndProject — a
+    per-partition top-k then a driver-side merge of k-row heaps, never
+    a global sort of the binding set.
 
     >>> bgp_match(t, [("?x", "instance_of", "?t"),
     ...               ("?x", "mentioned_in", "?d")], select=["x", "t"])
@@ -170,6 +205,8 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
                 "required patterns — an unanchored OPTIONAL is a product")
         acc = acc.join(df, on=shared, how="left")
         bound += [v for v in vars_i if v not in bound]
+    if values is not None:
+        acc = _apply_values(acc, bound, values)
     if not_exists:
         neg = bgp_match(triples, not_exists, distinct=False,
                         allow_product=allow_product)
@@ -180,8 +217,70 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
                 "patterns — an unanchored negation filters nothing or "
                 "everything; write it as a separate existence query")
         acc = acc.join(neg.select(*shared), on=shared, how="left_anti")
+    if minus:
+        neg = bgp_match(triples, minus, distinct=False,
+                        allow_product=allow_product)
+        shared = [v for v in neg.columns if v in bound]
+        if shared:  # disjoint domains: SPARQL MINUS removes nothing
+            acc = acc.join(neg.select(*shared), on=shared, how="left_anti")
     out = acc.select(*(select or bound))
-    return out.distinct() if distinct else out
+    if distinct:
+        out = out.distinct()
+    if order_by:
+        cols = []
+        for spec in order_by:
+            desc = spec.startswith("-")
+            name = spec[1:] if desc else spec
+            if name not in out.columns:
+                raise ValueError(f"order_by var {name!r} is not in the "
+                                 f"projection {out.columns}")
+            cols.append(F.col(name).desc() if desc else F.col(name).asc())
+        out = out.orderBy(*cols)
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+def _apply_values(acc: DataFrame, bound: Sequence[str],
+                  values: Tuple[Sequence[str],
+                                Sequence[Sequence[Optional[str]]]]
+                  ) -> DataFrame:
+    """Inline VALUES data joined with compatibility semantics: rows are
+    grouped by their UNDEF mask; each group becomes one broadcast hash
+    join on its defined columns; group results union (join multiset)."""
+    vars_, rows = values
+    if not vars_ or not rows:
+        raise ValueError("values needs >= 1 variable and >= 1 row")
+    unbound = [v for v in vars_ if v not in bound]
+    if unbound:
+        raise ValueError(
+            f"values vars {unbound} are not bound by the required "
+            "patterns — VALUES-introduced fresh bindings are not "
+            "supported; add a pattern that binds them")
+    by_mask: Dict[Tuple[bool, ...], List[Tuple[str, ...]]] = {}
+    for r in rows:
+        if len(r) != len(vars_):
+            raise ValueError(f"values row {r!r} does not match vars {vars_}")
+        mask = tuple(t is not None for t in r)
+        by_mask.setdefault(mask, []).append(
+            tuple(t for t in r if t is not None))
+    spark = acc.sparkSession
+    parts: List[DataFrame] = []
+    for mask, mrows in by_mask.items():
+        defined = [v for v, keep in zip(vars_, mask) if keep]
+        if not defined:  # all-UNDEF row: compatible with every solution
+            for _ in mrows:
+                parts.append(acc)
+            continue
+        schema = ", ".join(f"{v} string" for v in defined)
+        vdf = spark.createDataFrame(mrows, schema)
+        parts.append(acc.join(F.broadcast(vdf), on=defined, how="inner"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def union_bgp(triples: DataFrame, blocks: Sequence[Sequence[Sequence[str]]],
@@ -219,6 +318,9 @@ def bgp_agg(triples: DataFrame, patterns: Sequence[Sequence[str]],
             aggs: Sequence[Tuple[str, str, str]],
             optional: Optional[Sequence[Sequence[str]]] = None,
             not_exists: Optional[Sequence[Sequence[str]]] = None,
+            minus: Optional[Sequence[Sequence[str]]] = None,
+            values: Optional[Tuple[Sequence[str],
+                                   Sequence[Sequence[Optional[str]]]]] = None,
             solution_distinct: bool = False) -> DataFrame:
     """SPARQL ``SELECT ?g (COUNT(?x) AS ?n) ... GROUP BY ?g`` over a BGP.
 
@@ -235,7 +337,8 @@ def bgp_agg(triples: DataFrame, patterns: Sequence[Sequence[str]],
     if not aggs:
         raise ValueError("bgp_agg needs at least one (fn, var, alias)")
     sol = bgp_match(triples, patterns, optional=optional,
-                    not_exists=not_exists, distinct=solution_distinct)
+                    not_exists=not_exists, minus=minus, values=values,
+                    distinct=solution_distinct)
     missing = [v for v in group_by if v not in sol.columns]
     if missing:
         raise ValueError(f"group_by vars {missing} not bound by the BGP")
@@ -316,6 +419,9 @@ def construct(triples: DataFrame, patterns: Sequence[Sequence[str]],
               template: Sequence[Sequence[str]],
               optional: Optional[Sequence[Sequence[str]]] = None,
               not_exists: Optional[Sequence[Sequence[str]]] = None,
+              minus: Optional[Sequence[Sequence[str]]] = None,
+              values: Optional[Tuple[Sequence[str],
+                                     Sequence[Sequence[Optional[str]]]]] = None,
               distinct: bool = True) -> DataFrame:
     """SPARQL ``CONSTRUCT { template } WHERE { BGP }``: build NEW triples
     from every solution of the WHERE block — the declarative rule surface
@@ -338,7 +444,8 @@ def construct(triples: DataFrame, patterns: Sequence[Sequence[str]],
     if not template:
         raise ValueError("construct needs at least one template pattern")
     sol = bgp_match(triples, patterns, optional=optional,
-                    not_exists=not_exists, distinct=False)
+                    not_exists=not_exists, minus=minus, values=values,
+                    distinct=False)
     bound = set(sol.columns)
 
     def term_col(term: str, idx: int) -> F.Column:
@@ -365,10 +472,15 @@ def construct(triples: DataFrame, patterns: Sequence[Sequence[str]],
 
 def ask(triples: DataFrame, patterns: Sequence[Sequence[str]],
         optional: Optional[Sequence[Sequence[str]]] = None,
-        not_exists: Optional[Sequence[Sequence[str]]] = None) -> bool:
+        not_exists: Optional[Sequence[Sequence[str]]] = None,
+        minus: Optional[Sequence[Sequence[str]]] = None,
+        values: Optional[Tuple[Sequence[str],
+                               Sequence[Sequence[Optional[str]]]]] = None
+        ) -> bool:
     """SPARQL ``ASK { BGP }``: True iff the pattern has >= 1 solution.
     Planned as the BGP with a LIMIT 1 — every join's output is cut at
     the first row, so the probe never materializes the binding set."""
     sol = bgp_match(triples, patterns, optional=optional,
-                    not_exists=not_exists, distinct=False)
+                    not_exists=not_exists, minus=minus, values=values,
+                    distinct=False)
     return sol.limit(1).count() > 0

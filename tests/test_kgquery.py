@@ -520,3 +520,136 @@ def test_kgq_cli_construct_and_ask(spark, tmp_path, capsys):
     rc = kgq.main([p, "?a alias_of numpy", "--ask", "--master", "local[2]"])
     assert rc == 0
     assert _json.loads(capsys.readouterr().out.strip()) == {"ask": True}
+
+
+# --------------------------------------------------------------------------- #
+# VALUES / MINUS / solution modifiers (r5n)
+# --------------------------------------------------------------------------- #
+
+
+def test_values_single_var(spark):
+    out = bgp_match(_df(spark), [("?x", "mentioned_in", "?d")],
+                    values=(["x"], [["numpy"], ["python"]]),
+                    select=["x", "d"])
+    got = sorted((r.x, r.d) for r in out.collect())
+    assert got == [("numpy", "doc://1"), ("numpy", "doc://2"),
+                   ("python", "doc://1"), ("python", "doc://3")]
+
+
+def test_values_undef_and_multiset(spark):
+    # UNDEF on t: the ("numpy", UNDEF) row constrains only x; a second
+    # fully-UNDEF row is compatible with EVERY solution, so with
+    # distinct=False each solution of the BGP reappears once for it
+    # (SPARQL join multiset semantics), and numpy appears twice.
+    out = bgp_match(_df(spark), [("?x", "instance_of", "?t")],
+                    values=(["x", "t"], [["numpy", None], [None, None]]),
+                    select=["x"], distinct=False)
+    got = sorted(r.x for r in out.collect())
+    assert got == ["numpy", "numpy", "pandas", "python"]
+    # DISTINCT collapses the multiset
+    out2 = bgp_match(_df(spark), [("?x", "instance_of", "?t")],
+                     values=(["x", "t"], [["numpy", None], [None, None]]),
+                     select=["x"])
+    assert sorted(r.x for r in out2.collect()) == [
+        "numpy", "pandas", "python"]
+
+
+def test_values_defined_pair_row(spark):
+    out = bgp_match(_df(spark), [("?x", "instance_of", "?t")],
+                    values=(["x", "t"], [["numpy", "Library"],
+                                         ["python", "Library"]]))
+    # python is a Language: its values row is incompatible, so only
+    # the (numpy, Library) binding survives
+    assert [(r.x, r.t) for r in out.collect()] == [("numpy", "Library")]
+
+
+def test_values_unbound_var_rejected(spark):
+    with pytest.raises(ValueError, match="not bound by the required"):
+        bgp_match(_df(spark), [("?x", "instance_of", "Library")],
+                  values=(["z"], [["numpy"]]))
+
+
+def test_values_plan_is_broadcast_join(spark):
+    out = bgp_match(_df(spark), [("?x", "mentioned_in", "?d")],
+                    values=(["x"], [["numpy"]]))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minus_shared_var_removes(spark):
+    # same answer as the equivalent not_exists when domains overlap
+    out = bgp_match(_df(spark), [("?x", "mentioned_in", "doc://1")],
+                    minus=[("?x", "instance_of", "Library")])
+    assert sorted(r.x for r in out.collect()) == ["python"]
+
+
+def test_minus_disjoint_block_is_noop(spark):
+    # SPARQL 1.1 §8.3: MINUS { ?a ?b ?c } with no shared variable
+    # removes nothing — while the engine's NOT EXISTS rejects the same
+    # block as unanchored (documented divergence from the spec's
+    # remove-everything reading, same answer class as SPARQL's own
+    # MINUS/NOT-EXISTS split on this query)
+    out = bgp_match(_df(spark), [("?x", "instance_of", "Library")],
+                    minus=[("?a", "alias_of", "?b")])
+    assert sorted(r.x for r in out.collect()) == ["numpy", "pandas"]
+    with pytest.raises(ValueError, match="unanchored negation"):
+        bgp_match(_df(spark), [("?x", "instance_of", "Library")],
+                  not_exists=[("?a", "alias_of", "?b")])
+
+
+def test_order_by_limit_offset(spark):
+    # mention counts ordered: doc://1 has 3 mentions; full solution set
+    # of (?x mentioned_in ?d) ordered by (d, x)
+    all_rows = bgp_match(_df(spark), [("?x", "mentioned_in", "?d")],
+                         order_by=["d", "x"]).collect()
+    got = [(r.x, r.d) for r in all_rows]
+    assert got == sorted(got, key=lambda t: (t[1], t[0]))
+    top2 = bgp_match(_df(spark), [("?x", "mentioned_in", "?d")],
+                     order_by=["d", "x"], limit=2).collect()
+    assert [(r.x, r.d) for r in top2] == got[:2]
+    mid = bgp_match(_df(spark), [("?x", "mentioned_in", "?d")],
+                    order_by=["d", "x"], offset=1, limit=2).collect()
+    assert [(r.x, r.d) for r in mid] == got[1:3]
+    desc = bgp_match(_df(spark), [("?x", "mentioned_in", "?d")],
+                     order_by=["-d", "x"], limit=1).collect()
+    max_d = max(g[1] for g in got)
+    want = min(x for x, d in got if d == max_d)
+    assert [(desc[0].x, desc[0].d)] == [(want, max_d)]
+
+
+def test_order_by_limit_plans_topk(spark):
+    out = bgp_match(_df(spark), [("?x", "mentioned_in", "?d")],
+                    order_by=["d", "x"], limit=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_order_by_unknown_var_rejected(spark):
+    with pytest.raises(ValueError, match="order_by var"):
+        bgp_match(_df(spark), [("?x", "instance_of", "Library")],
+                  order_by=["nope"])
+
+
+def test_kgq_cli_values_minus_order(spark, tmp_path, capsys):
+    import json
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.kgq import main
+
+    p = str(tmp_path / "tri_vmo")
+    _df(spark).write.parquet(p)
+    assert main([p, "?x mentioned_in ?d", "--select", "x,d",
+                 "--values", '{"vars": ["x"], "rows": [["numpy"]]}',
+                 "--order-by=-d,x", "--limit", "1",
+                 "--master", "local[2]"]) == 0
+    out = [json.loads(l) for l in
+           capsys.readouterr().out.strip().splitlines()]
+    assert out == [{"x": "numpy", "d": "doc://2"}]
+    assert main([p, "?x mentioned_in doc://1", "--select", "x",
+                 "--minus", "?x instance_of Library",
+                 "--master", "local[2]"]) == 0
+    out2 = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert sorted(r["x"] for r in out2) == ["python"]

@@ -9,7 +9,9 @@ by whitespace, ``?name`` terms are variables — compiled straight to
     python tools/kgq.py /path/to/triples \\
         "?x instance_of Library . ?x mentioned_in ?d" [--select x,d]
         [--optional "?a alias_of ?x"] [--not-exists "?x flagged_as spam"]
-        [--limit 100] [--master local[8]]
+        [--minus "?x instance_of Library"]
+        [--values '{"vars": ["x"], "rows": [["numpy"], ["pandas"]]}']
+        [--order-by=-d,x] [--offset 10] [--limit 100] [--master local[8]]
         [--group-by t --agg count:*:n --agg count_distinct:x:entities]
         [--construct "?x derived_pred ?d"] [--ask]
 
@@ -54,6 +56,18 @@ def main(argv=None) -> int:
                     help="OPTIONAL block, same mini-syntax")
     ap.add_argument("--not-exists", dest="not_exists", default=None,
                     help="FILTER NOT EXISTS block, same mini-syntax")
+    ap.add_argument("--minus", default=None,
+                    help="MINUS block, same mini-syntax (domain-"
+                         "intersection semantics: a block sharing no "
+                         "variable removes nothing)")
+    ap.add_argument("--values", default=None,
+                    help='VALUES as JSON: {"vars": ["x"], "rows": '
+                         '[["numpy"], [null]]} (null = UNDEF)')
+    ap.add_argument("--order-by", dest="order_by", default=None,
+                    help="comma-separated vars, -var for DESC "
+                         "(solution modifier; top-k plan with --limit)")
+    ap.add_argument("--offset", type=int, default=None,
+                    help="skip the first N ordered solutions")
     ap.add_argument("--limit", type=int, default=1000)
     ap.add_argument("--group-by", dest="group_by", default=None,
                     help="comma-separated grouping vars; switches to the "
@@ -89,15 +103,21 @@ def main(argv=None) -> int:
     optional = parse_patterns(args.optional) if args.optional else None
     not_exists = (parse_patterns(args.not_exists)
                   if args.not_exists else None)
+    minus = parse_patterns(args.minus) if args.minus else None
+    values = None
+    if args.values:
+        v = json.loads(args.values)
+        values = (v["vars"], v["rows"])
     if args.ask:
         hit = ask(tri, parse_patterns(args.where), optional=optional,
-                  not_exists=not_exists)
+                  not_exists=not_exists, minus=minus, values=values)
         print(json.dumps({"ask": bool(hit)}))
         return 0
     if args.construct:
         out = construct(tri, parse_patterns(args.where),
                         template=parse_patterns(args.construct),
-                        optional=optional, not_exists=not_exists)
+                        optional=optional, not_exists=not_exists,
+                        minus=minus, values=values)
     elif args.group_by is not None:
         aggs = []
         for spec in (args.agg or ["count:*:n"]):
@@ -107,12 +127,16 @@ def main(argv=None) -> int:
             aggs.append(tuple(parts))
         out = bgp_agg(tri, parse_patterns(args.where),
                       group_by=[g for g in args.group_by.split(",") if g],
-                      aggs=aggs, optional=optional, not_exists=not_exists)
+                      aggs=aggs, optional=optional, not_exists=not_exists,
+                      minus=minus, values=values)
     else:
         out = bgp_match(
             tri, parse_patterns(args.where),
             select=args.select.split(",") if args.select else None,
-            optional=optional, not_exists=not_exists)
+            optional=optional, not_exists=not_exists,
+            minus=minus, values=values,
+            order_by=(args.order_by.split(",") if args.order_by else None),
+            offset=args.offset)
     rows = out.limit(args.limit).collect()
     for r in rows:
         print(json.dumps(r.asDict(), sort_keys=True))
