@@ -1143,6 +1143,32 @@ def q_merge_candidates(spark, sf):
                             min_common=2)
 
 
+def q_hyperball(spark, sf):
+    # HyperBall harmonic centrality (operators/hyperball.py): HLL-counter
+    # propagation — every node's ball absorbs its neighbors' balls per
+    # round, so |B_r(v)| estimates r-hop reachability in O(diameter)
+    # rounds with O(nodes·m) state (Boldi & Vigna 2013, the web-graph
+    # centrality algorithm). Substrate: a deterministic md5-derived
+    # 3-out-regular digraph over the documents (the co-mention graph is
+    # complete, diameter 1 — no distance structure to measure), giving
+    # log-depth balls; truncated at radius 8 (harmonic mass beyond is
+    # O(1/r) of a tail the bench row doesn't need). Gated by the exact
+    # register-parity + BFS-oracle suite in tests/test_hyperball.py.
+    from stackoverflowner_spark.operators.hyperball import (
+        harmonic_centrality_est, hyperball)
+    docs = _t(spark, sf, "documents")
+    node = F.col("doc_id").cast("string")
+    k = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k")
+    n_docs = docs.count()
+    dst = (F.conv(F.substring(
+        F.md5(F.concat(F.col("src"), F.lit(":"),
+                       F.col("k").cast("string"))),
+        1, 12), 16, 10).cast("long") % n_docs).cast("string")
+    edges = docs.select(node.alias("src"), k).select("src", dst.alias("dst"))
+    return harmonic_centrality_est(
+        hyperball(edges, max_radius=8, b=5, direction="in"))
+
+
 def q_crawl_schedule(spark, sf):
     # Politeness crawl scheduling (operators/crawlsched.py): every
     # (host, url) gets a deterministic fetch slot in the host's

@@ -275,7 +275,10 @@ def main() -> None:
                 # r5l: DeepWalk corpus + neighborhood-Jaccard merge
                 # candidates + the SGNS epoch-gradient aggregate,
                 # appended for the same reason
-                "random_walks", "merge_candidates", "sgns_grad"]
+                "random_walks", "merge_candidates", "sgns_grad",
+                # r5n: HyperBall harmonic centrality (HLL-counter
+                # propagation) over an md5-derived log-depth digraph
+                "hyperball"]
 
     host = {"triad_gbs_start": _triad_gbs()}
     spark = _fresh_spark(CPUS)

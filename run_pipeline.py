@@ -58,8 +58,9 @@ def main(argv=None) -> int:
     ap.add_argument("--analytics", metavar="DIR",
                     help="after the triple write, emit KG graph analytics "
                          "under DIR: entity pagerank, per-node triangle "
-                         "counts, the 2-core, and LPA communities "
-                         "(operators/graphalgo.py) "
+                         "counts, the 2-core, LPA communities, and "
+                         "HyperBall harmonic centrality "
+                         "(operators/graphalgo.py, hyperball.py) "
                          "over the alias_of/instance_of edge structure")
     ap.add_argument("--embeddings", metavar="DIR",
                     help="after the triple write, train deterministic "
@@ -180,6 +181,8 @@ def main(argv=None) -> int:
 
         from stackoverflowner_spark.operators.graphalgo import (
             kcore, lpa_communities, triangle_count)
+        from stackoverflowner_spark.operators.hyperball import (
+            harmonic_centrality_est, hyperball)
         from stackoverflowner_spark.operators.pagerank import entity_pagerank
         triples_df = spark.read.parquet(out_path)
         # entity-to-entity structure only (alias_of/instance_of), the
@@ -197,6 +200,9 @@ def main(argv=None) -> int:
             args.analytics + "/kcore2")
         lpa_communities(edges).write.mode("overwrite").parquet(
             args.analytics + "/communities")
+        harmonic_centrality_est(
+            hyperball(edges, max_radius=8, b=6, direction="in")) \
+            .write.mode("overwrite").parquet(args.analytics + "/harmonic")
         stats = {
             "edges": edges.count(),
             "pagerank_rows": spark.read.parquet(
@@ -208,6 +214,8 @@ def main(argv=None) -> int:
             "communities": spark.read.parquet(
                 args.analytics + "/communities")
                 .select("community").distinct().count(),
+            "harmonic_rows": spark.read.parquet(
+                args.analytics + "/harmonic").count(),
         }
         print(json.dumps({"analytics": stats, "dir": args.analytics}))
     if args.embeddings and args.embed_model == "sgns":

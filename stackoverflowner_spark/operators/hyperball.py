@@ -1,0 +1,206 @@
+"""HyperBall: HLL-counter propagation for ball sizes, the neighborhood
+function, and approximate harmonic/closeness centrality at graph scale.
+
+The web-scale centrality algorithm (Boldi & Vigna, "In-Core Computation
+of Geometric Centralities with HyperBall", 2013 — the method behind the
+published Facebook four-degrees-of-separation measurement): give every
+node an HLL counter seeded with itself, then iterate
+
+    B_{t+1}(v)  =  B_t(v)  UNION  union over edges (v, w) of B_t(w)
+
+so after t rounds ``|B_t(v)|`` estimates the number of nodes within
+distance t of v — an all-sources BFS in O(diameter) rounds whose state
+is O(nodes · m) counters instead of O(nodes^2) distances. From the
+per-radius ball sizes follow, with no further graph work:
+
+* the **neighborhood function** N(t) = sum_v |B_t(v)| (how many pairs
+  are within distance t — the distance distribution's CDF);
+* **harmonic centrality** H(v) = sum_{t>=1} (|B_t(v)| - |B_{t-1}(v)|)/t,
+  the principled centrality for disconnected/web graphs (unreachable
+  nodes contribute 0 instead of breaking the mean, as closeness does).
+
+DataFrame realization: counters are the REGISTER TABLES of
+``operators/sketch.py`` — (node, reg, rho) rows, md5-derived and
+integer-exact — so counter union is exactly ``groupBy(node, reg) ->
+max(rho)`` and one HyperBall round is one join (registers x edges) plus
+one bounded aggregation. Registers only ever grow, so the fixed point
+(no register changed) is detected by the exact pair (row count,
+sum(rho)) — one cheap agg per round, no anti-join diffing.
+
+Because HLL merge is exact (sketch(A ∪ B) == merge(sketch(A),
+sketch(B)) register-for-register), the propagated counter of v at
+radius t equals BITWISE the sketch you would build directly from the
+exact BFS ball of v — which is this module's correctness gate
+(tests/test_hyperball.py): no tolerance anywhere in the propagation,
+the only approximation is HLL's own estimator at read-out time.
+
+Estimator: the raw integer-exact z_num machinery of ``hll_estimate``,
+plus Flajolet et al.'s linear-counting small-range correction
+(m·ln(m/V) when the raw estimate <= 2.5m and V empty registers remain)
+— balls START small (|B_0| = 1), so unlike the corpus-cardinality
+sketches this surface lives mostly in the small-range regime. ln()
+keeps a per-platform-deterministic double; there is no cross-engine
+oracle here (the gate is exact register parity + accuracy vs exact
+BFS), so the cross-engine-bitwise discipline of sketch.py is not needed
+for the read-out.
+
+Scale shape per round: the propagation join shuffles O(edges · m_occ)
+register rows (m_occ <= m = 2^b, the counter width), and the merge's
+map-side combine bounds the post-shuffle state at O(nodes · m). The
+b knob trades accuracy for that constant factor (b=8 -> 6.5% rse at
+256 regs/node; b=6 -> 13% at 64 — the published HyperBall runs use
+4-7 bits/register at billions of nodes). ``localCheckpoint`` per round
+cuts the iterative lineage (the components/pagerank discipline).
+
+Reference parity note: the reference has no graph analytics; this is
+engine-beyond-reference surface (SURVEY §2.9 class), sized for ranking
+entities/hosts of the materialized KG by reachability centrality.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sketch import RHO_MAX, estimate_constant, hll_sketch
+
+
+def _ball_estimate(regs: DataFrame, b: int) -> DataFrame:
+    """Per-node ball-size estimate from a register table:
+    -> (node, est double). Raw HLL harmonic estimate with the
+    linear-counting small-range correction (the regime balls start in).
+    """
+    m = 1 << b
+    c = estimate_constant(b)
+    agg = regs.groupBy("node").agg(
+        F.count("*").cast("long").alias("present"),
+        F.sum(F.expr(f"shiftleft(1L, {RHO_MAX} - rho)")).alias("z_reg"))
+    zeros = (F.lit(m).cast("long") - F.col("present"))
+    z_num = F.col("z_reg") + zeros * F.lit(1 << RHO_MAX).cast("long")
+    raw = F.lit(c) / z_num.cast("double")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((zeros > 0) & (raw <= F.lit(2.5 * m)), lc).otherwise(raw)
+    return agg.select("node", est.alias("est"))
+
+
+def hyperball(edges: DataFrame, max_radius: int = 16, b: int = 8,
+              direction: str = "out") -> DataFrame:
+    """-> (node, radius int, est double): estimated ball size |B_r(node)|
+    for every node and every radius 0..R, where R is the convergence
+    radius (all balls complete — the graph's effective diameter) or
+    ``max_radius``, whichever is smaller.
+
+    ``direction="out"``: B_r(v) = nodes reachable FROM v within r hops
+    following src->dst edges. ``direction="in"``: nodes that can REACH v
+    — the side classic centrality rankings want (incoming authority).
+
+    Estimates are monotone nondecreasing in r per node (registers only
+    grow and the estimator is monotone in the registers), so downstream
+    deltas are nonnegative by construction.
+    """
+    est_tables: List[DataFrame] = [
+        _ball_estimate(regs, b).select("node", F.lit(r).alias("radius"),
+                                       "est")
+        for r, regs in iterate_registers(edges, max_radius, b, direction)]
+    out = est_tables[0]
+    for t in est_tables[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def iterate_registers(edges: DataFrame, max_radius: int, b: int,
+                      direction: str = "out"):
+    """Yield (radius, register-table) per HyperBall round, starting at
+    radius 0 (each node's own sketch) and stopping at the exact fixed
+    point (no register changed — detected by the (row count, sum(rho))
+    pair, which registers-only-grow makes a sound change signature) or
+    ``max_radius``. The per-radius register tables are BITWISE equal to
+    ``hll_sketch`` of each node's exact BFS ball (HLL merge is exact) —
+    the property tests/test_hyperball.py gates."""
+    if direction not in ("out", "in"):
+        raise ValueError(f"direction must be 'out' or 'in', got {direction!r}")
+    e = edges.select(F.col("src").cast("string").alias("src"),
+                     F.col("dst").cast("string").alias("dst"))
+    if direction == "in":
+        e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    e = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    regs = hll_sketch(nodes, ["node"], "node", b).localCheckpoint()
+    yield 0, regs
+    sig = regs.agg(F.count("*"), F.sum("rho")).collect()[0]
+    state: Tuple[int, int] = (sig[0], sig[1])
+    for r in range(1, max_radius + 1):
+        prop = (regs.join(e, regs.node == e.dst)
+                .select(F.col("src").alias("node"), "reg", "rho"))
+        regs = (regs.unionByName(prop)
+                .groupBy("node", "reg").agg(F.max("rho").alias("rho"))
+                .localCheckpoint())
+        sig = regs.agg(F.count("*"), F.sum("rho")).collect()[0]
+        new_state = (sig[0], sig[1])
+        if new_state == state:  # exact fixed point: no register changed
+            break
+        state = new_state
+        yield r, regs
+
+
+def neighborhood_function(balls: DataFrame) -> DataFrame:
+    """-> (radius, nf double): N(r) = sum over nodes of |B_r(node)| —
+    the estimated count of ordered pairs within distance r (including
+    the r=0 self-pairs). One bounded agg over the hyperball output."""
+    return (balls.groupBy("radius").agg(F.sum("est").alias("nf"))
+            .orderBy("radius"))
+
+
+def harmonic_centrality_est(balls: DataFrame) -> DataFrame:
+    """-> (node, harmonic double): H(v) = sum_{r>=1} (|B_r|-|B_{r-1}|)/r
+    from the hyperball per-radius estimates — nodes first reached at
+    distance r contribute 1/r. A converged ball stops emitting rows, so
+    the lag window treats its last radius as final (later deltas are 0).
+
+    Pair with ``hyperball(edges, direction="in")`` for the classic
+    "how centrally reachable is v" ranking."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("node").orderBy("radius")
+    delta = F.col("est") - F.lag("est", 1).over(w)
+    per = (balls.withColumn("delta", delta)
+           .filter(F.col("radius") >= 1)
+           # estimator monotonicity guarantees delta >= 0; clamp guards
+           # float dust at the linear-counting -> raw handover
+           .withColumn("delta", F.greatest(F.col("delta"), F.lit(0.0))))
+    return (per.groupBy("node")
+            .agg(F.sum(F.col("delta") / F.col("radius").cast("double"))
+                 .alias("harmonic")))
+
+
+def exact_harmonic(edges: List[Tuple[str, str]],
+                   direction: str = "out") -> dict:
+    """Exact harmonic centrality by BFS over an in-memory edge list —
+    the test oracle (driver-side, test-scale only)."""
+    adj: dict = {}
+    nodes = set()
+    for s, d in edges:
+        if s == d:
+            continue
+        a, z = (s, d) if direction == "out" else (d, s)
+        adj.setdefault(a, set()).add(z)
+        nodes.add(s)
+        nodes.add(d)
+    out = {}
+    for v in sorted(nodes):
+        dist = {v: 0}
+        frontier = [v]
+        r = 0
+        while frontier:
+            r += 1
+            nxt = []
+            for u in frontier:
+                for w in adj.get(u, ()):
+                    if w not in dist:
+                        dist[w] = r
+                        nxt.append(w)
+            frontier = nxt
+        out[v] = sum(1.0 / d for u, d in dist.items() if d > 0)
+    return out

@@ -310,3 +310,24 @@ def test_lpa_bipartite_oscillation_bounded(spark):
     for it in (1, 2, 3, 4):
         assert _lpa_spark(spark, edges, max_iter=it) == \
             _brute_lpa(edges, max_iter=it)
+
+
+def test_cli_analytics_emits_harmonic(spark, tmp_path, capsys):
+    """--analytics also writes the HyperBall harmonic-centrality table
+    (one row per entity-graph node, nonnegative scores)."""
+    import json
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from run_pipeline import main
+
+    out = str(tmp_path / "out_h")
+    ana = str(tmp_path / "ana_h")
+    assert main(["--synth", "200", "--mode", "fused", "--tagger",
+                 "gazetteer", "--out", out, "--analytics", ana]) == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()
+             if x.startswith("{")]
+    stats = next(l["analytics"] for l in lines if "analytics" in l)
+    h = spark.read.parquet(ana + "/harmonic")
+    assert h.count() == stats["harmonic_rows"] > 0
+    assert h.filter("harmonic < 0").count() == 0
