@@ -113,6 +113,72 @@ def _pattern_df(triples: DataFrame, pattern: Sequence[str],
     return df.select(*keep), {v: v for v in seen}
 
 
+def triple_stats(triples: DataFrame) -> Dict[str, Tuple[int, int, int]]:
+    """One schema-scale aggregate over the triple table:
+    ``pred -> (n_triples, ~distinct subj, ~distinct obj)`` — the
+    statistics ``reorder_patterns`` plans with. Predicates are few (the
+    KG schema), so the collected dict is tiny regardless of table size;
+    compute once per table and reuse across queries."""
+    rows = (triples.groupBy("pred").agg(
+        F.count("*").alias("n"),
+        F.approx_count_distinct("subj").alias("ns"),
+        F.approx_count_distinct("obj").alias("no")).collect())
+    return {r["pred"]: (r["n"], r["ns"], r["no"]) for r in rows}
+
+
+def _pattern_vars(pattern: Sequence[str]) -> set:
+    return {t[1:] for t in pattern if _is_var(t)}
+
+
+def _estimate_rows(pattern: Sequence[str],
+                   stats: Dict[str, Tuple[int, int, int]]) -> float:
+    """Textbook cardinality estimate of one triple pattern: the
+    predicate's row count, divided by its distinct-subject (resp.
+    -object) count per bound literal — uniformity assumption, the
+    System-R/SPARQL-engine baseline."""
+    s, p, o = pattern
+    if _is_var(p):
+        n = sum(v[0] for v in stats.values()) or 1
+        ns = sum(v[1] for v in stats.values()) or 1
+        no = sum(v[2] for v in stats.values()) or 1
+    else:
+        key = p[:-1] if (len(p) > 1 and p[-1] in "+*") else p
+        n, ns, no = stats.get(key, (0, 1, 1))
+        if key != p:  # unbounded path: the closure is >= the edge set;
+            n *= 4    # a fixed expansion factor keeps it ranked honestly
+        n, ns, no = n or 0.5, ns or 1, no or 1
+    est = float(n)
+    if not _is_var(s):
+        est /= ns
+    if not _is_var(o):
+        est /= no
+    return max(est, 1e-3)
+
+
+def reorder_patterns(patterns: Sequence[Sequence[str]],
+                     stats: Dict[str, Tuple[int, int, int]]
+                     ) -> List[Sequence[str]]:
+    """Greedy selectivity-first join order: start from the pattern with
+    the smallest estimated cardinality, then repeatedly append the
+    cheapest remaining pattern that shares a variable with the prefix
+    (keeping the plan product-free whenever a connected order exists;
+    genuinely disconnected groups fall back to cheapest-first and hit
+    ``bgp_match``'s product guard exactly as the written order would).
+    Pure driver-side planning over the tiny stats dict — no jobs."""
+    rest = list(patterns)
+    ests = {id(p): _estimate_rows(p, stats) for p in rest}
+    out: List[Sequence[str]] = []
+    bound: set = set()
+    while rest:
+        connected = [p for p in rest if _pattern_vars(p) & bound]
+        pool = connected or rest
+        best = min(pool, key=lambda p: ests[id(p)])
+        out.append(best)
+        rest.remove(best)
+        bound |= _pattern_vars(best)
+    return out
+
+
 def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
               select: Optional[Sequence[str]] = None,
               optional: Optional[Sequence[Sequence[str]]] = None,
@@ -124,7 +190,10 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
               allow_product: bool = False,
               order_by: Optional[Sequence[str]] = None,
               limit: Optional[int] = None,
-              offset: Optional[int] = None) -> DataFrame:
+              offset: Optional[int] = None,
+              reorder: bool = False,
+              stats: Optional[Dict[str, Tuple[int, int, int]]] = None
+              ) -> DataFrame:
     """Match a conjunctive basic graph pattern against a triple table.
 
     ``triples`` must carry (subj, pred, obj) string columns (extra
@@ -174,11 +243,23 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
     per-partition top-k then a driver-side merge of k-row heaps, never
     a global sort of the binding set.
 
+    ``reorder=True`` replaces the caller's pattern order with the
+    greedy selectivity-first order of ``reorder_patterns`` (per-pattern
+    cardinality estimated from ``triple_stats`` — pass a precomputed
+    ``stats`` dict to amortize it across queries; otherwise one
+    schema-scale agg runs here). Inner joins commute over the solution
+    multiset, so the bindings are identical; without ``select`` the
+    output COLUMN order follows the chosen join order.
+
     >>> bgp_match(t, [("?x", "instance_of", "?t"),
     ...               ("?x", "mentioned_in", "?d")], select=["x", "t"])
     """
     if not patterns:
         raise ValueError("empty basic graph pattern")
+    if reorder:
+        patterns = reorder_patterns(patterns,
+                                    stats if stats is not None
+                                    else triple_stats(triples))
     acc: Optional[DataFrame] = None
     bound: List[str] = []
     for i, pat in enumerate(patterns):

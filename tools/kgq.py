@@ -68,6 +68,10 @@ def main(argv=None) -> int:
                          "(solution modifier; top-k plan with --limit)")
     ap.add_argument("--offset", type=int, default=None,
                     help="skip the first N ordered solutions")
+    ap.add_argument("--reorder", action="store_true",
+                    help="cost-based BGP join order: selectivity-first "
+                         "greedy over per-predicate stats instead of "
+                         "the written pattern order")
     ap.add_argument("--limit", type=int, default=1000)
     ap.add_argument("--group-by", dest="group_by", default=None,
                     help="comma-separated grouping vars; switches to the "
@@ -136,7 +140,7 @@ def main(argv=None) -> int:
             optional=optional, not_exists=not_exists,
             minus=minus, values=values,
             order_by=(args.order_by.split(",") if args.order_by else None),
-            offset=args.offset)
+            offset=args.offset, reorder=args.reorder)
     rows = out.limit(args.limit).collect()
     for r in rows:
         print(json.dumps(r.asDict(), sort_keys=True))
