@@ -60,10 +60,43 @@ def _pattern_df(triples: DataFrame, pattern: Sequence[str],
     with the same literal/var rules. Note the closure runs its semi-naive
     iteration EAGERLY at compile time (schema-scale jobs — the loop scans
     only that predicate's edges).
+
+    A literal predicate starting with ``^`` is a SPARQL inverse path:
+    ``(s, ^p, o)`` binds exactly like ``(o, p, s)`` (term swap — zero
+    plan cost), and composes with closure (``^p+`` = transpose of the
+    closure). A literal predicate containing ``|`` is a SPARQL
+    alternative path ``p1|p2|...``: the scan's pred filter becomes an
+    ``IN`` list, still pushed to the scan. A leading ``^`` on an
+    alternation inverts the WHOLE alternation — ``^p1|p2`` here means
+    SPARQL's ``^(p1|p2)``, NOT the spec's ``(^p1)|p2`` precedence
+    (mixed-direction alternation is a union of two scans, not one
+    filter; write ``union_bgp`` blocks for that — documented
+    divergence). Alternation does not combine with closure in one term
+    (``(p1|p2)+`` — union two closure patterns instead; raised
+    explicitly). Predicates literally named with a
+    leading ``^``, a ``|``, or a trailing ``+``/``*`` are outside this
+    mini-syntax — same documented caveat as the CLI's space rule.
     """
     if len(pattern) != 3:
         raise ValueError(f"pattern {idx}: need (subj, pred, obj), got {pattern!r}")
     s_term, p_term, o_term = pattern
+    if (not _is_var(p_term) and len(p_term) > 1 and p_term.startswith("^")):
+        # inverse path: swap the subject/object terms, strip the ^ —
+        # the closure and alternation branches below then see plain p
+        s_term, o_term = o_term, s_term
+        p_term = p_term[1:]
+    alts: Optional[List[str]] = None
+    if not _is_var(p_term) and "|" in p_term:
+        if p_term[-1] in "+*":
+            raise ValueError(
+                f"pattern {idx}: alternation combined with closure "
+                f"({p_term!r}) is not supported — write one closure "
+                "pattern per predicate and UNION the blocks")
+        parts = p_term.split("|")
+        alts = [p for p in parts if p]
+        if len(alts) != len(parts) or len(alts) < 2:
+            raise ValueError(
+                f"pattern {idx}: malformed alternation {p_term!r}")
     if (not _is_var(p_term) and len(p_term) > 1 and p_term[-1] in "+*"):
         rel = property_path_plus(triples, p_term[:-1],
                                  start_var="__path_s", end_var="__path_o",
@@ -92,7 +125,7 @@ def _pattern_df(triples: DataFrame, pattern: Sequence[str],
     df = triples
     seen: Dict[str, str] = {}
     keep: List[str] = []
-    for col, term in zip(_TERM_COLS, pattern):
+    for col, term in zip(_TERM_COLS, (s_term, p_term, o_term)):
         if _is_var(term):
             var = term[1:]
             if not var:
@@ -102,6 +135,9 @@ def _pattern_df(triples: DataFrame, pattern: Sequence[str],
             else:
                 seen[var] = col
                 keep.append(F.col(col).alias(var))
+        elif col == "pred" and alts is not None:
+            # alternative path: IN-list filter, still pushed to the scan
+            df = df.filter(F.col(col).isin(alts))
         else:
             df = df.filter(F.col(col) == F.lit(term))
     if not keep:
@@ -186,6 +222,8 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
               minus: Optional[Sequence[Sequence[str]]] = None,
               values: Optional[Tuple[Sequence[str],
                                      Sequence[Sequence[Optional[str]]]]] = None,
+              bind: Optional[Sequence[Tuple[str, str]]] = None,
+              filters: Optional[Sequence[str]] = None,
               distinct: bool = True,
               allow_product: bool = False,
               order_by: Optional[Sequence[str]] = None,
@@ -235,6 +273,25 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
     by DISTINCT unless ``distinct=False``). Compiled per UNDEF-mask
     group into broadcast hash joins on the defined columns — inline data
     is literal-sized, so no shuffle and never a nested loop.
+
+    ``bind`` is SPARQL ``BIND(expr AS ?var)``: ``[(var, sql_expr), ...]``
+    — each entry adds a computed column named ``var`` from a Spark SQL
+    expression over the variables in scope (pattern vars, OPTIONAL vars,
+    and earlier binds — entries apply in order). Rebinding a variable
+    already in scope is rejected, SPARQL's own rule. The expression is a
+    pure projection: no shuffle, fused into whatever stage carries the
+    solution stream. Bound vars are selectable and order_by-able but are
+    not join keys for negation blocks (those key on pattern variables).
+
+    ``filters`` is SPARQL ``FILTER(expr)``: a list of Spark SQL boolean
+    expressions over the in-scope variables (incl. binds), each applied
+    as a relational filter on the solution stream. SPARQL's
+    error-yields-false rule maps to SQL NULL semantics: a filter that
+    evaluates NULL (e.g. comparing an OPTIONAL var that is unbound)
+    eliminates the row — matching the spec for the comparison/regex
+    forms this string domain supports. Filters over single-pattern vars
+    are pushed by Catalyst through the joins to the scan like any
+    relational predicate.
 
     ``order_by`` / ``limit`` / ``offset`` are the SPARQL solution
     modifiers, applied in spec order after projection+DISTINCT:
@@ -288,6 +345,15 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
         bound += [v for v in vars_i if v not in bound]
     if values is not None:
         acc = _apply_values(acc, bound, values)
+    for i, (var, expr) in enumerate(bind or []):
+        if var in bound:
+            raise ValueError(
+                f"bind {i}: BIND would rebind ?{var}, already in scope "
+                f"({sorted(bound)}) — SPARQL forbids reassignment")
+        acc = acc.withColumn(var, F.expr(expr))
+        bound.append(var)
+    for expr in (filters or []):
+        acc = acc.filter(F.expr(expr))
     if not_exists:
         neg = bgp_match(triples, not_exists, distinct=False,
                         allow_product=allow_product)
@@ -402,6 +468,8 @@ def bgp_agg(triples: DataFrame, patterns: Sequence[Sequence[str]],
             minus: Optional[Sequence[Sequence[str]]] = None,
             values: Optional[Tuple[Sequence[str],
                                    Sequence[Sequence[Optional[str]]]]] = None,
+            bind: Optional[Sequence[Tuple[str, str]]] = None,
+            filters: Optional[Sequence[str]] = None,
             solution_distinct: bool = False) -> DataFrame:
     """SPARQL ``SELECT ?g (COUNT(?x) AS ?n) ... GROUP BY ?g`` over a BGP.
 
@@ -419,6 +487,7 @@ def bgp_agg(triples: DataFrame, patterns: Sequence[Sequence[str]],
         raise ValueError("bgp_agg needs at least one (fn, var, alias)")
     sol = bgp_match(triples, patterns, optional=optional,
                     not_exists=not_exists, minus=minus, values=values,
+                    bind=bind, filters=filters,
                     distinct=solution_distinct)
     missing = [v for v in group_by if v not in sol.columns]
     if missing:
@@ -503,6 +572,8 @@ def construct(triples: DataFrame, patterns: Sequence[Sequence[str]],
               minus: Optional[Sequence[Sequence[str]]] = None,
               values: Optional[Tuple[Sequence[str],
                                      Sequence[Sequence[Optional[str]]]]] = None,
+              bind: Optional[Sequence[Tuple[str, str]]] = None,
+              filters: Optional[Sequence[str]] = None,
               distinct: bool = True) -> DataFrame:
     """SPARQL ``CONSTRUCT { template } WHERE { BGP }``: build NEW triples
     from every solution of the WHERE block — the declarative rule surface
@@ -526,7 +597,7 @@ def construct(triples: DataFrame, patterns: Sequence[Sequence[str]],
         raise ValueError("construct needs at least one template pattern")
     sol = bgp_match(triples, patterns, optional=optional,
                     not_exists=not_exists, minus=minus, values=values,
-                    distinct=False)
+                    bind=bind, filters=filters, distinct=False)
     bound = set(sol.columns)
 
     def term_col(term: str, idx: int) -> F.Column:
@@ -556,12 +627,48 @@ def ask(triples: DataFrame, patterns: Sequence[Sequence[str]],
         not_exists: Optional[Sequence[Sequence[str]]] = None,
         minus: Optional[Sequence[Sequence[str]]] = None,
         values: Optional[Tuple[Sequence[str],
-                               Sequence[Sequence[Optional[str]]]]] = None
-        ) -> bool:
+                               Sequence[Sequence[Optional[str]]]]] = None,
+        bind: Optional[Sequence[Tuple[str, str]]] = None,
+        filters: Optional[Sequence[str]] = None) -> bool:
     """SPARQL ``ASK { BGP }``: True iff the pattern has >= 1 solution.
     Planned as the BGP with a LIMIT 1 — every join's output is cut at
     the first row, so the probe never materializes the binding set."""
     sol = bgp_match(triples, patterns, optional=optional,
                     not_exists=not_exists, minus=minus, values=values,
-                    distinct=False)
+                    bind=bind, filters=filters, distinct=False)
     return sol.limit(1).count() > 0
+
+
+def describe(triples: DataFrame, patterns: Sequence[Sequence[str]],
+             var: str,
+             optional: Optional[Sequence[Sequence[str]]] = None,
+             not_exists: Optional[Sequence[Sequence[str]]] = None,
+             minus: Optional[Sequence[Sequence[str]]] = None,
+             values: Optional[Tuple[Sequence[str],
+                                    Sequence[Sequence[Optional[str]]]]] = None,
+             bind: Optional[Sequence[Tuple[str, str]]] = None,
+             filters: Optional[Sequence[str]] = None) -> DataFrame:
+    """SPARQL ``DESCRIBE ?var WHERE { BGP }``: every triple whose subject
+    or object is a resource the query binds to ``?var`` — the spec
+    leaves the description form to the engine; this one returns the
+    symmetric one-hop concise bounded description, the common choice.
+
+    Output is a (subj, pred, obj) DataFrame, DISTINCT (a graph).
+
+    Scale shape: the matched resource set stays a DataFrame (never
+    collected) and drives two LEFT SEMI joins against the triple table —
+    one on subj (partition-prunable under the subject-hash layout), one
+    on obj — unioned with a final set-distinct. AQE broadcasts the
+    resource side when the query is selective, which is the typical
+    DESCRIBE (a handful of entities); a non-selective DESCRIBE degrades
+    to two hash semi-joins, never a collect.
+    """
+    res = bgp_match(triples, patterns, select=[var], distinct=True,
+                    optional=optional, not_exists=not_exists, minus=minus,
+                    values=values, bind=bind, filters=filters)
+    r = (res.select(F.col(var).alias("__resource"))
+         .filter(F.col("__resource").isNotNull()))
+    t = triples.select(*_TERM_COLS)
+    as_subj = t.join(r, t.subj == F.col("__resource"), "left_semi")
+    as_obj = t.join(r, t.obj == F.col("__resource"), "left_semi")
+    return as_subj.union(as_obj).distinct()

@@ -769,3 +769,167 @@ def test_reorder_recovers_connected_order(spark):
     out = bgp_match(_df(spark), pats, select=["x", "y"], reorder=True)
     assert sorted(tuple(r) for r in out.collect()) == [
         ("numpy", "python"), ("pandas", "python")]
+
+
+# --------------------------------------------------------------------------- #
+# FILTER / BIND / inverse + alternative paths / DESCRIBE (r5o)
+# --------------------------------------------------------------------------- #
+
+
+def test_filter_expression(spark):
+    out = bgp_match(_df(spark), [("?x", "instance_of", "?t"),
+                                 ("?x", "mentioned_in", "?d")],
+                    filters=["d = 'doc://1'", "x like 'p%'"],
+                    select=["x", "t"])
+    assert sorted((r.x, r.t) for r in out.collect()) == [
+        ("pandas", "Library"), ("python", "Language")]
+
+
+def test_filter_duckdb_parity(spark):
+    """FILTER + BIND vs the identical SQL in DuckDB, strict compare."""
+    import duckdb
+
+    out = bgp_match(_df(spark), [("?x", "instance_of", "?t"),
+                                 ("?x", "mentioned_in", "?d")],
+                    bind=[("xu", "upper(x)"), ("xl", "length(xu)")],
+                    filters=["xl >= 5", "t = 'Library'"],
+                    select=["x", "xu", "xl", "d"]).toPandas()
+    con = duckdb.connect()
+    con.execute("create table triples(subj varchar, pred varchar, obj varchar)")
+    con.executemany("insert into triples values (?,?,?)", TRIPLES)
+    oracle = con.execute("""
+        select distinct a.subj as x, upper(a.subj) as xu,
+               cast(length(upper(a.subj)) as int) as xl, b.obj as d
+        from triples a join triples b on a.subj = b.subj
+        where a.pred = 'instance_of' and b.pred = 'mentioned_in'
+          and length(upper(a.subj)) >= 5 and a.obj = 'Library'""").df()
+    from .oracle_harness import compare
+    assert not compare("bgp_filter_bind", out, oracle, strict=True)
+
+
+def test_filter_on_optional_null_eliminates(spark):
+    # SPARQL error-yields-false: comparing an unbound OPTIONAL var
+    # eliminates the solution (NULL semantics in SQL do the same)
+    out = bgp_match(_df(spark), [("?x", "instance_of", "?t")],
+                    optional=[("?a", "alias_of", "?x")],
+                    filters=["a like '_d'"], select=["x", "a"])
+    assert sorted((r.x, r.a) for r in out.collect()) == [("pandas", "pd")]
+
+
+def test_bind_chain_and_order_by(spark):
+    out = bgp_match(_df(spark), [("?x", "instance_of", "Library")],
+                    bind=[("xu", "upper(x)"),
+                          ("tag", "concat(xu, ':', x)")],
+                    select=["tag"], order_by=["-tag"], limit=1)
+    assert [r.tag for r in out.collect()] == ["PANDAS:pandas"]
+
+
+def test_bind_rebind_rejected(spark):
+    with pytest.raises(ValueError, match="rebind"):
+        bgp_match(_df(spark), [("?x", "instance_of", "?t")],
+                  bind=[("t", "upper(x)")])
+    with pytest.raises(ValueError, match="rebind"):
+        bgp_match(_df(spark), [("?x", "instance_of", "?t")],
+                  bind=[("z", "upper(x)"), ("z", "lower(x)")])
+
+
+def test_inverse_predicate(spark):
+    fwd = bgp_match(_df(spark), [("?x", "mentioned_in", "?d")],
+                    select=["x", "d"])
+    inv = bgp_match(_df(spark), [("?d", "^mentioned_in", "?x")],
+                    select=["x", "d"])
+    assert (sorted(map(tuple, fwd.collect()))
+            == sorted(map(tuple, inv.collect())))
+    # literal terms bind on the swapped side too
+    lit = bgp_match(_df(spark), [("doc://2", "^mentioned_in", "?x")])
+    assert [r.x for r in lit.collect()] == ["numpy"]
+
+
+def test_alternation_predicate(spark):
+    out = bgp_match(_df(spark), [("?s", "instance_of|alias_of", "?o")],
+                    select=["s", "o"])
+    want = sorted((s, o) for s, p, o in TRIPLES
+                  if p in ("instance_of", "alias_of"))
+    assert sorted((r.s, r.o) for r in out.collect()) == want
+    # alternation + inverse compose
+    inv = bgp_match(_df(spark), [("?o", "^instance_of|alias_of", "?s")],
+                    select=["s", "o"])
+    assert sorted((r.s, r.o) for r in inv.collect()) == want
+
+
+def test_alternation_closure_rejected(spark):
+    with pytest.raises(ValueError, match="alternation combined"):
+        bgp_match(_df(spark), [("?x", "alias_of|part_of+", "?y")])
+    with pytest.raises(ValueError, match="malformed alternation"):
+        bgp_match(_df(spark), [("?x", "alias_of|", "?y")])
+
+
+def test_inverse_closure_is_transpose(spark):
+    rows = [("a", "part_of", "b"), ("b", "part_of", "c"),
+            ("c", "part_of", "d")]
+    fwd = bgp_match(_df(spark, rows), [("?x", "part_of+", "?y")],
+                    select=["x", "y"])
+    inv = bgp_match(_df(spark, rows), [("?x", "^part_of+", "?y")],
+                    select=["x", "y"])
+    assert (sorted((r.y, r.x) for r in fwd.collect())
+            == sorted((r.x, r.y) for r in inv.collect()))
+
+
+def test_alternation_filter_is_pushed(spark, tmp_path):
+    # over a real parquet scan the IN-list lands in PushedFilters
+    p = str(tmp_path / "tri_alt")
+    _df(spark).write.parquet(p)
+    tri = spark.read.parquet(p)
+    out = bgp_match(tri, [("?s", "instance_of|alias_of", "?o")],
+                    select=["s", "o"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(pred" in plan
+
+
+def test_describe(spark):
+    from stackoverflowner_spark.operators.kgquery import describe
+    out = describe(_df(spark), [("?x", "instance_of", "Language")],
+                   var="x")
+    # every triple whose subj or obj is 'python'
+    want = sorted((s, p, o) for s, p, o in TRIPLES
+                  if s == "python" or o == "python")
+    assert sorted(map(tuple, out.collect())) == want
+    # filters narrow the resource set through the same surface
+    out2 = describe(_df(spark), [("?x", "instance_of", "?t")],
+                    var="x", filters=["x = 'np'"])
+    assert out2.count() == 0  # 'np' has no instance_of triple
+    out3 = describe(_df(spark), [("?a", "alias_of", "?x")], var="a",
+                    filters=["a = 'np'"])
+    assert sorted(map(tuple, out3.collect())) == [("np", "alias_of", "numpy")]
+
+
+def test_kgq_cli_filter_bind_describe(spark, tmp_path, capsys):
+    import json
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.kgq import main
+
+    p = str(tmp_path / "tri_fbd")
+    _df(spark).write.parquet(p)
+    assert main([p, "?x instance_of Library . ?x mentioned_in ?d",
+                 "--filter", "d = 'doc://1'", "--bind", "xu=upper(x)",
+                 "--select", "xu", "--master", "local[2]"]) == 0
+    out = [json.loads(l) for l in
+           capsys.readouterr().out.strip().splitlines()]
+    assert sorted(r["xu"] for r in out) == ["NUMPY", "PANDAS"]
+    assert main([p, "?x instance_of Language", "--describe", "x",
+                 "--master", "local[2]"]) == 0
+    out2 = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    want = sorted((s, p_, o) for s, p_, o in TRIPLES
+                  if s == "python" or o == "python")
+    assert sorted((r["subj"], r["pred"], r["obj"]) for r in out2) == want
+    # inverse + alternation flow through the mini-syntax unchanged;
+    # ^p1|p2 means ^(p1|p2) — whole-alternation inverse (documented
+    # divergence from SPARQL's (^p1)|p2 precedence)
+    assert main([p, "?d ^mentioned_in|alias_of ?x", "--select", "x,d",
+                 "--filter", "x = 'numpy'", "--master", "local[2]"]) == 0
+    out3 = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert sorted((r["x"], r["d"]) for r in out3) == [
+        ("numpy", "doc://1"), ("numpy", "doc://2")]

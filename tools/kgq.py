@@ -13,11 +13,17 @@ by whitespace, ``?name`` terms are variables — compiled straight to
         [--values '{"vars": ["x"], "rows": [["numpy"], ["pandas"]]}']
         [--order-by=-d,x] [--offset 10] [--limit 100] [--master local[8]]
         [--group-by t --agg count:*:n --agg count_distinct:x:entities]
-        [--construct "?x derived_pred ?d"] [--ask]
+        [--construct "?x derived_pred ?d"] [--ask] [--describe x]
+        [--filter "x like 'num%'"] [--bind "xu=upper(x)"]
 
 Predicates ending in ``+`` or ``*`` are unbounded property paths
-(transitive closure); ``--construct`` emits new (subj, pred, obj) rows
-from each solution; ``--ask`` prints a boolean existence answer.
+(transitive closure); a leading ``^`` inverts a predicate; ``p1|p2``
+is an alternative path (both compose with variables normally since
+terms are whitespace-separated). ``--construct`` emits new
+(subj, pred, obj) rows from each solution; ``--ask`` prints a boolean
+existence answer; ``--describe VAR`` prints every triple touching the
+resources bound to VAR; ``--filter``/``--bind`` are SPARQL FILTER /
+BIND over the bound variables as Spark SQL expressions.
 
 Literals containing spaces are not expressible in this mini-syntax (the
 Python API takes arbitrary strings); it covers the dominant
@@ -87,17 +93,38 @@ def main(argv=None) -> int:
                          "WHERE solution instead of variable bindings")
     ap.add_argument("--ask", action="store_true",
                     help="ASK: print true/false for pattern existence")
+    ap.add_argument("--describe", default=None, metavar="VAR",
+                    help="DESCRIBE: print every (subj, pred, obj) whose "
+                         "subject or object binds to this variable")
+    ap.add_argument("--filter", dest="filters", action="append",
+                    default=[],
+                    help="FILTER: SQL boolean expression over the bound "
+                         "variables (repeatable; e.g. \"x like 'num%%'\")")
+    ap.add_argument("--bind", dest="binds", action="append", default=[],
+                    help="BIND: var=sql_expr adds a computed variable "
+                         "(repeatable; later binds may use earlier ones)")
     ap.add_argument("--master", default="local[8]")
     args = ap.parse_args(argv)
     if args.construct and (args.group_by is not None or args.ask):
         ap.error("--construct is exclusive with --group-by/--ask")
+    if args.describe and (args.construct or args.group_by is not None
+                          or args.ask):
+        ap.error("--describe is exclusive with "
+                 "--construct/--group-by/--ask")
+    binds = []
+    for spec in args.binds:
+        var, sep, expr = spec.partition("=")
+        if not sep or not var.strip() or not expr.strip():
+            ap.error(f"--bind needs var=sql_expr, got {spec!r}")
+        binds.append((var.strip(), expr.strip()))
     if args.agg and args.group_by is None:
         ap.error("--agg requires --group-by (use --group-by '' for a "
                  "whole-solution aggregate)")
 
     from stackoverflowner_spark.operators.kgquery import (ask, bgp_agg,
                                                            bgp_match,
-                                                           construct)
+                                                           construct,
+                                                           describe)
     from stackoverflowner_spark.session import get_spark
 
     spark = get_spark(app_name="kgq", master=args.master,
@@ -114,14 +141,21 @@ def main(argv=None) -> int:
         values = (v["vars"], v["rows"])
     if args.ask:
         hit = ask(tri, parse_patterns(args.where), optional=optional,
-                  not_exists=not_exists, minus=minus, values=values)
+                  not_exists=not_exists, minus=minus, values=values,
+                  bind=binds, filters=args.filters)
         print(json.dumps({"ask": bool(hit)}))
         return 0
-    if args.construct:
+    if args.describe:
+        out = describe(tri, parse_patterns(args.where),
+                       var=args.describe.lstrip("?"), optional=optional,
+                       not_exists=not_exists, minus=minus, values=values,
+                       bind=binds, filters=args.filters)
+    elif args.construct:
         out = construct(tri, parse_patterns(args.where),
                         template=parse_patterns(args.construct),
                         optional=optional, not_exists=not_exists,
-                        minus=minus, values=values)
+                        minus=minus, values=values,
+                        bind=binds, filters=args.filters)
     elif args.group_by is not None:
         aggs = []
         for spec in (args.agg or ["count:*:n"]):
@@ -132,13 +166,15 @@ def main(argv=None) -> int:
         out = bgp_agg(tri, parse_patterns(args.where),
                       group_by=[g for g in args.group_by.split(",") if g],
                       aggs=aggs, optional=optional, not_exists=not_exists,
-                      minus=minus, values=values)
+                      minus=minus, values=values,
+                      bind=binds, filters=args.filters)
     else:
         out = bgp_match(
             tri, parse_patterns(args.where),
             select=args.select.split(",") if args.select else None,
             optional=optional, not_exists=not_exists,
             minus=minus, values=values,
+            bind=binds, filters=args.filters,
             order_by=(args.order_by.split(",") if args.order_by else None),
             offset=args.offset, reorder=args.reorder)
     rows = out.limit(args.limit).collect()
