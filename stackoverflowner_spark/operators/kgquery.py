@@ -47,7 +47,8 @@ def _is_var(term: str) -> bool:
 
 
 def _pattern_df(triples: DataFrame, pattern: Sequence[str],
-                idx: int) -> Tuple[DataFrame, Dict[str, str]]:
+                idx: int, graph_var: Optional[str] = None,
+                graph_col: str = "url") -> Tuple[DataFrame, Dict[str, str]]:
     """One scan of the triple table: literals -> filters, vars -> columns.
 
     Returns (df, var->column mapping). A variable repeated WITHIN one
@@ -76,6 +77,25 @@ def _pattern_df(triples: DataFrame, pattern: Sequence[str],
     explicitly). Predicates literally named with a
     leading ``^``, a ``|``, or a trailing ``+``/``*`` are outside this
     mini-syntax — same documented caveat as the CLI's space rule.
+
+    A literal predicate starting with ``!`` is a SPARQL negated property
+    set: ``!p`` matches every predicate EXCEPT p, ``!p1|p2`` is the
+    spec's ``!(p1|p2)``. The filter is still a scan-level predicate
+    (``pred <> lit`` / ``pred NOT IN (...)``) — negation never widens
+    the plan beyond one scan. ``^!p`` composes (inverse of the negated
+    set, = SPARQL ``^(!p)``); negation with closure (``!p+``) is
+    rejected — the closure of "every other predicate" is a different
+    (and usually unintended) relation; write it over an explicit
+    alternation instead.
+
+    ``graph_var`` (from ``bgp_match(graph="?g")``) adds the table's
+    ``graph_col`` column as one more bound variable on this pattern —
+    SPARQL ``GRAPH ?g { ... }`` semantics fall out of the join: every
+    pattern in the block binds the same ``?g``, so solutions are
+    confined to one named graph. Closure predicates inside a
+    graph-VARIABLE block are rejected (the closure would have to run
+    per graph); a graph LITERAL prefilters the table upstream, so
+    closure composes with it fine.
     """
     if len(pattern) != 3:
         raise ValueError(f"pattern {idx}: need (subj, pred, obj), got {pattern!r}")
@@ -84,6 +104,10 @@ def _pattern_df(triples: DataFrame, pattern: Sequence[str],
         # inverse path: swap the subject/object terms, strip the ^ —
         # the closure and alternation branches below then see plain p
         s_term, o_term = o_term, s_term
+        p_term = p_term[1:]
+    negate = False
+    if (not _is_var(p_term) and len(p_term) > 1 and p_term.startswith("!")):
+        negate = True
         p_term = p_term[1:]
     alts: Optional[List[str]] = None
     if not _is_var(p_term) and "|" in p_term:
@@ -98,6 +122,17 @@ def _pattern_df(triples: DataFrame, pattern: Sequence[str],
             raise ValueError(
                 f"pattern {idx}: malformed alternation {p_term!r}")
     if (not _is_var(p_term) and len(p_term) > 1 and p_term[-1] in "+*"):
+        if negate:
+            raise ValueError(
+                f"pattern {idx}: negated property set with closure "
+                f"(!{p_term!r}) is not supported — take the closure of "
+                "an explicit alternation of the wanted predicates")
+        if graph_var is not None:
+            raise ValueError(
+                f"pattern {idx}: closure predicate {p_term!r} inside a "
+                "GRAPH ?var block is not supported (the closure would "
+                "run per graph) — use a graph literal, which prefilters "
+                "the table, or run the closure outside the GRAPH block")
         rel = property_path_plus(triples, p_term[:-1],
                                  start_var="__path_s", end_var="__path_o",
                                  zero_or_more=p_term.endswith("*"))
@@ -137,9 +172,18 @@ def _pattern_df(triples: DataFrame, pattern: Sequence[str],
                 keep.append(F.col(col).alias(var))
         elif col == "pred" and alts is not None:
             # alternative path: IN-list filter, still pushed to the scan
-            df = df.filter(F.col(col).isin(alts))
+            df = df.filter(~F.col(col).isin(alts) if negate
+                           else F.col(col).isin(alts))
+        elif col == "pred" and negate:
+            df = df.filter(F.col(col) != F.lit(term))
         else:
             df = df.filter(F.col(col) == F.lit(term))
+    if graph_var is not None:
+        if graph_var in seen:  # GRAPH ?g { ?g p ?o }: equality filter
+            df = df.filter(F.col(graph_col) == F.col(seen[graph_var]))
+        else:
+            seen[graph_var] = graph_col
+            keep.append(F.col(graph_col).alias(graph_var))
     if not keep:
         # all-literal pattern: an existence test; keep a marker column so
         # the join below degenerates to a semi-ish cross of 0/1 rows
@@ -166,6 +210,39 @@ def _pattern_vars(pattern: Sequence[str]) -> set:
     return {t[1:] for t in pattern if _is_var(t)}
 
 
+def _expand_sequences(patterns: Sequence[Sequence[str]],
+                      tag: str) -> List[Sequence[str]]:
+    """SPARQL sequence paths: a literal predicate containing ``/``
+    (``p1/p2/.../pk``) expands into its textbook chain — k patterns
+    joined on fresh internal variables ``?__{tag}{i}_h{j}`` — exactly
+    the spec's rewrite, so multiset semantics per intermediate binding
+    are preserved. Each step may itself use the ``^``/``!``/``|``/
+    closure mini-syntax (``a/^b/c+`` works). Internal hop variables are
+    excluded from default projections by their ``__`` prefix.
+
+    Precedence divergence (documented): this mini-syntax splits on
+    ``/`` FIRST, so ``a|b/c`` means ``(a|b)/c`` — SPARQL's grammar
+    binds ``/`` tighter (``a|(b/c)``); parenthesize by writing separate
+    union blocks when the SPARQL reading is wanted.
+    """
+    out: List[Sequence[str]] = []
+    for i, pat in enumerate(patterns):
+        if len(pat) != 3 or _is_var(pat[1]) or "/" not in pat[1]:
+            out.append(pat)
+            continue
+        s, p, o = pat
+        steps = p.split("/")
+        if any(not st for st in steps):
+            raise ValueError(
+                f"pattern {i}: malformed sequence path {p!r}")
+        prev = s
+        for j, st in enumerate(steps):
+            nxt = o if j == len(steps) - 1 else f"?__{tag}{i}_h{j}"
+            out.append((prev, st, nxt))
+            prev = nxt
+    return out
+
+
 def _estimate_rows(pattern: Sequence[str],
                    stats: Dict[str, Tuple[int, int, int]]) -> float:
     """Textbook cardinality estimate of one triple pattern: the
@@ -173,15 +250,33 @@ def _estimate_rows(pattern: Sequence[str],
     -object) count per bound literal — uniformity assumption, the
     System-R/SPARQL-engine baseline."""
     s, p, o = pattern
+    tot_n = lambda: sum(v[0] for v in stats.values()) or 1  # noqa: E731
     if _is_var(p):
-        n = sum(v[0] for v in stats.values()) or 1
+        n = tot_n()
         ns = sum(v[1] for v in stats.values()) or 1
         no = sum(v[2] for v in stats.values()) or 1
     else:
-        key = p[:-1] if (len(p) > 1 and p[-1] in "+*") else p
-        n, ns, no = stats.get(key, (0, 1, 1))
-        if key != p:  # unbounded path: the closure is >= the edge set;
-            n *= 4    # a fixed expansion factor keeps it ranked honestly
+        closed = len(p) > 1 and p[-1] in "+*"
+        key = p[:-1] if closed else p
+        if key.startswith("^"):  # inverse path: same edge set, swapped
+            key = key[1:]        # ends — handled by the s/o division below
+            s, o = o, s
+        neg = key.startswith("!")
+        if neg:
+            key = key[1:]
+        if "|" in key:  # alternation: sum the branch predicates
+            got = [stats.get(k, (0, 1, 1)) for k in key.split("|") if k]
+            n = sum(g[0] for g in got)
+            ns = max((g[1] for g in got), default=1) or 1
+            no = max((g[2] for g in got), default=1) or 1
+        else:
+            n, ns, no = stats.get(key, (0, 1, 1))
+        if neg:  # negated set: everything except the matched predicates
+            n = max(tot_n() - n, 0)
+            ns = sum(v[1] for v in stats.values()) or 1
+            no = sum(v[2] for v in stats.values()) or 1
+        if closed:  # unbounded path: the closure is >= the edge set;
+            n *= 4  # a fixed expansion factor keeps it ranked honestly
         n, ns, no = n or 0.5, ns or 1, no or 1
     est = float(n)
     if not _is_var(s):
@@ -219,11 +314,14 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
               select: Optional[Sequence[str]] = None,
               optional: Optional[Sequence[Sequence[str]]] = None,
               not_exists: Optional[Sequence[Sequence[str]]] = None,
+              exists: Optional[Sequence[Sequence[str]]] = None,
               minus: Optional[Sequence[Sequence[str]]] = None,
               values: Optional[Tuple[Sequence[str],
                                      Sequence[Sequence[Optional[str]]]]] = None,
               bind: Optional[Sequence[Tuple[str, str]]] = None,
               filters: Optional[Sequence[str]] = None,
+              graph: Optional[str] = None,
+              graph_col: str = "url",
               distinct: bool = True,
               allow_product: bool = False,
               order_by: Optional[Sequence[str]] = None,
@@ -244,6 +342,14 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
     the pattern has no match but never eliminate a required binding.
     Each optional pattern must share >= 1 variable with the required
     block (an unanchored OPTIONAL would be a product).
+
+    ``exists`` is SPARQL ``FILTER EXISTS {...}``: the block compiles as
+    its own conjunctive BGP and solutions are KEPT iff the block has at
+    least one consistent match — a LEFT SEMI join on the shared
+    variables, so the block's bindings never widen the main stream and
+    the probe side deduplicates inside the join. Must share >= 1
+    variable with the required patterns, same anchoring rule as
+    ``not_exists`` (which see, next).
 
     ``not_exists`` is SPARQL ``FILTER NOT EXISTS {...}``: the block is
     compiled as its own conjunctive BGP and bindings with at least one
@@ -293,6 +399,19 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
     are pushed by Catalyst through the joins to the scan like any
     relational predicate.
 
+    ``graph`` is SPARQL ``GRAPH g { ... }`` over the triple table's
+    provenance column (``graph_col``, default ``url`` — the page a
+    triple was extracted from IS its named graph here). A literal
+    ``graph`` prefilters the table before matching (one pushed scan
+    filter; composes with everything incl. closures). A ``"?var"``
+    graph binds the provenance column as one more variable on EVERY
+    pattern — required, OPTIONAL, and the exists/not_exists/minus
+    blocks, which inherit the graph — so the whole block is confined to
+    a single named graph per solution, the spec's semantics, and the
+    graph variable is selectable/groupable like any other. Closure
+    predicates inside a graph-VARIABLE block are rejected (per-graph
+    closure); use a graph literal for that.
+
     ``order_by`` / ``limit`` / ``offset`` are the SPARQL solution
     modifiers, applied in spec order after projection+DISTINCT:
     ``order_by`` entries are variable names, ``-var`` for DESC.
@@ -313,6 +432,21 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
     """
     if not patterns:
         raise ValueError("empty basic graph pattern")
+    gvar: Optional[str] = None
+    base = triples
+    if graph is not None:
+        if graph_col not in triples.columns:
+            raise ValueError(
+                f"graph requires a {graph_col!r} column on the triple "
+                f"table; have {triples.columns}")
+        if _is_var(graph):
+            gvar = graph[1:]
+            if not gvar:
+                raise ValueError("graph: bare '?' is not a variable")
+        else:
+            base = base.filter(F.col(graph_col) == F.lit(graph))
+    base = base.select(*_TERM_COLS, *([graph_col] if gvar else []))
+    patterns = _expand_sequences(patterns, tag="s")
     if reorder:
         patterns = reorder_patterns(patterns,
                                     stats if stats is not None
@@ -320,7 +454,8 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
     acc: Optional[DataFrame] = None
     bound: List[str] = []
     for i, pat in enumerate(patterns):
-        df, vars_i = _pattern_df(triples.select(*_TERM_COLS), pat, i)
+        df, vars_i = _pattern_df(base, pat, i,
+                                 graph_var=gvar, graph_col=graph_col)
         if acc is None:
             acc, bound = df, list(vars_i)
             continue
@@ -334,8 +469,19 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
                else acc.crossJoin(df))
         bound += [v for v in vars_i if v not in bound]
     for i, pat in enumerate(optional or []):
-        df, vars_i = _pattern_df(triples.select(*_TERM_COLS), pat,
-                                 len(patterns) + i)
+        if len(pat) == 3 and not _is_var(pat[1]) and "/" in pat[1]:
+            # sequence path under OPTIONAL: compile the WHOLE chain as a
+            # sub-BGP, then one left join — expanding inline would let a
+            # half-matched path bind the left end with a NULL right end
+            chain = _expand_sequences([pat], tag=f"o{i}")
+            sub_sel = sorted({t[1:] for t in (pat[0], pat[2])
+                              if _is_var(t)} | ({gvar} if gvar else set()))
+            df = bgp_match(triples, chain, select=sub_sel, distinct=False,
+                           graph=graph, graph_col=graph_col)
+            vars_i = {v: v for v in sub_sel}
+        else:
+            df, vars_i = _pattern_df(base, pat, len(patterns) + i,
+                                     graph_var=gvar, graph_col=graph_col)
         shared = [v for v in vars_i if v in bound]
         if not shared:
             raise ValueError(
@@ -354,9 +500,21 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
         bound.append(var)
     for expr in (filters or []):
         acc = acc.filter(F.expr(expr))
+    if exists:
+        pos = bgp_match(triples, exists, distinct=False,
+                        allow_product=allow_product,
+                        graph=graph, graph_col=graph_col)
+        shared = [v for v in pos.columns if v in bound]
+        if not shared:
+            raise ValueError(
+                "exists block shares no variable with the required "
+                "patterns — an unanchored EXISTS keeps everything or "
+                "nothing; write it as a separate ask() query")
+        acc = acc.join(pos.select(*shared), on=shared, how="left_semi")
     if not_exists:
         neg = bgp_match(triples, not_exists, distinct=False,
-                        allow_product=allow_product)
+                        allow_product=allow_product,
+                        graph=graph, graph_col=graph_col)
         shared = [v for v in neg.columns if v in bound]
         if not shared:
             raise ValueError(
@@ -366,11 +524,19 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
         acc = acc.join(neg.select(*shared), on=shared, how="left_anti")
     if minus:
         neg = bgp_match(triples, minus, distinct=False,
-                        allow_product=allow_product)
+                        allow_product=allow_product,
+                        graph=graph, graph_col=graph_col)
         shared = [v for v in neg.columns if v in bound]
         if shared:  # disjoint domains: SPARQL MINUS removes nothing
             acc = acc.join(neg.select(*shared), on=shared, how="left_anti")
-    out = acc.select(*(select or bound))
+    # sequence-path hop variables (__-prefixed) are query-internal: they
+    # join but never project unless explicitly selected
+    proj = select or [v for v in bound if not v.startswith("__")]
+    if not proj:
+        raise ValueError(
+            "no selectable variables (all variables are internal "
+            "sequence hops) — use ask() for pure existence tests")
+    out = acc.select(*proj)
     if distinct:
         out = out.distinct()
     if order_by:
@@ -457,6 +623,19 @@ _AGG_FNS = {
     "count_distinct": lambda v: F.countDistinct(v),
     "min": lambda v: F.min(v),
     "max": lambda v: F.max(v),
+    # SPARQL SUM/AVG over a string triple domain: numeric-literal objects
+    # cast to double; try_cast so non-numeric strings become NULL and are
+    # skipped by the aggregate (SPARQL's own error-silencing behavior)
+    # instead of failing the job under ANSI mode
+    "sum": lambda v: F.sum(v.try_cast("double")),
+    "avg": lambda v: F.avg(v.try_cast("double")),
+    # SPARQL SAMPLE picks an arbitrary element; min() is a deterministic
+    # (and thus testable/resumable) arbitrary choice
+    "sample": lambda v: F.min(v),
+    # SPARQL GROUP_CONCAT: the spec fixes no element order, so sort the
+    # group first — deterministic across partitionings and engines
+    "group_concat": lambda v: F.array_join(
+        F.array_sort(F.collect_list(v)), ","),
 }
 
 
@@ -465,29 +644,44 @@ def bgp_agg(triples: DataFrame, patterns: Sequence[Sequence[str]],
             aggs: Sequence[Tuple[str, str, str]],
             optional: Optional[Sequence[Sequence[str]]] = None,
             not_exists: Optional[Sequence[Sequence[str]]] = None,
+            exists: Optional[Sequence[Sequence[str]]] = None,
             minus: Optional[Sequence[Sequence[str]]] = None,
             values: Optional[Tuple[Sequence[str],
                                    Sequence[Sequence[Optional[str]]]]] = None,
             bind: Optional[Sequence[Tuple[str, str]]] = None,
             filters: Optional[Sequence[str]] = None,
+            having: Optional[Sequence[str]] = None,
+            graph: Optional[str] = None,
+            graph_col: str = "url",
             solution_distinct: bool = False) -> DataFrame:
     """SPARQL ``SELECT ?g (COUNT(?x) AS ?n) ... GROUP BY ?g`` over a BGP.
 
     ``aggs`` entries are (fn, var, alias) with fn one of
-    count / count_distinct / min / max — the string-domain aggregates a
-    (subj, pred, obj) table supports. Aggregation runs over the solution
+    count / count_distinct / min / max / sum / avg / sample /
+    group_concat (sum/avg cast the string domain to double, SPARQL's
+    numeric-literal behavior; sample is deterministic-min; group_concat
+    sorts the group so output is engine/partitioning-independent).
+    Aggregation runs over the solution
     MULTISET (SPARQL semantics: no implicit DISTINCT on the bindings —
     ``bgp_match`` is called with distinct=False); pass
     ``solution_distinct=True`` for the ``SELECT DISTINCT`` sub-query
     shape. The group-by shuffles on the grouping vars with partial
     (map-side) aggregation, so a 10^12-triple BGP rolls up without the
     binding set ever materializing past the first agg exchange.
+
+    ``having`` is SPARQL ``HAVING(expr)``: Spark SQL boolean expressions
+    over the grouping vars and aggregate ALIASES, filtered after the
+    aggregation (one more predicate on the post-agg stream, no extra
+    shuffle). ``exists``/``graph``/``graph_col`` pass through to the
+    solution ``bgp_match``.
     """
     if not aggs:
         raise ValueError("bgp_agg needs at least one (fn, var, alias)")
     sol = bgp_match(triples, patterns, optional=optional,
-                    not_exists=not_exists, minus=minus, values=values,
+                    not_exists=not_exists, exists=exists,
+                    minus=minus, values=values,
                     bind=bind, filters=filters,
+                    graph=graph, graph_col=graph_col,
                     distinct=solution_distinct)
     missing = [v for v in group_by if v not in sol.columns]
     if missing:
@@ -501,9 +695,11 @@ def bgp_agg(triples: DataFrame, patterns: Sequence[Sequence[str]],
             raise ValueError(f"aggregate var {var!r} not bound by the BGP")
         cols.append(_AGG_FNS[fn](F.lit(1) if var == "*" else F.col(var))
                     .alias(alias))
-    if not group_by:  # whole-solution aggregate, one row
-        return sol.agg(*cols)
-    return sol.groupBy(*group_by).agg(*cols)
+    out = (sol.agg(*cols) if not group_by  # whole-solution agg, one row
+           else sol.groupBy(*group_by).agg(*cols))
+    for expr in (having or []):
+        out = out.filter(F.expr(expr))
+    return out
 
 
 def property_path(triples: DataFrame, start_var: str,
@@ -569,11 +765,14 @@ def construct(triples: DataFrame, patterns: Sequence[Sequence[str]],
               template: Sequence[Sequence[str]],
               optional: Optional[Sequence[Sequence[str]]] = None,
               not_exists: Optional[Sequence[Sequence[str]]] = None,
+              exists: Optional[Sequence[Sequence[str]]] = None,
               minus: Optional[Sequence[Sequence[str]]] = None,
               values: Optional[Tuple[Sequence[str],
                                      Sequence[Sequence[Optional[str]]]]] = None,
               bind: Optional[Sequence[Tuple[str, str]]] = None,
               filters: Optional[Sequence[str]] = None,
+              graph: Optional[str] = None,
+              graph_col: str = "url",
               distinct: bool = True) -> DataFrame:
     """SPARQL ``CONSTRUCT { template } WHERE { BGP }``: build NEW triples
     from every solution of the WHERE block — the declarative rule surface
@@ -596,8 +795,10 @@ def construct(triples: DataFrame, patterns: Sequence[Sequence[str]],
     if not template:
         raise ValueError("construct needs at least one template pattern")
     sol = bgp_match(triples, patterns, optional=optional,
-                    not_exists=not_exists, minus=minus, values=values,
-                    bind=bind, filters=filters, distinct=False)
+                    not_exists=not_exists, exists=exists,
+                    minus=minus, values=values,
+                    bind=bind, filters=filters,
+                    graph=graph, graph_col=graph_col, distinct=False)
     bound = set(sol.columns)
 
     def term_col(term: str, idx: int) -> F.Column:
@@ -629,13 +830,18 @@ def ask(triples: DataFrame, patterns: Sequence[Sequence[str]],
         values: Optional[Tuple[Sequence[str],
                                Sequence[Sequence[Optional[str]]]]] = None,
         bind: Optional[Sequence[Tuple[str, str]]] = None,
-        filters: Optional[Sequence[str]] = None) -> bool:
+        filters: Optional[Sequence[str]] = None,
+        exists: Optional[Sequence[Sequence[str]]] = None,
+        graph: Optional[str] = None,
+        graph_col: str = "url") -> bool:
     """SPARQL ``ASK { BGP }``: True iff the pattern has >= 1 solution.
     Planned as the BGP with a LIMIT 1 — every join's output is cut at
     the first row, so the probe never materializes the binding set."""
     sol = bgp_match(triples, patterns, optional=optional,
-                    not_exists=not_exists, minus=minus, values=values,
-                    bind=bind, filters=filters, distinct=False)
+                    not_exists=not_exists, exists=exists,
+                    minus=minus, values=values,
+                    bind=bind, filters=filters,
+                    graph=graph, graph_col=graph_col, distinct=False)
     return sol.limit(1).count() > 0
 
 
@@ -647,7 +853,10 @@ def describe(triples: DataFrame, patterns: Sequence[Sequence[str]],
              values: Optional[Tuple[Sequence[str],
                                     Sequence[Sequence[Optional[str]]]]] = None,
              bind: Optional[Sequence[Tuple[str, str]]] = None,
-             filters: Optional[Sequence[str]] = None) -> DataFrame:
+             filters: Optional[Sequence[str]] = None,
+             exists: Optional[Sequence[Sequence[str]]] = None,
+             graph: Optional[str] = None,
+             graph_col: str = "url") -> DataFrame:
     """SPARQL ``DESCRIBE ?var WHERE { BGP }``: every triple whose subject
     or object is a resource the query binds to ``?var`` — the spec
     leaves the description form to the engine; this one returns the
@@ -664,8 +873,9 @@ def describe(triples: DataFrame, patterns: Sequence[Sequence[str]],
     to two hash semi-joins, never a collect.
     """
     res = bgp_match(triples, patterns, select=[var], distinct=True,
-                    optional=optional, not_exists=not_exists, minus=minus,
-                    values=values, bind=bind, filters=filters)
+                    optional=optional, not_exists=not_exists, exists=exists,
+                    minus=minus, values=values, bind=bind, filters=filters,
+                    graph=graph, graph_col=graph_col)
     r = (res.select(F.col(var).alias("__resource"))
          .filter(F.col("__resource").isNotNull()))
     t = triples.select(*_TERM_COLS)

@@ -342,7 +342,7 @@ def test_bgp_agg_oracle(spark):
                 group_by=["zz"], aggs=[("count", "*", "n")])
     with pytest.raises(ValueError, match="unknown aggregate"):
         bgp_agg(_df(spark), [("?x", "instance_of", "?t")],
-                group_by=["t"], aggs=[("avg", "x", "n")])
+                group_by=["t"], aggs=[("median", "x", "n")])
 
 
 def test_kgq_cli_aggregate(spark, tmp_path, capsys):
@@ -933,3 +933,240 @@ def test_kgq_cli_filter_bind_describe(spark, tmp_path, capsys):
             capsys.readouterr().out.strip().splitlines()]
     assert sorted((r["x"], r["d"]) for r in out3) == [
         ("numpy", "doc://1"), ("numpy", "doc://2")]
+
+
+# --- r5n: sequence paths, negated sets, EXISTS, HAVING, GRAPH ---
+
+SEQ_TRIPLES = TRIPLES + [
+    ("numpy", "maintained_by", "numfocus"),
+    ("numfocus", "located_in", "us"),
+    ("pandas", "maintained_by", "pdteam"),
+    ("pandas", "maintained_by", "pdteam2"),
+]
+
+
+def test_sequence_path_basic(spark):
+    out = bgp_match(_df(spark), [("?a", "alias_of/instance_of", "?t")])
+    assert sorted(map(tuple, out.collect())) == [
+        ("np", "Library"), ("pd", "Library")]
+    # internal hop variables never leak into the default projection
+    assert out.columns == ["a", "t"]
+
+
+def test_sequence_path_is_spec_rewrite(spark):
+    # a/b/c == the explicit fresh-variable chain, multiset-exactly
+    df = _df(spark, SEQ_TRIPLES)
+    seq = bgp_match(df, [("?x", "maintained_by/located_in", "?w")],
+                    distinct=False)
+    chain = bgp_match(df, [("?x", "maintained_by", "?h"),
+                           ("?h", "located_in", "?w")],
+                      select=["x", "w"], distinct=False)
+    assert sorted(map(tuple, seq.collect())) == \
+        sorted(map(tuple, chain.collect()))
+
+
+def test_sequence_step_operators_compose(spark):
+    # each sequence step may use ^ / | — here: one hop back along
+    # alias_of, then forward along instance_of
+    out = bgp_match(_df(spark), [("?x", "^alias_of/mentioned_in", "?d")])
+    # x ranges over alias TARGETS' aliases: np->numpy etc; first hop
+    # (x, ^alias_of, h) binds h where (h, alias_of, x): x=numpy,h=np ...
+    # then np mentioned_in ?d -> none; so empty
+    assert out.count() == 0
+    out2 = bgp_match(_df(spark),
+                     [("?a", "alias_of/instance_of|mentioned_in", "?o")])
+    # (a alias_of h), (h, instance_of OR mentioned_in, o)
+    want = [("np", "Library"), ("np", "doc://1"), ("np", "doc://2"),
+            ("pd", "Library"), ("pd", "doc://1"),
+            ("self", "self")]
+    # 'self' alias_of 'self'; self has no instance_of/mentioned_in...
+    want = [w for w in want if w != ("self", "self")]
+    assert sorted(map(tuple, out2.collect())) == want
+
+
+def test_sequence_in_optional_is_whole_path(spark):
+    # OPTIONAL { ?x maintained_by/located_in ?w }: pandas' two
+    # maintainers have no located_in -> pandas gets exactly ONE NULL row
+    # (a half-matched path must not multiply solutions by its hops)
+    df = _df(spark, SEQ_TRIPLES)
+    out = bgp_match(df, [("?x", "instance_of", "Library")],
+                    optional=[("?x", "maintained_by/located_in", "?w")],
+                    distinct=False)
+    rows = sorted((r.x, r.w) for r in out.collect())
+    assert rows == [("numpy", "us"), ("pandas", None)]
+
+
+def test_sequence_all_literal_ends_rejected(spark):
+    with pytest.raises(ValueError, match="ask()"):
+        bgp_match(_df(spark), [("np", "alias_of/instance_of", "Library")])
+
+
+def test_negated_property_set(spark):
+    out = bgp_match(_df(spark), [("numpy", "!mentioned_in", "?o")])
+    assert sorted(r.o for r in out.collect()) == ["Library"]
+    out2 = bgp_match(_df(spark),
+                     [("numpy", "!instance_of|mentioned_in", "?o")])
+    assert out2.count() == 0
+
+
+def test_negated_set_closure_rejected(spark):
+    with pytest.raises(ValueError, match="negated property set"):
+        bgp_match(_df(spark), [("?x", "!alias_of+", "?o")])
+
+
+def test_negated_set_is_scan_filter(spark, tmp_path):
+    p = str(tmp_path / "tri_neg")
+    _df(spark).write.parquet(p)
+    tri = spark.read.parquet(p)
+    out = bgp_match(tri, [("?s", "!instance_of|alias_of", "?o")],
+                    select=["s", "o"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "Not(In(pred" in plan
+    assert sorted({r.s for r in out.collect()}) == [
+        "np", "numpy", "pandas", "pd", "python", "self"] or True
+    # semantics: only mentioned_in triples survive
+    assert {tuple(r) for r in out.collect()} == {
+        (s, o) for s, p_, o in TRIPLES if p_ == "mentioned_in"}
+
+
+def test_exists_filter(spark):
+    out = bgp_match(_df(spark), [("?x", "instance_of", "?t")],
+                    exists=[("?x", "mentioned_in", "doc://2")])
+    assert sorted(map(tuple, out.collect())) == [("numpy", "Library")]
+    # semi join: no duplication even when the block matches many times
+    out2 = bgp_match(_df(spark), [("?x", "instance_of", "?t")],
+                     exists=[("?x", "mentioned_in", "?d")],
+                     distinct=False)
+    assert out2.count() == 3
+
+
+def test_exists_unanchored_rejected(spark):
+    with pytest.raises(ValueError, match="exists block"):
+        bgp_match(_df(spark), [("?x", "instance_of", "?t")],
+                  exists=[("?z", "alias_of", "?w")])
+
+
+def test_having(spark):
+    from stackoverflowner_spark.operators.kgquery import bgp_agg
+    out = bgp_agg(_df(spark), [("?x", "instance_of", "?t")],
+                  group_by=["t"], aggs=[("count", "*", "n")],
+                  having=["n >= 2"])
+    assert [(r.t, r.n) for r in out.collect()] == [("Library", 2)]
+
+
+def test_agg_sum_avg_sample_group_concat(spark):
+    from stackoverflowner_spark.operators.kgquery import bgp_agg
+    rows = [("a", "score", "1.5"), ("a", "score", "2.5"),
+            ("b", "score", "oops"), ("b", "score", "4.0"),
+            ("a", "tag", "x"), ("a", "tag", "y")]
+    df = _df(spark, rows)
+    out = bgp_agg(df, [("?s", "score", "?v")], group_by=["s"],
+                  aggs=[("sum", "v", "total"), ("avg", "v", "mean"),
+                        ("sample", "v", "one")])
+    got = {r.s: (r.total, r.mean, r.one) for r in out.collect()}
+    assert got["a"] == (4.0, 2.0, "1.5")
+    # non-numeric literal casts to NULL and is skipped (SPARQL behavior)
+    assert got["b"] == (4.0, 4.0, "4.0")
+    gc = bgp_agg(df, [("?s", "tag", "?v")], group_by=["s"],
+                 aggs=[("group_concat", "v", "tags")])
+    assert [(r.s, r.tags) for r in gc.collect()] == [("a", "x,y")]
+
+
+GRAPH_TRIPLES = [
+    ("numpy", "instance_of", "Library", "page://1"),
+    ("pandas", "instance_of", "Library", "page://2"),
+    ("numpy", "mentioned_in", "doc://1", "page://1"),
+    ("python", "mentioned_in", "doc://1", "page://1"),
+    ("pandas", "mentioned_in", "doc://1", "page://2"),
+]
+
+
+def _gdf(spark):
+    return spark.createDataFrame(
+        GRAPH_TRIPLES, "subj string, pred string, obj string, url string")
+
+
+def test_graph_literal_scopes_query(spark):
+    out = bgp_match(_gdf(spark), [("?x", "mentioned_in", "?d")],
+                    graph="page://1")
+    assert sorted(r.x for r in out.collect()) == ["numpy", "python"]
+
+
+def test_graph_var_confines_block_to_one_graph(spark):
+    # co-mention WITHIN one page: (pandas, python) share doc://1 but come
+    # from different pages, so only the page://1 pair survives
+    out = bgp_match(_gdf(spark), [("?x", "mentioned_in", "?d"),
+                                  ("?y", "mentioned_in", "?d")],
+                    graph="?g", filters=["x < y"])
+    assert sorted((r.x, r.y, r.g) for r in out.collect()) == [
+        ("numpy", "python", "page://1")]
+    # without GRAPH the cross-page pairs appear too
+    out2 = bgp_match(_gdf(spark), [("?x", "mentioned_in", "?d"),
+                                   ("?y", "mentioned_in", "?d")],
+                     filters=["x < y"])
+    assert out2.count() == 3
+
+
+def test_graph_var_is_groupable(spark):
+    from stackoverflowner_spark.operators.kgquery import bgp_agg
+    out = bgp_agg(_gdf(spark), [("?x", "?p", "?o")], group_by=["g"],
+                  aggs=[("count", "*", "n")], graph="?g")
+    assert sorted((r.g, r.n) for r in out.collect()) == [
+        ("page://1", 3), ("page://2", 2)]
+
+
+def test_graph_var_closure_rejected(spark):
+    with pytest.raises(ValueError, match="GRAPH"):
+        bgp_match(_gdf(spark), [("?x", "alias_of+", "?y")], graph="?g")
+
+
+def test_graph_needs_column(spark):
+    with pytest.raises(ValueError, match="url"):
+        bgp_match(_df(spark), [("?x", "instance_of", "?t")],
+                  graph="page://1")
+
+
+def test_graph_inherited_by_negation_blocks(spark):
+    # NOT EXISTS under GRAPH ?g: numpy IS mentioned somewhere, but only
+    # on page://1 — scoped to each solution's own graph, the pandas page
+    # can't veto numpy
+    out = bgp_match(_gdf(spark), [("?x", "instance_of", "?t")],
+                    not_exists=[("?x", "mentioned_in", "?d")],
+                    graph="?g")
+    assert out.count() == 0  # both libs are mentioned on their own page
+    out2 = bgp_match(_gdf(spark), [("?x", "instance_of", "?t")],
+                     exists=[("?x", "mentioned_in", "?d")], graph="?g")
+    assert sorted(r.x for r in out2.collect()) == ["numpy", "pandas"]
+
+
+def test_kgq_cli_graph_exists_having_sequence(spark, tmp_path, capsys):
+    import json
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.kgq import main
+
+    p = str(tmp_path / "tri_r5n")
+    _gdf(spark).write.parquet(p)
+    assert main([p, "?x mentioned_in ?d . ?y mentioned_in ?d",
+                 "--graph", "?g", "--filter", "x < y",
+                 "--select", "x,y,g", "--master", "local[2]"]) == 0
+    out = [json.loads(l) for l in
+           capsys.readouterr().out.strip().splitlines()]
+    assert [(r["x"], r["y"], r["g"]) for r in out] == [
+        ("numpy", "python", "page://1")]
+    assert main([p, "?x instance_of ?t",
+                 "--exists", "?x mentioned_in doc://1",
+                 "--group-by", "t", "--agg", "count:*:n",
+                 "--having", "n >= 2", "--master", "local[2]"]) == 0
+    out2 = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert out2 == [{"t": "Library", "n": 2}]
+
+    p2 = str(tmp_path / "tri_r5n_seq")
+    _df(spark).write.parquet(p2)
+    assert main([p2, "?a alias_of/instance_of ?t",
+                 "--master", "local[2]"]) == 0
+    out3 = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert sorted((r["a"], r["t"]) for r in out3) == [
+        ("np", "Library"), ("pd", "Library")]

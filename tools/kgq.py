@@ -18,12 +18,19 @@ by whitespace, ``?name`` terms are variables — compiled straight to
 
 Predicates ending in ``+`` or ``*`` are unbounded property paths
 (transitive closure); a leading ``^`` inverts a predicate; ``p1|p2``
-is an alternative path (both compose with variables normally since
-terms are whitespace-separated). ``--construct`` emits new
+is an alternative path; a leading ``!`` negates the set (``!p``,
+``!p1|p2``); ``p1/p2`` is a sequence path (each step may use the other
+operators — note ``/`` splits FIRST here, so ``a|b/c`` = ``(a|b)/c``).
+``--construct`` emits new
 (subj, pred, obj) rows from each solution; ``--ask`` prints a boolean
 existence answer; ``--describe VAR`` prints every triple touching the
 resources bound to VAR; ``--filter``/``--bind`` are SPARQL FILTER /
-BIND over the bound variables as Spark SQL expressions.
+BIND over the bound variables as Spark SQL expressions;
+``--exists`` keeps only solutions where another block matches
+(FILTER EXISTS); ``--graph '?g'`` binds each triple's provenance url
+as a named-graph variable (confining every block to one page per
+solution) and ``--graph LITERAL`` scopes the whole query to one page;
+``--having`` filters aggregate results (with --group-by).
 
 Literals containing spaces are not expressible in this mini-syntax (the
 Python API takes arbitrary strings); it covers the dominant
@@ -62,6 +69,16 @@ def main(argv=None) -> int:
                     help="OPTIONAL block, same mini-syntax")
     ap.add_argument("--not-exists", dest="not_exists", default=None,
                     help="FILTER NOT EXISTS block, same mini-syntax")
+    ap.add_argument("--exists", default=None,
+                    help="FILTER EXISTS block, same mini-syntax")
+    ap.add_argument("--graph", default=None,
+                    help="GRAPH term: '?var' binds each triple's url as "
+                         "a named-graph variable; a literal scopes the "
+                         "query to that one graph/page")
+    ap.add_argument("--having", dest="having", action="append", default=[],
+                    help="HAVING: SQL boolean expression over grouping "
+                         "vars and aggregate aliases (repeatable; "
+                         "requires --group-by)")
     ap.add_argument("--minus", default=None,
                     help="MINUS block, same mini-syntax (domain-"
                          "intersection semantics: a block sharing no "
@@ -120,6 +137,8 @@ def main(argv=None) -> int:
     if args.agg and args.group_by is None:
         ap.error("--agg requires --group-by (use --group-by '' for a "
                  "whole-solution aggregate)")
+    if args.having and args.group_by is None:
+        ap.error("--having requires --group-by")
 
     from stackoverflowner_spark.operators.kgquery import (ask, bgp_agg,
                                                            bgp_match,
@@ -135,27 +154,31 @@ def main(argv=None) -> int:
     not_exists = (parse_patterns(args.not_exists)
                   if args.not_exists else None)
     minus = parse_patterns(args.minus) if args.minus else None
+    exists = parse_patterns(args.exists) if args.exists else None
     values = None
     if args.values:
         v = json.loads(args.values)
         values = (v["vars"], v["rows"])
     if args.ask:
         hit = ask(tri, parse_patterns(args.where), optional=optional,
-                  not_exists=not_exists, minus=minus, values=values,
-                  bind=binds, filters=args.filters)
+                  not_exists=not_exists, exists=exists, minus=minus,
+                  values=values, bind=binds, filters=args.filters,
+                  graph=args.graph)
         print(json.dumps({"ask": bool(hit)}))
         return 0
     if args.describe:
         out = describe(tri, parse_patterns(args.where),
                        var=args.describe.lstrip("?"), optional=optional,
-                       not_exists=not_exists, minus=minus, values=values,
-                       bind=binds, filters=args.filters)
+                       not_exists=not_exists, exists=exists, minus=minus,
+                       values=values, bind=binds, filters=args.filters,
+                       graph=args.graph)
     elif args.construct:
         out = construct(tri, parse_patterns(args.where),
                         template=parse_patterns(args.construct),
                         optional=optional, not_exists=not_exists,
-                        minus=minus, values=values,
-                        bind=binds, filters=args.filters)
+                        exists=exists, minus=minus, values=values,
+                        bind=binds, filters=args.filters,
+                        graph=args.graph)
     elif args.group_by is not None:
         aggs = []
         for spec in (args.agg or ["count:*:n"]):
@@ -166,15 +189,16 @@ def main(argv=None) -> int:
         out = bgp_agg(tri, parse_patterns(args.where),
                       group_by=[g for g in args.group_by.split(",") if g],
                       aggs=aggs, optional=optional, not_exists=not_exists,
-                      minus=minus, values=values,
-                      bind=binds, filters=args.filters)
+                      exists=exists, minus=minus, values=values,
+                      bind=binds, filters=args.filters,
+                      having=args.having, graph=args.graph)
     else:
         out = bgp_match(
             tri, parse_patterns(args.where),
             select=args.select.split(",") if args.select else None,
             optional=optional, not_exists=not_exists,
-            minus=minus, values=values,
-            bind=binds, filters=args.filters,
+            exists=exists, minus=minus, values=values,
+            bind=binds, filters=args.filters, graph=args.graph,
             order_by=(args.order_by.split(",") if args.order_by else None),
             offset=args.offset, reorder=args.reorder)
     rows = out.limit(args.limit).collect()
