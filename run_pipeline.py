@@ -58,8 +58,9 @@ def main(argv=None) -> int:
     ap.add_argument("--analytics", metavar="DIR",
                     help="after the triple write, emit KG graph analytics "
                          "under DIR: entity pagerank, per-node triangle "
-                         "counts, the 2-core, LPA communities, and "
-                         "HyperBall harmonic centrality "
+                         "counts, the 2-core, LPA communities, "
+                         "HyperBall harmonic centrality, and sampled "
+                         "Brandes betweenness "
                          "(operators/graphalgo.py, hyperball.py) "
                          "over the alias_of/instance_of edge structure")
     ap.add_argument("--embeddings", metavar="DIR",
@@ -180,7 +181,8 @@ def main(argv=None) -> int:
         from pyspark.sql import functions as F2
 
         from stackoverflowner_spark.operators.graphalgo import (
-            kcore, lpa_communities, triangle_count)
+            betweenness, kcore, lpa_communities, sample_pivots,
+            triangle_count)
         from stackoverflowner_spark.operators.hyperball import (
             harmonic_centrality_est, hyperball)
         from stackoverflowner_spark.operators.pagerank import entity_pagerank
@@ -203,6 +205,9 @@ def main(argv=None) -> int:
         harmonic_centrality_est(
             hyperball(edges, max_radius=8, b=6, direction="in")) \
             .write.mode("overwrite").parquet(args.analytics + "/harmonic")
+        betweenness(edges, sources=sample_pivots(edges, 32),
+                    scale=True) \
+            .write.mode("overwrite").parquet(args.analytics + "/betweenness")
         stats = {
             "edges": edges.count(),
             "pagerank_rows": spark.read.parquet(
@@ -216,6 +221,8 @@ def main(argv=None) -> int:
                 .select("community").distinct().count(),
             "harmonic_rows": spark.read.parquet(
                 args.analytics + "/harmonic").count(),
+            "betweenness_rows": spark.read.parquet(
+                args.analytics + "/betweenness").count(),
         }
         print(json.dumps({"analytics": stats, "dir": args.analytics}))
     if args.embeddings and args.embed_model == "sgns":

@@ -243,3 +243,261 @@ def lpa_communities(edges: DataFrame, max_iter: int = 10) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+def sample_pivots(edges: DataFrame, k: int) -> DataFrame:
+    """Deterministic pivot sample for ``betweenness``: the k nodes with
+    the smallest (xxhash64(node), node) rank — a uniform-ish, seedless,
+    partitioning-independent choice (the hash plays the RNG, the node id
+    breaks hash ties), the same backfill-stable hash-order discipline as
+    operators/sampling.py. k >= node count degrades to all nodes."""
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionAll(edges.select(F.col("dst").alias("node")))
+             .filter(F.col("node").isNotNull())
+             .distinct())
+    return (nodes.orderBy(F.xxhash64("node"), F.col("node"))
+            .limit(k).select("node"))
+
+
+def betweenness(edges: DataFrame, sources: DataFrame = None,
+                max_iter: int = 30, scale: bool = False) -> DataFrame:
+    """Brandes betweenness centrality on the undirected, unweighted
+    reading of edges(src, dst) -> (node, bc).
+
+    The last member of this module's centrality family (degree is a
+    groupBy; PageRank/HITS are operators/pagerank.py; closeness/harmonic
+    are operators/hyperball.py): how often a node sits ON the shortest
+    paths between others — the broker/bottleneck signal for KG QA
+    (an alias cluster whose canonical node has far higher betweenness
+    than its members is a hub-and-spoke suspect, the same diagnosis
+    triangle_count approaches from density).
+
+    Algorithm (Brandes 2001, source-parallel): for every pivot s a
+    forward BFS computes (dist, sigma = #shortest paths from s), then a
+    backward level sweep accumulates dependencies
+    delta(v) = sum_{w: succ} sigma_v / sigma_w * (1 + delta_w); bc(v)
+    sums delta over pivots, halved for the undirected double-count.
+    ``sources=None`` runs EXACT betweenness (every node a pivot);
+    passing a pivot subset (see ``sample_pivots``) gives the standard
+    Brandes-Pich estimator — ``scale=True`` multiplies by V/K to
+    unbias it toward the exact value.
+
+    Scale shape: all pivots advance IN ONE JOB per BFS level — the
+    frontier key is (s, node), so K pivots cost the same O(diameter)
+    job count as one, and every shuffle is keyed on (s, node) (no
+    per-source driver loop, no single-partition stage). The backward
+    sweep re-joins the per-level frontiers (held as localCheckpointed
+    DataFrames, one per level — memory O(sum of frontier sizes) =
+    O(K * V) worst case, which is what bounds the pivot batch: at
+    10^9-node scale run pivots in batches of ~32 and sum the partial
+    bc outputs, the standard source-batching). Dependency sums are
+    IEEE doubles under groupBy partial aggregation, so this sits in
+    the pytest-parity (tolerance) class with PageRank/k-means, not
+    under a bitwise SQL oracle.
+    """
+    sym = (edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+           .unionAll(edges.select(F.col("dst").alias("a"),
+                                  F.col("src").alias("b")))
+           .filter(F.col("a") != F.col("b"))
+           .distinct()
+           .localCheckpoint())
+
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    if sources is None:
+        pivots = nodes
+    else:
+        pivots = (sources.select("node").distinct()
+                  .join(nodes, "node", "left_semi"))
+
+    # forward BFS: levels[d] = (s, node, sigma) at hop distance d
+    lvl = (pivots.select(F.col("node").alias("s"),
+                         F.col("node"),
+                         F.lit(1).cast("long").alias("sigma"))
+           .localCheckpoint())
+    levels = [lvl]
+    visited = lvl.select("s", "node").localCheckpoint()
+    for _ in range(max_iter):
+        nxt = (levels[-1].join(sym, F.col("node") == F.col("a"))
+               .select("s", F.col("b").alias("node"), "sigma")
+               .groupBy("s", "node").agg(F.sum("sigma").alias("sigma"))
+               .join(visited, ["s", "node"], "left_anti")
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("s", "node")) \
+            .localCheckpoint()
+
+    # backward sweep: delta at the deepest level is 0; each level pulls
+    # (1 + delta_w) / sigma_w from its successors along graph edges,
+    # keeping only predecessor nodes (the level-d join enforces
+    # dist(v) = dist(w) - 1, Brandes' predecessor condition)
+    bc_parts = []
+    delta = levels[-1].select(
+        "s", "node", "sigma", F.lit(0.0).alias("delta"))
+    if len(levels) > 1:
+        bc_parts.append(delta.select("node", "delta"))
+    for d in range(len(levels) - 2, -1, -1):
+        contrib = (delta
+                   .join(sym, F.col("node") == F.col("b"))
+                   .select("s", F.col("a").alias("node"),
+                           ((F.lit(1.0) + F.col("delta")) / F.col("sigma"))
+                           .alias("t"))
+                   .groupBy("s", "node").agg(F.sum("t").alias("tsum")))
+        delta = (levels[d].join(contrib, ["s", "node"], "left")
+                 .select("s", "node", "sigma",
+                         (F.col("sigma").cast("double")
+                          * F.coalesce(F.col("tsum"), F.lit(0.0)))
+                         .alias("delta"))
+                 .localCheckpoint())
+        if d > 0:  # delta(s, s) is excluded from bc by definition
+            bc_parts.append(delta.select("node", "delta"))
+
+    if not bc_parts:
+        return nodes.select("node", F.lit(0.0).alias("bc")).limit(0)
+    alld = bc_parts[0]
+    for p in bc_parts[1:]:
+        alld = alld.unionByName(p)
+    bc = (alld.groupBy("node")
+          .agg((F.sum("delta") / F.lit(2.0)).alias("bc")))
+    if scale and sources is not None:
+        v_n = nodes.count()
+        k_n = pivots.count()
+        if k_n:
+            bc = bc.select("node", (F.col("bc") * F.lit(v_n / k_n))
+                           .alias("bc"))
+    return bc
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a community assignment -> one row
+    (m, communities, q): the quality score for the partitions
+    ``lpa_communities`` (or components/dedup clustering) emit.
+
+    Q = sum_c [ e_c/m - (d_c/(2m))^2 ] over communities c, with m the
+    undirected edge count, e_c the edges internal to c and d_c the
+    degree sum of c's nodes. Computed EXACTLY: the sum is folded to one
+    integer numerator N = sum_c (4*m*e_c - d_c^2) in DECIMAL(38,0) —
+    order-independent — and Q = N / (4*m^2) is ONE IEEE division of
+    identical integers, so the result is bit-stable across engines and
+    partial-agg orders (the repo's exact-arithmetic discipline; sits
+    under a strict DuckDB oracle in tests). Nodes absent from
+    ``labels`` count as their own singleton community (coalesce to the
+    node id).
+
+    Scale shape: two broadcast-or-shuffle joins edge->label (the label
+    table is node-sized), one degree agg, two community-keyed aggs —
+    all partial-agg friendly, nothing pair-quadratic.
+    """
+    und = _undirected(edges).localCheckpoint()
+    m = und.count()
+    lab = labels.select(F.col("node"), F.col("community"))
+    if m == 0:
+        from pyspark.sql.types import (LongType, DoubleType, StructField,
+                                       StructType)
+        spark = und.sparkSession
+        return spark.createDataFrame(
+            [(0, 0, 0.0)],
+            StructType([StructField("m", LongType()),
+                        StructField("communities", LongType()),
+                        StructField("q", DoubleType())]))
+
+    lu = lab.select(F.col("node").alias("u"), F.col("community").alias("cu"))
+    lv = lab.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    tagged = (und.join(lu, "u", "left").join(lv, "v", "left")
+              .select(F.coalesce(F.col("cu"), F.col("u")).alias("cu"),
+                      F.coalesce(F.col("cv"), F.col("v")).alias("cv")))
+    e_c = (tagged.filter(F.col("cu") == F.col("cv"))
+           .groupBy(F.col("cu").alias("community"))
+           .agg(F.count("*").alias("e_in")))
+
+    deg = (und.select(F.col("u").alias("node"))
+           .unionAll(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("d")))
+    d_c = (deg.join(lab, "node", "left")
+           .select(F.coalesce(F.col("community"), F.col("node"))
+                   .alias("community"), "d")
+           .groupBy("community").agg(F.sum("d").alias("d_sum")))
+
+    per = (d_c.join(e_c, "community", "left")
+           .select("community",
+                   F.coalesce(F.col("e_in"), F.lit(0)).alias("e_in"),
+                   "d_sum"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (per.agg(
+        F.count("*").cast("long").alias("communities"),
+        F.sum(F.lit(4 * m).cast("decimal(38,0)") * dec("e_in")
+              - dec("d_sum") * dec("d_sum")).alias("n")))
+    return num.select(
+        F.lit(m).cast("long").alias("m"),
+        "communities",
+        (F.col("n").cast("double")
+         / F.lit(float(4 * m * m))).alias("q"))
+
+
+def ktruss(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
+    """edges(src, dst) (undirected reading) -> (u, v, support): the
+    k-truss — the maximal subgraph in which every EDGE closes >= k-2
+    triangles — with each surviving edge's final support. The
+    edge-grade cohesion probe one notch stricter than ``kcore`` (a
+    k-truss is always inside the (k-1)-core): alias-cluster edges that
+    survive the 3-truss are triangle-corroborated, the edge-level
+    version of the triangle_count node signal.
+
+    Iterative support peeling (Cohen 2008): count per-edge support on
+    the CURRENT subgraph via the same degree-ordered oriented triangle
+    enumeration as ``triangle_count`` (exactly-once per triangle,
+    O(sqrt(E)) wedge fan-out bound), drop edges below k-2, repeat to
+    fixpoint. The result is unique — peeling order cannot change the
+    maximal fixpoint — so output is deterministic. Shrinking fixpoints
+    are not recursive-CTE-expressible; pytest-parity class with kcore.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 (the 2-truss is trivially the "
+                         "whole graph)")
+    und = _undirected(edges).localCheckpoint()
+    need = k - 2
+    support = None
+
+    for _ in range(max_iter):
+        deg = (und.select(F.col("u").alias("n"))
+               .unionAll(und.select(F.col("v").alias("n")))
+               .groupBy("n").agg(F.count("*").alias("deg")))
+        du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+        dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+        withdeg = und.join(du, "u").join(dv, "v")
+        fwd = (F.col("du") < F.col("dv")) | \
+            ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        oriented = withdeg.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"))
+        e1 = oriented.select("a", "b")
+        e2 = oriented.select(F.col("a").alias("a2"), F.col("b").alias("c"))
+        wedges = e1.join(e2, e1.a == e2.a2).select("a", "b", "c")
+        closing = oriented.select(F.col("a").alias("b"),
+                                  F.col("b").alias("c"))
+        tris = wedges.join(closing, ["b", "c"])
+        # each triangle supports its three undirected edges
+        tri_edges = (
+            tris.select(F.least("a", "b").alias("u"),
+                        F.greatest("a", "b").alias("v"))
+            .unionAll(tris.select(F.least("a", "c").alias("u"),
+                                  F.greatest("a", "c").alias("v")))
+            .unionAll(tris.select(F.least("b", "c").alias("u"),
+                                  F.greatest("b", "c").alias("v"))))
+        support = (tri_edges.groupBy("u", "v")
+                   .agg(F.count("*").cast("long").alias("support")))
+        kept = (und.join(support, ["u", "v"], "left")
+                .select("u", "v",
+                        F.coalesce(F.col("support"), F.lit(0))
+                        .alias("support"))
+                .filter(F.col("support") >= need)
+                .localCheckpoint())
+        if kept.count() == und.count():
+            return kept
+        und = kept.select("u", "v").localCheckpoint()
+        if und.isEmpty():
+            return kept
+    return (und.join(support, ["u", "v"], "left")
+            .select("u", "v", F.coalesce(F.col("support"), F.lit(0))
+                    .alias("support")))

@@ -34,12 +34,16 @@ join and range join operators in this repo ship.
 
 from __future__ import annotations
 
+import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _TERM_COLS = ("subj", "pred", "obj")
+
+# bounded path quantifier suffix: pred{lo,hi}
+_QUANT_RE = re.compile(r"^(.*)\{(\d+),(\d+)\}$")
 
 
 def _is_var(term: str) -> bool:
@@ -88,6 +92,14 @@ def _pattern_df(triples: DataFrame, pattern: Sequence[str],
     (and usually unintended) relation; write it over an explicit
     alternation instead.
 
+    A literal predicate ending in ``{lo,hi}`` (e.g. ``subclass_of{1,3}``)
+    is a bounded path quantifier: the pattern's relation becomes
+    ``property_path_range`` (walk of length lo..hi — see its docstring
+    for the walk-vs-min-distance semantics). It composes with ``^``
+    (transpose) but not with ``!``, ``|`` or ``+``/``*`` (rejected
+    explicitly); like the closures, it runs eagerly at compile time and
+    is rejected inside a GRAPH ?var block.
+
     ``graph_var`` (from ``bgp_match(graph="?g")``) adds the table's
     ``graph_col`` column as one more bound variable on this pattern —
     SPARQL ``GRAPH ?g { ... }`` semantics fall out of the join: every
@@ -109,6 +121,21 @@ def _pattern_df(triples: DataFrame, pattern: Sequence[str],
     if (not _is_var(p_term) and len(p_term) > 1 and p_term.startswith("!")):
         negate = True
         p_term = p_term[1:]
+    rng: Optional[Tuple[int, int]] = None
+    if not _is_var(p_term):
+        qm = _QUANT_RE.match(p_term)
+        if qm:
+            if not qm.group(1):
+                raise ValueError(
+                    f"pattern {idx}: quantifier without a predicate "
+                    f"({p_term!r})")
+            rng = (int(qm.group(2)), int(qm.group(3)))
+            p_term = qm.group(1)
+            if p_term[-1] in "+*":
+                raise ValueError(
+                    f"pattern {idx}: quantifier on a closure "
+                    f"({p_term}{{{rng[0]},{rng[1]}}}) is redundant — "
+                    "use the closure or the bounded quantifier alone")
     alts: Optional[List[str]] = None
     if not _is_var(p_term) and "|" in p_term:
         if p_term[-1] in "+*":
@@ -121,21 +148,37 @@ def _pattern_df(triples: DataFrame, pattern: Sequence[str],
         if len(alts) != len(parts) or len(alts) < 2:
             raise ValueError(
                 f"pattern {idx}: malformed alternation {p_term!r}")
-    if (not _is_var(p_term) and len(p_term) > 1 and p_term[-1] in "+*"):
+    if (not _is_var(p_term)
+            and ((len(p_term) > 1 and p_term[-1] in "+*")
+                 or rng is not None)):
         if negate:
             raise ValueError(
-                f"pattern {idx}: negated property set with closure "
-                f"(!{p_term!r}) is not supported — take the closure of "
-                "an explicit alternation of the wanted predicates")
+                f"pattern {idx}: negated property set with closure or "
+                f"quantifier (!{p_term!r}) is not supported — take the "
+                "closure of an explicit alternation of the wanted "
+                "predicates")
+        if rng is not None and alts is not None:
+            raise ValueError(
+                f"pattern {idx}: quantified alternation "
+                f"(({p_term}){{{rng[0]},{rng[1]}}}) is not supported — "
+                "write one quantified pattern per predicate and UNION "
+                "the blocks")
         if graph_var is not None:
             raise ValueError(
-                f"pattern {idx}: closure predicate {p_term!r} inside a "
-                "GRAPH ?var block is not supported (the closure would "
-                "run per graph) — use a graph literal, which prefilters "
-                "the table, or run the closure outside the GRAPH block")
-        rel = property_path_plus(triples, p_term[:-1],
-                                 start_var="__path_s", end_var="__path_o",
-                                 zero_or_more=p_term.endswith("*"))
+                f"pattern {idx}: closure/quantifier predicate "
+                f"{p_term!r} inside a GRAPH ?var block is not supported "
+                "(the closure would run per graph) — use a graph "
+                "literal, which prefilters the table, or run the "
+                "closure outside the GRAPH block")
+        if rng is not None:
+            rel = property_path_range(triples, p_term, rng[0], rng[1],
+                                      start_var="__path_s",
+                                      end_var="__path_o")
+        else:
+            rel = property_path_plus(triples, p_term[:-1],
+                                     start_var="__path_s",
+                                     end_var="__path_o",
+                                     zero_or_more=p_term.endswith("*"))
         df = rel
         seen: Dict[str, str] = {}
         keep: List[str] = []
@@ -256,6 +299,12 @@ def _estimate_rows(pattern: Sequence[str],
         ns = sum(v[1] for v in stats.values()) or 1
         no = sum(v[2] for v in stats.values()) or 1
     else:
+        qrepeat = 1
+        qm = _QUANT_RE.match(p)
+        if qm and qm.group(1):
+            p = qm.group(1)  # bounded quantifier: estimate per power
+            qlo, qhi = int(qm.group(2)), int(qm.group(3))
+            qrepeat = max(qhi - max(qlo, 1) + 1, 1)
         closed = len(p) > 1 and p[-1] in "+*"
         key = p[:-1] if closed else p
         if key.startswith("^"):  # inverse path: same edge set, swapped
@@ -277,6 +326,7 @@ def _estimate_rows(pattern: Sequence[str],
             no = sum(v[2] for v in stats.values()) or 1
         if closed:  # unbounded path: the closure is >= the edge set;
             n *= 4  # a fixed expansion factor keeps it ranked honestly
+        n *= qrepeat  # bounded quantifier: one power per length
         n, ns, no = n or 0.5, ns or 1, no or 1
     est = float(n)
     if not _is_var(s):
@@ -759,6 +809,66 @@ def property_path_plus(triples: DataFrame, pred: str,
                                    F.col("n").alias("dst"))).distinct()
     return cl.select(F.col("src").alias(start_var),
                      F.col("dst").alias(end_var))
+
+
+def property_path_range(triples: DataFrame, pred: str,
+                        lo: int, hi: int,
+                        start_var: str = "start",
+                        end_var: str = "end",
+                        max_hops: int = 30) -> DataFrame:
+    """Bounded SPARQL path quantifier ``pred{lo,hi}``.
+
+    Semantics follow the 2010 SPARQL 1.1 draft's ``elt{n,m}`` (dropped
+    from the final REC; still shipped by engines as path-length
+    modifiers): (a, b) qualifies iff some WALK of length k with
+    lo <= k <= hi connects a to b along ``pred`` edges. This is NOT
+    "minimum distance in [lo, hi]" — a directly-linked pair still
+    matches ``{2,2}`` when a 2-step walk (e.g. through a cycle) also
+    exists. Computed as boolean relation powers: R_1 = E,
+    R_k = distinct(R_{k-1} compose E), unioned over k in [max(lo,1), hi];
+    lo = 0 adds the zero-length identity on nodes incident to ``pred``
+    (the same incident-node scope divergence documented on ``pred*``).
+
+    Scale shape: each power is one shuffle join of the current pair
+    relation (pair-bounded — in practice the k-hop neighborhood of the
+    single predicate's edge set, never the 10^12-triple table) against
+    the pushed ``pred = literal`` edge scan; ``hi`` bounds the loop and
+    ``localCheckpoint`` truncates lineage per power. Early exit when a
+    power comes back empty (DAG shorter than hi).
+    """
+    if lo < 0 or hi < lo or hi < 1:
+        raise ValueError(f"bad quantifier bounds {{{lo},{hi}}}: need "
+                         "0 <= lo <= hi and hi >= 1")
+    if hi > max_hops:
+        raise ValueError(f"quantifier upper bound {hi} exceeds max_hops="
+                         f"{max_hops} — use property_path_plus for "
+                         "unbounded reach")
+    edges = (triples.filter(F.col("pred") == pred)
+             .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+             .distinct().localCheckpoint())
+    e2 = edges.select(F.col("src").alias("__m"), F.col("dst").alias("__d"))
+    cur = edges
+    acc = cur if lo <= 1 else None
+    for k in range(2, hi + 1):
+        cur = (cur.join(e2, cur["dst"] == e2["__m"])
+               .select(F.col("src"), F.col("__d").alias("dst"))
+               .distinct().localCheckpoint())
+        if cur.isEmpty():
+            break
+        if k >= lo:
+            acc = cur if acc is None else acc.unionByName(cur)
+    if acc is None:  # lo > longest walk: empty relation, schema kept
+        acc = edges.limit(0)
+    out = acc.distinct()
+    if lo == 0:
+        nodes = (edges.select(F.col("src").alias("n"))
+                 .unionByName(edges.select(F.col("dst").alias("n")))
+                 .distinct())
+        out = (out.unionByName(nodes.select(F.col("n").alias("src"),
+                                            F.col("n").alias("dst")))
+               .distinct())
+    return out.select(F.col("src").alias(start_var),
+                      F.col("dst").alias(end_var))
 
 
 def construct(triples: DataFrame, patterns: Sequence[Sequence[str]],

@@ -256,6 +256,9 @@ def test_cli_analytics_flag(spark, tmp_path, capsys):
     n_comm = (spark.read.parquet(ana + "/communities")
               .select("community").distinct().count())
     assert stats["communities"] == n_comm and n_comm > 0
+    bc = spark.read.parquet(ana + "/betweenness")
+    assert bc.count() == stats["betweenness_rows"] > 0
+    assert bc.columns == ["node", "bc"]
 
 
 # ---------------------------------------------------------------- LPA --- #
@@ -331,3 +334,294 @@ def test_cli_analytics_emits_harmonic(spark, tmp_path, capsys):
     h = spark.read.parquet(ana + "/harmonic")
     assert h.count() == stats["harmonic_rows"] > 0
     assert h.filter("harmonic < 0").count() == 0
+
+
+# ---- betweenness centrality (r5o) ----
+
+def _brute_betweenness(edges, sources=None):
+    """Textbook Brandes (2001): exact betweenness, undirected, with the
+    same /2 double-count convention as the operator."""
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    nodes = sorted(adj)
+    bc = dict.fromkeys(nodes, 0.0)
+    for s in (nodes if sources is None else sources):
+        if s not in adj:
+            continue
+        stack, preds = [], defaultdict(list)
+        sigma = dict.fromkeys(nodes, 0)
+        sigma[s] = 1
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = dict.fromkeys(nodes, 0.0)
+        while stack:
+            w = stack.pop()
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return {n: b / 2.0 for n, b in bc.items()}
+
+
+def _bc_df(spark, edges):
+    from stackoverflowner_spark.operators.graphalgo import betweenness
+    df = spark.createDataFrame(
+        [(str(u), str(v)) for u, v in edges], "src string, dst string")
+    return {r.node: r.bc for r in betweenness(df).collect()}
+
+
+def test_betweenness_path_graph(spark):
+    got = _bc_df(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert got == pytest.approx({"a": 0.0, "b": 2.0, "c": 2.0, "d": 0.0})
+
+
+def test_betweenness_star_center(spark):
+    n = 7
+    got = _bc_df(spark, [("hub", f"leaf{i}") for i in range(n)])
+    assert got["hub"] == pytest.approx(n * (n - 1) / 2.0)
+    assert all(got[f"leaf{i}"] == pytest.approx(0.0) for i in range(n))
+
+
+def test_betweenness_matches_brute_force(spark):
+    edges = _random_graph(n=40, m=90, seed=13)
+    want = _brute_betweenness(edges)
+    got = _bc_df(spark, edges)
+    assert set(got) == set(str(n) for n in want)
+    for n, b in want.items():
+        assert got[str(n)] == pytest.approx(b, rel=1e-9, abs=1e-9), n
+
+
+def test_betweenness_disconnected_components(spark):
+    # two separate paths: dependencies never cross components
+    edges = [("a", "b"), ("b", "c"), ("x", "y"), ("y", "z")]
+    got = _bc_df(spark, edges)
+    assert got == pytest.approx(
+        {"a": 0.0, "b": 1.0, "c": 0.0, "x": 0.0, "y": 1.0, "z": 0.0})
+
+
+def test_betweenness_sampled_pivots_match_brute(spark):
+    from stackoverflowner_spark.operators.graphalgo import betweenness
+    edges = _random_graph(n=30, m=70, seed=5)
+    srcs = ["0", "3", "7", "11", "19"]
+    df = spark.createDataFrame(
+        [(str(u), str(v)) for u, v in edges], "src string, dst string")
+    sdf = spark.createDataFrame([(s,) for s in srcs], "node string")
+    got = {r.node: r.bc for r in betweenness(df, sources=sdf).collect()}
+    want = _brute_betweenness(edges, sources=[int(s) for s in srcs])
+    for n, b in want.items():
+        if str(n) in got:
+            assert got[str(n)] == pytest.approx(b, rel=1e-9, abs=1e-9), n
+        else:
+            assert b == pytest.approx(0.0)
+
+
+def test_betweenness_scale_with_all_pivots_is_exact(spark):
+    from stackoverflowner_spark.operators.graphalgo import betweenness
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("b", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    allnodes = spark.createDataFrame(
+        [(n,) for n in "abcd"], "node string")
+    exact = {r.node: r.bc for r in betweenness(df).collect()}
+    scaled = {r.node: r.bc
+              for r in betweenness(df, sources=allnodes,
+                                   scale=True).collect()}
+    assert scaled == pytest.approx(exact)
+
+
+def test_sample_pivots_deterministic_and_bounded(spark):
+    from stackoverflowner_spark.operators.graphalgo import sample_pivots
+    edges = _random_graph(n=25, m=60, seed=3)
+    df = spark.createDataFrame(
+        [(str(u), str(v)) for u, v in edges], "src string, dst string")
+    a = [r.node for r in sample_pivots(df, 6).collect()]
+    b = [r.node for r in sample_pivots(df.repartition(7), 6).collect()]
+    assert a == b and len(a) == 6
+    big = [r.node for r in sample_pivots(df, 10_000).collect()]
+    assert len(big) == len({str(u) for u, _ in edges}
+                           | {str(v) for _, v in edges})
+
+
+# ---- modularity + k-truss (r5o) ----
+
+def _brute_modularity(edges, labels):
+    """Textbook Q via exact fractions."""
+    from fractions import Fraction
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    m = len(und)
+    if m == 0:
+        return 0.0
+    lab = dict(labels)
+    deg = defaultdict(int)
+    for u, v in und:
+        deg[u] += 1
+        deg[v] += 1
+    com = lambda n: lab.get(n, n)  # noqa: E731
+    e_c = defaultdict(int)
+    for u, v in und:
+        if com(u) == com(v):
+            e_c[com(u)] += 1
+    d_c = defaultdict(int)
+    for n, d in deg.items():
+        d_c[com(n)] += d
+    q = sum((Fraction(e_c[c], m) - Fraction(d_c[c], 2 * m) ** 2
+             for c in d_c), Fraction(0))
+    return float(q)
+
+
+def test_modularity_single_community_is_zero(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    lab = spark.createDataFrame([(n, "one") for n in "abcd"],
+                                "node string, community string")
+    from stackoverflowner_spark.operators.graphalgo import modularity
+    row = modularity(df, lab).collect()[0]
+    assert row.m == 4 and row.communities == 1 and row.q == 0.0
+
+
+def test_modularity_two_cliques_with_bridge(spark):
+    from stackoverflowner_spark.operators.graphalgo import (lpa_communities,
+                                                            modularity)
+    edges = ([("a" + str(i), "a" + str(j))
+              for i in range(4) for j in range(i + 1, 4)]
+             + [("b" + str(i), "b" + str(j))
+                for i in range(4) for j in range(i + 1, 4)]
+             + [("a0", "b0")])
+    df = spark.createDataFrame(edges, "src string, dst string")
+    lab = lpa_communities(df)
+    row = modularity(df, lab).collect()[0]
+    want = _brute_modularity(
+        edges, [(r.node, r.community) for r in lab.collect()])
+    assert row.q == pytest.approx(want, abs=1e-12)
+    assert row.q > 0.3  # two dense blocks: clearly modular
+
+
+def test_modularity_missing_labels_are_singletons(spark):
+    from stackoverflowner_spark.operators.graphalgo import modularity
+    edges = [("a", "b"), ("b", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    lab = spark.createDataFrame([("a", "g1"), ("b", "g1")],
+                                "node string, community string")
+    row = modularity(df, lab).collect()[0]
+    want = _brute_modularity(edges, [("a", "g1"), ("b", "g1")])
+    assert row.q == pytest.approx(want, abs=1e-15)
+    assert row.communities == 2  # g1 + singleton c
+
+
+def test_modularity_duckdb_bitwise_oracle(spark):
+    import duckdb
+    from stackoverflowner_spark.operators.graphalgo import (lpa_communities,
+                                                            modularity)
+    edges = _random_graph(n=30, m=70, seed=21)
+    sedges = [(str(u), str(v)) for u, v in edges]
+    df = spark.createDataFrame(sedges, "src string, dst string")
+    lab = lpa_communities(df)
+    got = modularity(df, lab).collect()[0]
+
+    con = duckdb.connect()
+    con.execute("create table e (src varchar, dst varchar)")
+    con.executemany("insert into e values (?, ?)", sedges)
+    con.execute("create table l (node varchar, community varchar)")
+    con.executemany("insert into l values (?, ?)",
+                    [(r.node, r.community) for r in lab.collect()])
+    want = con.execute("""
+        with und as (select distinct least(src, dst) as u,
+                                     greatest(src, dst) as v
+                     from e where src <> dst),
+        mm as (select count(*) as m from und),
+        tagged as (select coalesce(lu.community, und.u) as cu,
+                          coalesce(lv.community, und.v) as cv
+                   from und
+                   left join l lu on lu.node = und.u
+                   left join l lv on lv.node = und.v),
+        ec as (select cu as community, count(*) as e_in
+               from tagged where cu = cv group by cu),
+        deg as (select n, count(*) as d from
+                (select u as n from und union all select v from und)
+                group by n),
+        dc as (select coalesce(l.community, deg.n) as community,
+                      sum(d) as d_sum
+               from deg left join l on l.node = deg.n group by 1),
+        per as (select dc.community, coalesce(e_in, 0) as e_in, d_sum
+                from dc left join ec using (community))
+        select (select m from mm) as m,
+               count(*) as communities,
+               cast(sum(4 * (select m from mm) * e_in - d_sum * d_sum)
+                    as double)
+                 / cast(4 * (select m from mm) * (select m from mm)
+                        as double) as q
+        from per""").fetchone()
+    assert (got.m, got.communities) == (want[0], want[1])
+    assert got.q == want[2]  # bitwise: exact integer fold, one division
+
+
+def _brute_ktruss(edges, k):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        adj = defaultdict(set)
+        for u, v in und:
+            adj[u].add(v)
+            adj[v].add(u)
+        sup = {e: len(adj[e[0]] & adj[e[1]]) for e in und}
+        bad = {e for e, s in sup.items() if s < k - 2}
+        if not bad:
+            return sup
+        und -= bad
+
+
+def _ktruss_spark(spark, edges, k):
+    from stackoverflowner_spark.operators.graphalgo import ktruss
+    df = spark.createDataFrame(
+        [(str(u), str(v)) for u, v in edges], "src string, dst string")
+    return {(r.u, r.v): r.support for r in ktruss(df, k).collect()}
+
+
+def test_ktruss_triangle_is_3truss(spark):
+    got = _ktruss_spark(spark, [("a", "b"), ("b", "c"), ("a", "c")], 3)
+    assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_ktruss_tree_empty_at_3(spark):
+    got = _ktruss_spark(spark, [("a", "b"), ("b", "c"), ("c", "d")], 3)
+    assert got == {}
+
+
+def test_ktruss_clique_k5(spark):
+    edges = [(f"n{i}", f"n{j}") for i in range(5) for j in range(i + 1, 5)]
+    got = _ktruss_spark(spark, edges, 5)
+    assert len(got) == 10 and set(got.values()) == {3}
+    assert _ktruss_spark(spark, edges, 6) == {}
+
+
+def test_ktruss_matches_brute_force(spark):
+    edges = _random_graph(n=25, m=90, seed=9)
+    for k in (3, 4):
+        # the operator canonicalizes pairs as STRINGS (least/greatest),
+        # the brute force as ints — compare under one key convention
+        want = {tuple(sorted((str(u), str(v)))): s
+                for (u, v), s in _brute_ktruss(edges, k).items()}
+        got = _ktruss_spark(spark, edges, k)
+        assert got == want, k
+
+
+def test_ktruss_inside_kminus1_core(spark):
+    # classic containment: the k-truss is a subgraph of the (k-1)-core
+    from stackoverflowner_spark.operators.graphalgo import kcore, ktruss
+    edges = _random_graph(n=30, m=110, seed=17)
+    df = spark.createDataFrame(
+        [(str(u), str(v)) for u, v in edges], "src string, dst string")
+    truss_nodes = {x for r in ktruss(df, 4).collect() for x in (r.u, r.v)}
+    core_nodes = {r.node for r in kcore(df, 3).collect()}
+    assert truss_nodes <= core_nodes

@@ -1170,3 +1170,134 @@ def test_kgq_cli_graph_exists_having_sequence(spark, tmp_path, capsys):
             capsys.readouterr().out.strip().splitlines()]
     assert sorted((r["a"], r["t"]) for r in out3) == [
         ("np", "Library"), ("pd", "Library")]
+
+
+# ---- bounded path quantifier pred{lo,hi} (r5o) ----
+
+def test_property_path_range_basic_chain(spark):
+    from stackoverflowner_spark.operators.kgquery import property_path_range
+    tri = _df(spark, [
+        ("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"),
+        ("x", "q", "y"),   # other predicate must not leak
+    ])
+    out = property_path_range(tri, "p", 2, 3)
+    got = {(r.start, r.end) for r in out.collect()}
+    assert got == {("a", "c"), ("b", "d"), ("a", "d")}
+
+
+def test_property_path_range_walks_not_min_distance(spark):
+    # a->b, b->c, c->b: (a,c) has min distance 2 AND a 4-walk
+    # (a,b,c,b,c); {2,2} must include (b,b)/(c,c) via the cycle even
+    # though their min distance is 0/"direct" notions don't apply
+    from stackoverflowner_spark.operators.kgquery import property_path_range
+    tri = _df(spark, [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "b")])
+    got = {(r.start, r.end) for r in
+           property_path_range(tri, "p", 2, 2).collect()}
+    assert got == {("a", "c"), ("b", "b"), ("c", "c")}
+    # and a pair with a direct edge does NOT match {2,2} unless a
+    # 2-walk exists: (a,b) only has walks of even length via... none
+    assert ("a", "b") not in got
+
+
+def test_property_path_range_zero_includes_incident_nodes(spark):
+    from stackoverflowner_spark.operators.kgquery import property_path_range
+    tri = _df(spark, [("a", "p", "b"), ("b", "p", "c")])
+    got = {(r.start, r.end) for r in
+           property_path_range(tri, "p", 0, 1).collect()}
+    assert got == {("a", "a"), ("b", "b"), ("c", "c"),
+                   ("a", "b"), ("b", "c")}
+
+
+def test_property_path_range_lo_beyond_graph_is_empty(spark):
+    from stackoverflowner_spark.operators.kgquery import property_path_range
+    tri = _df(spark, [("a", "p", "b"), ("b", "p", "c")])
+    out = property_path_range(tri, "p", 5, 8)
+    assert out.count() == 0
+    assert out.columns == ["start", "end"]
+
+
+def test_property_path_range_bad_bounds_rejected(spark):
+    from stackoverflowner_spark.operators.kgquery import property_path_range
+    tri = _df(spark, [("a", "p", "b")])
+    import pytest as _pt
+    with _pt.raises(ValueError, match="bounds"):
+        property_path_range(tri, "p", 3, 2)
+    with _pt.raises(ValueError, match="bounds"):
+        property_path_range(tri, "p", 0, 0)
+    with _pt.raises(ValueError, match="max_hops"):
+        property_path_range(tri, "p", 1, 99)
+
+
+def test_property_path_range_duckdb_recursive_cte_parity(spark):
+    # strict parity with a DuckDB recursive CTE tracking walk length on
+    # a random graph WITH cycles, across several (lo, hi) windows
+    import duckdb
+    from stackoverflowner_spark.operators.kgquery import property_path_range
+    rng = random.Random(11)
+    edges = sorted({(f"n{rng.randrange(14)}", f"n{rng.randrange(14)}")
+                    for _ in range(40)})
+    tri = _df(spark, [(s, "p", o) for s, o in edges])
+    con = duckdb.connect()
+    con.execute("create table e (src varchar, dst varchar)")
+    con.executemany("insert into e values (?, ?)", edges)
+    for lo, hi in [(1, 1), (2, 3), (1, 4), (3, 3), (2, 6)]:
+        got = {(r.start, r.end) for r in
+               property_path_range(tri, "p", lo, hi).collect()}
+        want = {tuple(r) for r in con.execute(f"""
+            with recursive w(src, dst, k) as (
+              select src, dst, 1 from e
+              union
+              select w.src, e.dst, w.k + 1
+              from w join e on w.dst = e.src where w.k < {hi})
+            select distinct src, dst from w
+            where k between {lo} and {hi}""").fetchall()}
+        assert got == want, (lo, hi)
+
+
+def test_bgp_with_quantified_predicate(spark):
+    tri = _df(spark, [
+        ("Algorithm", "subclass_of", "Method"),
+        ("Method", "subclass_of", "Concept"),
+        ("Concept", "subclass_of", "Thing"),
+        ("quicksort", "instance_of", "Algorithm"),
+    ])
+    out = bgp_match(tri, [
+        ("?e", "instance_of", "?x"),
+        ("?x", "subclass_of{1,2}", "?y"),
+    ], select=["e", "y"])
+    got = {(r.e, r.y) for r in out.collect()}
+    assert got == {("quicksort", "Method"), ("quicksort", "Concept")}
+
+
+def test_inverse_quantifier_is_transpose(spark):
+    tri = _df(spark, [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d")])
+    fwd = {(r.x, r.y) for r in
+           bgp_match(tri, [("?x", "p{2,3}", "?y")]).collect()}
+    inv = {(r.y, r.x) for r in
+           bgp_match(tri, [("?x", "^p{2,3}", "?y")]).collect()}
+    assert fwd == inv and fwd == {("a", "c"), ("b", "d"), ("a", "d")}
+
+
+def test_quantifier_rejections(spark):
+    tri = _df(spark, [("a", "p", "b")])
+    with pytest.raises(ValueError, match="negated"):
+        bgp_match(tri, [("?x", "!p{1,2}", "?y")])
+    with pytest.raises(ValueError, match="alternation"):
+        bgp_match(tri, [("?x", "p|q{1,2}", "?y")])
+    with pytest.raises(ValueError, match="redundant"):
+        bgp_match(tri, [("?x", "p+{1,2}", "?y")])
+    with pytest.raises(ValueError, match="GRAPH"):
+        bgp_match(tri.withColumn("url", tri.subj),
+                  [("?x", "p{1,2}", "?y")], graph="?g")
+    with pytest.raises(ValueError, match="without a predicate"):
+        bgp_match(tri, [("?x", "{1,2}", "?y")])
+
+
+def test_quantifier_in_sequence_path(spark):
+    # sequence steps may carry the quantifier mini-syntax
+    tri = _df(spark, [
+        ("a", "p", "b"), ("b", "p", "c"),
+        ("c", "q", "z1"), ("b", "q", "z2"),
+    ])
+    out = bgp_match(tri, [("a", "p{1,2}/q", "?y")])
+    assert sorted(r.y for r in out.collect()) == ["z1", "z2"]
