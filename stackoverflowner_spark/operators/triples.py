@@ -168,3 +168,76 @@ def write_triples_bucketed(triples: DataFrame, table: str, n_buckets: int = 64,
     (triples.write.mode(mode)
      .bucketBy(n_buckets, "subj").sortBy("subj")
      .format("parquet").saveAsTable(table))
+
+
+def _unesc_literal(col: F.Column) -> F.Column:
+    """Inverse of ``_esc_literal``. Sequential replace cannot unescape
+    backslash escapes directly (``\\\\n`` — an escaped backslash before
+    an 'n' — must NOT become a newline), so escaped backslashes park on
+    a NUL sentinel first: NUL can never appear in the escaped text
+    because the N-Triples grammar forbids raw control characters in
+    literals (and the exporter never emits one)."""
+    out = F.replace(col, F.lit("\\\\"), F.lit("\x00"))
+    out = F.replace(out, F.lit("\\n"), F.lit("\n"))
+    out = F.replace(out, F.lit("\\r"), F.lit("\r"))
+    out = F.replace(out, F.lit("\\t"), F.lit("\t"))
+    out = F.replace(out, F.lit('\\"'), F.lit('"'))
+    return F.replace(out, F.lit("\x00"), F.lit("\\"))
+
+
+def _unesc_iri(col: F.Column) -> F.Column:
+    """Inverse of ``_esc_iri``: decode the bounded percent table,
+    ``%25`` LAST so original percent signs don't double-decode."""
+    out = col
+    for ch, enc in ((" ", "%20"), ('"', "%22"), ("<", "%3C"),
+                    (">", "%3E"), ("\\", "%5C"), ("{", "%7B"),
+                    ("}", "%7D"), ("|", "%7C"), ("^", "%5E"),
+                    ("`", "%60")):
+        out = F.replace(out, F.lit(enc), F.lit(ch))
+    return F.replace(out, F.lit("%25"), F.lit("%"))
+
+
+def parse_ntriples(lines: DataFrame, base: str = "https://kg.example/",
+                   line_col: str = "value") -> DataFrame:
+    """(line) -> (subj, pred, obj): parse N-Triples text back into the
+    engine's triple schema — the read side of ``ntriples_lines``, so an
+    exported KG round-trips losslessly (gated byte-exact in tests) and
+    external N-Triples dumps in the exporter's profile load directly.
+    Read the text with ``spark.read.text(path)`` (one splittable scan;
+    N-Triples is line-delimited, the format property that makes it THE
+    scale-friendly RDF serialization) and pass the DataFrame here.
+
+    Pure column expressions — one regexp per term plus bounded
+    replace chains (JVM-side, whole-stage codegen; no Python in the
+    row path). Lines that do not match the grammar (comments, blank
+    lines, malformed rows) are dropped, the standard lenient-reader
+    contract. ``{base}ent/`` / ``{base}pred/`` IRI prefixes are
+    stripped back to bare ids; other IRIs (page urls of
+    ``mentioned_in`` objects) keep their full text; quoted objects
+    become plain strings (datatype/langtag-free literals, the
+    exporter's profile)."""
+    raw = lines.select(F.col(line_col).alias("line"))
+    # <s> <p> obj .  — obj may contain spaces (quoted literal) or be
+    # an IRI; the terminating " ." anchors the object span
+    pat = r'^<([^>]*)> <([^>]*)> (.*) \.\s*$'
+    parts = (raw
+             .select(F.regexp_extract("line", pat, 1).alias("s_iri"),
+                     F.regexp_extract("line", pat, 2).alias("p_iri"),
+                     F.regexp_extract("line", pat, 3).alias("o_raw"))
+             .filter((F.col("s_iri") != "") & (F.col("p_iri") != "")
+                     & (F.col("o_raw") != "")))
+    ent_pfx, pred_pfx = base + "ent/", base + "pred/"
+    strip = lambda c, p: F.when(  # noqa: E731
+        c.startswith(p), F.substring(c, len(p) + 1, 1 << 20)).otherwise(c)
+    is_lit = F.col("o_raw").rlike(r'^".*"$')
+    is_iri = F.col("o_raw").rlike(r'^<[^>]*>$')
+    o_iri = _unesc_iri(F.regexp_extract("o_raw", r'^<([^>]*)>$', 1))
+    obj = (F.when(is_lit, _unesc_literal(
+               F.regexp_extract("o_raw", r'^"(.*)"$', 1)))
+           .when(is_iri, strip(o_iri, ent_pfx)))
+    return (parts.filter(is_lit | is_iri)
+            .select(strip(_unesc_iri(F.col("s_iri")), ent_pfx)
+                    .alias("subj"),
+                    strip(_unesc_iri(F.col("p_iri")), pred_pfx)
+                    .alias("pred"),
+                    obj.alias("obj")))

@@ -17,10 +17,13 @@ by whitespace, ``?name`` terms are variables — compiled straight to
         [--filter "x like 'num%'"] [--bind "xu=upper(x)"]
 
 Predicates ending in ``+`` or ``*`` are unbounded property paths
-(transitive closure); a leading ``^`` inverts a predicate; ``p1|p2``
+(transitive closure); ``p{lo,hi}`` is the bounded quantifier (walks of
+length lo..hi); a leading ``^`` inverts a predicate; ``p1|p2``
 is an alternative path; a leading ``!`` negates the set (``!p``,
 ``!p1|p2``); ``p1/p2`` is a sequence path (each step may use the other
 operators — note ``/`` splits FIRST here, so ``a|b/c`` = ``(a|b)/c``).
+``--ntriples`` reads the input as N-Triples text instead of parquet,
+so an exported KG queries directly.
 ``--construct`` emits new
 (subj, pred, obj) rows from each solution; ``--ask`` prints a boolean
 existence answer; ``--describe VAR`` prints every triple touching the
@@ -120,6 +123,9 @@ def main(argv=None) -> int:
     ap.add_argument("--bind", dest="binds", action="append", default=[],
                     help="BIND: var=sql_expr adds a computed variable "
                          "(repeatable; later binds may use earlier ones)")
+    ap.add_argument("--ntriples", action="store_true",
+                    help="input path is N-Triples text, not parquet "
+                         "(parsed with operators/triples.parse_ntriples)")
     ap.add_argument("--master", default="local[8]")
     args = ap.parse_args(argv)
     if args.construct and (args.group_by is not None or args.ask):
@@ -149,7 +155,11 @@ def main(argv=None) -> int:
     spark = get_spark(app_name="kgq", master=args.master,
                       shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
-    tri = spark.read.parquet(args.triples)
+    if args.ntriples:
+        from stackoverflowner_spark.operators.triples import parse_ntriples
+        tri = parse_ntriples(spark.read.text(args.triples))
+    else:
+        tri = spark.read.parquet(args.triples)
     optional = parse_patterns(args.optional) if args.optional else None
     not_exists = (parse_patterns(args.not_exists)
                   if args.not_exists else None)
