@@ -909,6 +909,16 @@ def construct(triples: DataFrame, patterns: Sequence[Sequence[str]],
                     minus=minus, values=values,
                     bind=bind, filters=filters,
                     graph=graph, graph_col=graph_col, distinct=False)
+    out = _instantiate(sol, template)
+    return out.distinct() if distinct else out
+
+
+def _instantiate(sol: DataFrame,
+                 template: Sequence[Sequence[str]]) -> DataFrame:
+    """CONSTRUCT-template instantiation over a solution DataFrame: one
+    struct per template pattern exploded per solution row, instantiations
+    carrying a NULL term dropped (SPARQL's incomplete-triple rule).
+    Shared by ``construct`` and ``update_triples``."""
     bound = set(sol.columns)
 
     def term_col(term: str, idx: int) -> F.Column:
@@ -926,11 +936,72 @@ def construct(triples: DataFrame, patterns: Sequence[Sequence[str]],
                  term_col(o, i).alias("obj"))
         for i, (s, p, o) in enumerate(template)
     ]
-    out = (sol.select(F.explode(F.array(*structs)).alias("t"))
-           .select("t.subj", "t.pred", "t.obj")
-           .filter(F.col("subj").isNotNull() & F.col("pred").isNotNull()
-                   & F.col("obj").isNotNull()))
-    return out.distinct() if distinct else out
+    return (sol.select(F.explode(F.array(*structs)).alias("t"))
+            .select("t.subj", "t.pred", "t.obj")
+            .filter(F.col("subj").isNotNull() & F.col("pred").isNotNull()
+                    & F.col("obj").isNotNull()))
+
+
+def update_triples(triples: DataFrame, where: Sequence[Sequence[str]],
+                   delete: Optional[Sequence[Sequence[str]]] = None,
+                   insert: Optional[Sequence[Sequence[str]]] = None,
+                   optional: Optional[Sequence[Sequence[str]]] = None,
+                   not_exists: Optional[Sequence[Sequence[str]]] = None,
+                   exists: Optional[Sequence[Sequence[str]]] = None,
+                   minus: Optional[Sequence[Sequence[str]]] = None,
+                   values: Optional[Tuple[Sequence[str],
+                                          Sequence[Sequence[Optional[str]]]]]
+                   = None,
+                   bind: Optional[Sequence[Tuple[str, str]]] = None,
+                   filters: Optional[Sequence[str]] = None,
+                   graph: Optional[str] = None,
+                   graph_col: str = "url") -> DataFrame:
+    """SPARQL 1.1 UPDATE's ``DELETE { } INSERT { } WHERE { }`` as a pure
+    transformation: returns the NEW graph
+    ``(G - instantiate(delete)) UNION instantiate(insert)`` as a
+    (subj, pred, obj) set — the declarative KG edit surface (retract a
+    deprecated predicate, rewrite aliases to canonicals, retype
+    entities) beside ``construct``'s derive-new-graph surface. At least
+    one of ``delete``/``insert`` is required.
+
+    Spec semantics respected: the WHERE block's bindings are evaluated
+    ONCE against the ORIGINAL graph (deletes never starve the inserts'
+    bindings and vice versa — guaranteed here by instantiating both
+    templates from one solution DataFrame, shared via a lazy
+    ``localCheckpoint`` so the BGP joins run once at first action, not
+    once per template); DELETE applies before INSERT (a triple both
+    deleted and inserted survives); template instantiations with an
+    unbound OPTIONAL variable drop silently (the incomplete-triple
+    rule, via ``_instantiate``). Like ``construct``, the result is the
+    canonical 3-column graph — provenance columns of the input are not
+    carried (re-derive evidence downstream or run updates before the
+    evidence join).
+
+    Scale shape: one BGP evaluation + two generator projections over
+    its checkpointed solutions, one anti-join on the triple key for the
+    delete, one union+distinct for the insert — every shuffle keyed on
+    (subj, pred, obj), nothing pair-quadratic.
+    """
+    if not delete and not insert:
+        raise ValueError("update_triples needs a delete and/or insert "
+                         "template")
+    sol = bgp_match(triples, where, optional=optional,
+                    not_exists=not_exists, exists=exists,
+                    minus=minus, values=values,
+                    bind=bind, filters=filters,
+                    graph=graph, graph_col=graph_col,
+                    distinct=False)
+    if delete and insert:
+        # both templates read the same solutions: share one evaluation
+        sol = sol.localCheckpoint(eager=False)
+    base = triples.select("subj", "pred", "obj").distinct()
+    if delete:
+        dels = _instantiate(sol, delete)
+        base = base.join(dels, ["subj", "pred", "obj"], "left_anti")
+    if insert:
+        ins = _instantiate(sol, insert)
+        base = base.unionByName(ins).distinct()
+    return base
 
 
 def ask(triples: DataFrame, patterns: Sequence[Sequence[str]],

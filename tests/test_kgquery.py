@@ -1301,3 +1301,143 @@ def test_quantifier_in_sequence_path(spark):
     ])
     out = bgp_match(tri, [("a", "p{1,2}/q", "?y")])
     assert sorted(r.y for r in out.collect()) == ["z1", "z2"]
+
+
+# ---- SPARQL UPDATE: DELETE/INSERT WHERE (r5o) ----
+
+def _upd(spark, rows, **kw):
+    from stackoverflowner_spark.operators.kgquery import update_triples
+    out = update_triples(_df(spark, rows), **kw)
+    return {(r.subj, r.pred, r.obj) for r in out.collect()}
+
+
+def test_update_delete_only_retracts(spark):
+    rows = [("numpy", "instance_of", "Library"),
+            ("numpy", "deprecated", "true"),
+            ("pandas", "deprecated", "true")]
+    got = _upd(spark, rows,
+               where=[("?x", "deprecated", "true")],
+               delete=[("?x", "deprecated", "true")])
+    assert got == {("numpy", "instance_of", "Library")}
+
+
+def test_update_insert_only_derives(spark):
+    rows = [("np", "alias_of", "numpy"),
+            ("numpy", "instance_of", "Library")]
+    got = _upd(spark, rows,
+               where=[("?a", "alias_of", "?c"),
+                      ("?c", "instance_of", "?t")],
+               insert=[("?a", "instance_of", "?t")])
+    assert got == set(rows) | {("np", "instance_of", "Library")}
+
+
+def test_update_rewrite_alias_mentions(spark):
+    # canonicalization rewrite: move mentions from alias to canonical
+    rows = [("np", "alias_of", "numpy"),
+            ("np", "mentioned_in", "d1"),
+            ("np", "mentioned_in", "d2"),
+            ("numpy", "mentioned_in", "d1")]
+    got = _upd(spark, rows,
+               where=[("?m", "alias_of", "?c"),
+                      ("?m", "mentioned_in", "?d")],
+               delete=[("?m", "mentioned_in", "?d")],
+               insert=[("?c", "mentioned_in", "?d")])
+    assert got == {("np", "alias_of", "numpy"),
+                   ("numpy", "mentioned_in", "d1"),
+                   ("numpy", "mentioned_in", "d2")}
+
+
+def test_update_bindings_from_original_graph(spark):
+    # the WHERE matches triples the DELETE removes: inserts must still
+    # see the pre-update bindings (spec: one snapshot evaluation)
+    rows = [("a", "p", "b"), ("b", "p", "c")]
+    got = _upd(spark, rows,
+               where=[("?x", "p", "?y"), ("?y", "p", "?z")],
+               delete=[("?x", "p", "?y")],
+               insert=[("?x", "shortcut", "?z")])
+    assert got == {("b", "p", "c"), ("a", "shortcut", "c")}
+
+
+def test_update_delete_and_reinsert_survives(spark):
+    rows = [("a", "p", "b")]
+    got = _upd(spark, rows,
+               where=[("?x", "p", "?y")],
+               delete=[("?x", "p", "?y")],
+               insert=[("?x", "p", "?y")])
+    assert got == {("a", "p", "b")}
+
+
+def test_update_optional_null_drops_instantiation(spark):
+    rows = [("numpy", "instance_of", "Library"),
+            ("np", "alias_of", "numpy")]
+    got = _upd(spark, rows,
+               where=[("?x", "instance_of", "Library")],
+               optional=[("?a", "alias_of", "?x")],
+               insert=[("?a", "seen_alias_of", "?x"),
+                       ("?x", "checked", "yes")])
+    assert got == set(rows) | {("np", "seen_alias_of", "numpy"),
+                               ("numpy", "checked", "yes")}
+
+
+def test_update_needs_a_template(spark):
+    from stackoverflowner_spark.operators.kgquery import update_triples
+    with pytest.raises(ValueError, match="delete and/or insert"):
+        update_triples(_df(spark), [("?x", "instance_of", "?t")])
+
+
+def test_update_duckdb_parity(spark):
+    import duckdb
+    rng = random.Random(23)
+    ents = [f"e{i}" for i in range(12)]
+    rows = sorted({(rng.choice(ents),
+                    rng.choice(["alias_of", "mentioned_in", "instance_of"]),
+                    rng.choice(ents)) for _ in range(60)})
+    got = _upd(spark, rows,
+               where=[("?m", "alias_of", "?c"),
+                      ("?m", "mentioned_in", "?d")],
+               delete=[("?m", "mentioned_in", "?d")],
+               insert=[("?c", "mentioned_in", "?d")])
+    con = duckdb.connect()
+    con.execute("create table t (subj varchar, pred varchar, obj varchar)")
+    con.executemany("insert into t values (?, ?, ?)", rows)
+    want = {tuple(r) for r in con.execute("""
+        with sol as (select a.subj as m, a.obj as c, b.obj as d
+                     from t a join t b on a.subj = b.subj
+                     where a.pred = 'alias_of'
+                       and b.pred = 'mentioned_in'),
+        dels as (select distinct m, d from sol),
+        ins as (select distinct c as subj, 'mentioned_in' as pred,
+                       d as obj from sol),
+        base as (select distinct subj, pred, obj from t),
+        kept as (select * from base
+                 where not exists (select 1 from dels
+                                   where base.pred = 'mentioned_in'
+                                     and base.subj = dels.m
+                                     and base.obj = dels.d))
+        select distinct subj, pred, obj from
+          (select * from kept union all select * from ins)""").fetchall()}
+    assert got == want
+
+
+def test_kgq_cli_update(spark, tmp_path, capsys):
+    import json as _json
+    import tools.kgq as kgq
+    tri = _df(spark, [
+        ("np", "alias_of", "numpy"),
+        ("np", "mentioned_in", "d1"),
+        ("numpy", "instance_of", "Library"),
+    ])
+    p = str(tmp_path / "tri_upd.parquet")
+    tri.write.parquet(p)
+    rc = kgq.main([p, "?m alias_of ?c . ?m mentioned_in ?d",
+                   "--delete", "?m mentioned_in ?d",
+                   "--insert", "?c mentioned_in ?d",
+                   "--master", "local[2]"])
+    assert rc == 0
+    got = {tuple(sorted(_json.loads(l).items()))
+           for l in capsys.readouterr().out.strip().splitlines()}
+    want = {tuple(sorted({"subj": s, "pred": pr, "obj": o}.items()))
+            for s, pr, o in [("np", "alias_of", "numpy"),
+                             ("numpy", "mentioned_in", "d1"),
+                             ("numpy", "instance_of", "Library")]}
+    assert got == want

@@ -25,7 +25,9 @@ operators — note ``/`` splits FIRST here, so ``a|b/c`` = ``(a|b)/c``).
 ``--ntriples`` reads the input as N-Triples text instead of parquet,
 so an exported KG queries directly.
 ``--construct`` emits new
-(subj, pred, obj) rows from each solution; ``--ask`` prints a boolean
+(subj, pred, obj) rows from each solution; ``--delete``/``--insert``
+run SPARQL UPDATE's DELETE/INSERT WHERE and print the UPDATED graph
+(kgquery.update_triples); ``--ask`` prints a boolean
 existence answer; ``--describe VAR`` prints every triple touching the
 resources bound to VAR; ``--filter``/``--bind`` are SPARQL FILTER /
 BIND over the bound variables as Spark SQL expressions;
@@ -123,6 +125,12 @@ def main(argv=None) -> int:
     ap.add_argument("--bind", dest="binds", action="append", default=[],
                     help="BIND: var=sql_expr adds a computed variable "
                          "(repeatable; later binds may use earlier ones)")
+    ap.add_argument("--delete", default=None,
+                    help="SPARQL UPDATE: DELETE template patterns "
+                         "(with --insert and/or alone); prints the "
+                         "updated (subj, pred, obj) graph")
+    ap.add_argument("--insert", default=None,
+                    help="SPARQL UPDATE: INSERT template patterns")
     ap.add_argument("--ntriples", action="store_true",
                     help="input path is N-Triples text, not parquet "
                          "(parsed with operators/triples.parse_ntriples)")
@@ -130,6 +138,11 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     if args.construct and (args.group_by is not None or args.ask):
         ap.error("--construct is exclusive with --group-by/--ask")
+    if (args.delete or args.insert) and (args.construct or args.ask
+                                         or args.describe
+                                         or args.group_by is not None):
+        ap.error("--delete/--insert are exclusive with "
+                 "--construct/--ask/--describe/--group-by")
     if args.describe and (args.construct or args.group_by is not None
                           or args.ask):
         ap.error("--describe is exclusive with "
@@ -182,6 +195,15 @@ def main(argv=None) -> int:
                        not_exists=not_exists, exists=exists, minus=minus,
                        values=values, bind=binds, filters=args.filters,
                        graph=args.graph)
+    elif args.delete or args.insert:
+        from stackoverflowner_spark.operators.kgquery import update_triples
+        out = update_triples(
+            tri, parse_patterns(args.where),
+            delete=parse_patterns(args.delete) if args.delete else None,
+            insert=parse_patterns(args.insert) if args.insert else None,
+            optional=optional, not_exists=not_exists,
+            exists=exists, minus=minus, values=values,
+            bind=binds, filters=args.filters, graph=args.graph)
     elif args.construct:
         out = construct(tri, parse_patterns(args.where),
                         template=parse_patterns(args.construct),
