@@ -370,6 +370,7 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
                                      Sequence[Sequence[Optional[str]]]]] = None,
               bind: Optional[Sequence[Tuple[str, str]]] = None,
               filters: Optional[Sequence[str]] = None,
+              subselects: Optional[Sequence[DataFrame]] = None,
               graph: Optional[str] = None,
               graph_col: str = "url",
               distinct: bool = True,
@@ -449,6 +450,18 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
     are pushed by Catalyst through the joins to the scan like any
     relational predicate.
 
+    ``subselects`` are SPARQL 1.1 subqueries: each entry is a solution
+    DataFrame whose COLUMNS are variable names — typically a
+    ``bgp_agg`` result (the nested ``SELECT ?x (COUNT(?d) AS ?n)``
+    idiom: aggregate inside, join the aggregate back to the outer
+    pattern on the shared variables) or another ``bgp_match``. Each is
+    inner-joined on the variables it shares with the accumulated
+    solutions, right after the required patterns (spec evaluation
+    order: subqueries evaluate bottom-up, then join as group members);
+    its non-shared columns become in-scope variables for
+    filters/bind/select. An entry sharing no variable is rejected
+    under the same product guard as patterns.
+
     ``graph`` is SPARQL ``GRAPH g { ... }`` over the triple table's
     provenance column (``graph_col``, default ``url`` — the page a
     triple was extracted from IS its named graph here). A literal
@@ -518,6 +531,18 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Sequence[str]],
         acc = (acc.join(df, on=shared, how="inner") if shared
                else acc.crossJoin(df))
         bound += [v for v in vars_i if v not in bound]
+    for i, sub in enumerate(subselects or []):
+        sub_vars = list(sub.columns)
+        shared = [v for v in sub_vars if v in bound]
+        if not shared and not allow_product:
+            raise ValueError(
+                f"subselect {i} (columns {sub_vars}) shares no variable "
+                "with the preceding patterns — this is a cartesian "
+                "product; bind a shared variable or pass "
+                "allow_product=True")
+        acc = (acc.join(sub, on=shared, how="inner") if shared
+               else acc.crossJoin(sub))
+        bound += [v for v in sub_vars if v not in bound]
     for i, pat in enumerate(optional or []):
         if len(pat) == 3 and not _is_var(pat[1]) and "/" in pat[1]:
             # sequence path under OPTIONAL: compile the WHOLE chain as a
@@ -701,6 +726,7 @@ def bgp_agg(triples: DataFrame, patterns: Sequence[Sequence[str]],
             bind: Optional[Sequence[Tuple[str, str]]] = None,
             filters: Optional[Sequence[str]] = None,
             having: Optional[Sequence[str]] = None,
+            subselects: Optional[Sequence[DataFrame]] = None,
             graph: Optional[str] = None,
             graph_col: str = "url",
             solution_distinct: bool = False) -> DataFrame:
@@ -731,6 +757,7 @@ def bgp_agg(triples: DataFrame, patterns: Sequence[Sequence[str]],
                     not_exists=not_exists, exists=exists,
                     minus=minus, values=values,
                     bind=bind, filters=filters,
+                    subselects=subselects,
                     graph=graph, graph_col=graph_col,
                     distinct=solution_distinct)
     missing = [v for v in group_by if v not in sol.columns]

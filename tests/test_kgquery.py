@@ -1441,3 +1441,81 @@ def test_kgq_cli_update(spark, tmp_path, capsys):
                              ("numpy", "mentioned_in", "d1"),
                              ("numpy", "instance_of", "Library")]}
     assert got == want
+
+
+# ---- SPARQL subqueries (r5o) ----
+
+def test_subselect_aggregate_join(spark):
+    # the canonical nested-SELECT idiom: count mentions per entity
+    # inside, join back to the typed entities outside, filter on n
+    from stackoverflowner_spark.operators.kgquery import bgp_agg
+    tri = _df(spark)
+    counts = bgp_agg(tri, [("?x", "mentioned_in", "?d")],
+                     group_by=["x"], aggs=[("count", "d", "n")])
+    out = bgp_match(tri, [("?x", "instance_of", "Library")],
+                    subselects=[counts],
+                    filters=["n >= 2"], select=["x", "n"])
+    assert {(r.x, r.n) for r in out.collect()} == {("numpy", 2)}
+
+
+def test_subselect_bgp_join_and_bind(spark):
+    tri = _df(spark)
+    inner = bgp_match(tri, [("?a", "alias_of", "?x")], distinct=False)
+    out = bgp_match(tri, [("?x", "instance_of", "?t")],
+                    subselects=[inner],
+                    bind=[("label", "concat(a, '->', x)")],
+                    select=["label", "t"])
+    assert {(r.label, r.t) for r in out.collect()} == {
+        ("np->numpy", "Library"), ("pd->pandas", "Library")}
+
+
+def test_subselect_unanchored_rejected(spark):
+    tri = _df(spark)
+    other = tri.sparkSession.createDataFrame([("z1",)], "zzz string")
+    with pytest.raises(ValueError, match="subselect 0"):
+        bgp_match(tri, [("?x", "instance_of", "Library")],
+                  subselects=[other])
+
+
+def test_subselect_duckdb_parity(spark):
+    import duckdb
+    from stackoverflowner_spark.operators.kgquery import bgp_agg
+    rng = random.Random(31)
+    ents = [f"e{i}" for i in range(10)]
+    docs = [f"d{i}" for i in range(6)]
+    rows = sorted({(rng.choice(ents), "mentioned_in", rng.choice(docs))
+                   for _ in range(45)}
+                  | {(e, "instance_of", "Library")
+                     for e in ents if int(e[1:]) % 2 == 0})
+    tri = _df(spark, rows)
+    counts = bgp_agg(tri, [("?x", "mentioned_in", "?d")],
+                     group_by=["x"], aggs=[("count", "d", "n")])
+    out = bgp_match(tri, [("?x", "instance_of", "Library")],
+                    subselects=[counts], select=["x", "n"])
+    got = {(r.x, r.n) for r in out.collect()}
+    con = duckdb.connect()
+    con.execute("create table t (subj varchar, pred varchar, obj varchar)")
+    con.executemany("insert into t values (?, ?, ?)", rows)
+    want = {tuple(r) for r in con.execute("""
+        select distinct t.subj, sq.n
+        from t
+        join (select subj, count(obj) as n from t
+              where pred = 'mentioned_in' group by subj) sq
+          on sq.subj = t.subj
+        where t.pred = 'instance_of' and t.obj = 'Library'""").fetchall()}
+    assert got == want
+
+
+def test_subselect_through_bgp_agg(spark):
+    # aggregate over a solution stream that itself joins a subquery:
+    # per type, how many entities have >= 2 mentions
+    from stackoverflowner_spark.operators.kgquery import bgp_agg
+    tri = _df(spark)
+    counts = bgp_agg(tri, [("?x", "mentioned_in", "?d")],
+                     group_by=["x"], aggs=[("count", "d", "n")])
+    out = bgp_agg(tri, [("?x", "instance_of", "?t")],
+                  subselects=[counts], filters=["n >= 2"],
+                  group_by=["t"], aggs=[("count_distinct", "x", "k")])
+    # numpy (d1, d2) and python (d1, d3) each have 2 mentions; pandas 1
+    assert {(r.t, r.k) for r in out.collect()} == {
+        ("Library", 1), ("Language", 1)}
