@@ -1169,6 +1169,24 @@ def q_hyperball(spark, sf):
         hyperball(edges, max_radius=8, b=5, direction="in"))
 
 
+def q_betweenness(spark, sf):
+    # Sampled Brandes betweenness (operators/graphalgo.py): all pivots
+    # advance in one job per BFS level ((s, node)-keyed frontiers), then
+    # a backward per-level dependency sweep; 16 hash-sampled pivots with
+    # the V/K Brandes-Pich estimator. Substrate: the sparse 400-node
+    # hash graph (multi-hop structure, same as bfs_dist). Float
+    # dependency sums put this in the pytest-parity class (exact
+    # brute-force Brandes gates in tests/test_graphalgo.py) — perf-only
+    # bench row, like keyword_search.
+    from stackoverflowner_spark.operators.graphalgo import (betweenness,
+                                                            sample_pivots)
+    docs = _t(spark, sf, "documents")
+    edges = docs.select(
+        _hash_node(F.col("doc_id"), "a", 400).alias("src"),
+        _hash_node(F.col("doc_id"), "b", 400).alias("dst"))
+    return betweenness(edges, sources=sample_pivots(edges, 16), scale=True)
+
+
 def q_crawl_schedule(spark, sf):
     # Politeness crawl scheduling (operators/crawlsched.py): every
     # (host, url) gets a deterministic fetch slot in the host's

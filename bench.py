@@ -278,7 +278,10 @@ def main() -> None:
                 "random_walks", "merge_candidates", "sgns_grad",
                 # r5n: HyperBall harmonic centrality (HLL-counter
                 # propagation) over an md5-derived log-depth digraph
-                "hyperball"]
+                "hyperball",
+                # r5o: sampled Brandes betweenness over the sparse hash
+                # graph (pytest-parity class; perf-only row)
+                "betweenness"]
 
     host = {"triad_gbs_start": _triad_gbs()}
     spark = _fresh_spark(CPUS)
