@@ -58,3 +58,90 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
            .select("subj", "pred", "obj",
                    F.lit("range").alias("violation")))
     return dom.unionByName(rng).distinct()
+
+
+def shacl_validate(triples: DataFrame, shapes: DataFrame) -> DataFrame:
+    """SHACL-core-subset shape validation -> one row per violation:
+    (shape_id, focus, path, violation, value).
+
+    ``shapes`` is the shapes graph flattened to one property shape per
+    row — the W3C SHACL core constraints this string-valued KG can
+    express:
+
+    * ``shape_id`` — report key (sh:PropertyShape identity);
+    * ``target_class`` — focus nodes are the entities with
+      ``instance_of`` = target_class (sh:targetClass);
+    * ``path`` — the constrained predicate (sh:path, single forward
+      predicate);
+    * ``min_count`` / ``max_count`` — cardinality over the focus node's
+      ``path`` triples, NULL = unconstrained (sh:minCount/sh:maxCount;
+      a focus node with ZERO path triples violates min_count >= 1 —
+      the left-join-and-coalesce below, SHACL's own semantics);
+    * ``pattern`` — every value must match the regex
+      (sh:pattern; confined to the Java-regex ∩ RE2 dialect
+      intersection, the operators/pii.py discipline, so the DuckDB
+      oracle replays it verbatim);
+    * ``in_list`` (array<string>) — every value must be enumerated
+      (sh:in).
+
+    ``violation`` is one of min_count / max_count / pattern / in;
+    cardinality rows carry the offending COUNT in ``value``,
+    value-level rows the offending value — one row per failure, so a
+    triple breaking pattern AND in reports twice (conformance report
+    granularity, sh:ValidationResult per constraint component).
+
+    Scale shape: shapes are ontology-sized — always broadcast; focus
+    selection is one join against the pushed ``instance_of``
+    projection; cardinality is one (focus, shape) partial-agg count
+    left-joined back to targets (zero-count nodes included); the
+    value checks are per-row predicates on the (focus, shape)-joined
+    path triples. Everything shuffles on the focus entity; no
+    corpus-side Python.
+    """
+    types = (triples.filter(F.col("pred") == "instance_of")
+             .select(F.col("subj").alias("focus"),
+                     F.col("obj").alias("etype")).distinct())
+    sh = F.broadcast(shapes)
+
+    # focus nodes per shape
+    targets = (types.join(sh, types.etype == sh.target_class)
+               .select("shape_id", "focus", "path",
+                       "min_count", "max_count", "pattern", "in_list"))
+
+    # the focus node's path triples, shape-joined; the RDF graph is a
+    # SET, so evidence-duplicated (s, p, o) rows collapse before counts
+    vals = (targets.join(
+        triples.select(F.col("subj").alias("focus"),
+                       F.col("pred").alias("path"), "obj").distinct(),
+        ["focus", "path"], "left"))
+
+    counts = (vals.groupBy("shape_id", "focus", "path",
+                           "min_count", "max_count")
+              .agg(F.sum(F.when(F.col("obj").isNotNull(), 1)
+                         .otherwise(0)).cast("long").alias("n")))
+    mincnt = (counts.filter(F.col("min_count").isNotNull()
+                            & (F.col("n") < F.col("min_count")))
+              .select("shape_id", "focus", "path",
+                      F.lit("min_count").alias("violation"),
+                      F.col("n").cast("string").alias("value")))
+    maxcnt = (counts.filter(F.col("max_count").isNotNull()
+                            & (F.col("n") > F.col("max_count")))
+              .select("shape_id", "focus", "path",
+                      F.lit("max_count").alias("violation"),
+                      F.col("n").cast("string").alias("value")))
+
+    present = vals.filter(F.col("obj").isNotNull())
+    pat = (present.filter(F.col("pattern").isNotNull()
+                          & ~F.expr("regexp_like(obj, pattern)"))
+           .select("shape_id", "focus", "path",
+                   F.lit("pattern").alias("violation"),
+                   F.col("obj").alias("value")))
+    inl = (present.filter(F.col("in_list").isNotNull()
+                          & ~F.array_contains(F.col("in_list"),
+                                              F.col("obj")))
+           .select("shape_id", "focus", "path",
+                   F.lit("in").alias("violation"),
+                   F.col("obj").alias("value")))
+
+    return (mincnt.unionByName(maxcnt).unionByName(pat)
+            .unionByName(inl).distinct())

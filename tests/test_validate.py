@@ -121,3 +121,125 @@ def test_plan_broadcast_and_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan  # rules ride a broadcast
+
+
+# ---- SHACL-core subset (r5o) ----
+
+SHAPE_SCHEMA = ("shape_id string, target_class string, path string, "
+                "min_count long, max_count long, pattern string, "
+                "in_list array<string>")
+
+
+def _shacl(spark, rows, shapes):
+    from stackoverflowner_spark.operators.validate import shacl_validate
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    s = spark.createDataFrame(shapes, SHAPE_SCHEMA)
+    return {(r.shape_id, r.focus, r.path, r.violation, r.value)
+            for r in shacl_validate(t, s).collect()}
+
+
+def test_shacl_min_count_zero_triples_violates(spark):
+    rows = [("e1", "instance_of", "Library"),
+            ("e2", "instance_of", "Library"),
+            ("e2", "mentioned_in", "d1")]
+    got = _shacl(spark, rows,
+                 [("s1", "Library", "mentioned_in", 1, None, None, None)])
+    assert got == {("s1", "e1", "mentioned_in", "min_count", "0")}
+
+
+def test_shacl_max_count(spark):
+    rows = [("e1", "instance_of", "Library"),
+            ("e1", "alias_of", "a"), ("e1", "alias_of", "b"),
+            ("e1", "alias_of", "c")]
+    got = _shacl(spark, rows,
+                 [("s1", "Library", "alias_of", None, 2, None, None)])
+    assert got == {("s1", "e1", "alias_of", "max_count", "3")}
+
+
+def test_shacl_evidence_duplicates_collapse(spark):
+    # the same (s, p, o) asserted twice is ONE value node (RDF set)
+    rows = [("e1", "instance_of", "Library"),
+            ("e1", "alias_of", "a"), ("e1", "alias_of", "a")]
+    got = _shacl(spark, rows,
+                 [("s1", "Library", "alias_of", None, 1, None, None)])
+    assert got == set()
+
+
+def test_shacl_pattern_and_in(spark):
+    rows = [("e1", "instance_of", "Page"),
+            ("e1", "lang", "en"), ("e1", "lang", "zz"),
+            ("e1", "url", "https://ok.example/x"),
+            ("e1", "url", "ftp://bad.example/y")]
+    got = _shacl(spark, rows, [
+        ("langs", "Page", "lang", None, None, None, ["en", "de", "fr"]),
+        ("urls", "Page", "url", None, None, "^https://.*", None)])
+    assert got == {("langs", "e1", "lang", "in", "zz"),
+                   ("urls", "e1", "url", "pattern", "ftp://bad.example/y")}
+
+
+def test_shacl_only_target_class_in_scope(spark):
+    rows = [("e1", "instance_of", "Library"),
+            ("d9", "mentioned_in", "d9")]   # d9 has no type: not a focus
+    got = _shacl(spark, rows,
+                 [("s1", "Library", "mentioned_in", 1, None, None, None)])
+    assert got == {("s1", "e1", "mentioned_in", "min_count", "0")}
+
+
+def test_shacl_duckdb_parity(spark):
+    import duckdb
+    from stackoverflowner_spark.operators.validate import shacl_validate
+    rng = random.Random(37)
+    ents = [f"e{i}" for i in range(15)]
+    rows = sorted(
+        {(e, "instance_of", "Library") for e in ents if int(e[1:]) % 3 == 0}
+        | {(rng.choice(ents), "alias_of",
+            rng.choice(["ok1", "ok2", "Bad3", "zz9"]))
+           for _ in range(40)})
+    shapes = [("card", "Library", "alias_of", 1, 3, None, None),
+              ("pat", "Library", "alias_of", None, None, "^[a-z0-9]+$",
+               None),
+              ("enum", "Library", "alias_of", None, None, None,
+               ["ok1", "ok2"])]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    s = spark.createDataFrame(shapes, SHAPE_SCHEMA)
+    got = {(r.shape_id, r.focus, r.path, r.violation, r.value)
+           for r in shacl_validate(t, s).collect()}
+    con = duckdb.connect()
+    con.execute("create table t (subj varchar, pred varchar, obj varchar)")
+    con.executemany("insert into t values (?, ?, ?)", rows)
+    want = {tuple(r) for r in con.execute("""
+        with types as (select distinct subj as focus, obj as etype
+                       from t where pred = 'instance_of'),
+        foci as (select focus from types where etype = 'Library'),
+        vals as (select distinct f.focus, t.obj
+                 from foci f join t on t.subj = f.focus
+                                   and t.pred = 'alias_of'),
+        cnts as (select f.focus,
+                        (select count(*) from vals v
+                         where v.focus = f.focus) as n from foci f)
+        select 'card', focus, 'alias_of', 'min_count', cast(n as varchar)
+          from cnts where n < 1
+        union all
+        select 'card', focus, 'alias_of', 'max_count', cast(n as varchar)
+          from cnts where n > 3
+        union all
+        select 'pat', focus, 'alias_of', 'pattern', obj
+          from vals where not regexp_matches(obj, '^[a-z0-9]+$')
+        union all
+        select 'enum', focus, 'alias_of', 'in', obj
+          from vals where obj not in ('ok1', 'ok2')""").fetchall()}
+    assert got == want
+
+
+def test_shacl_plan_broadcast_no_python(spark):
+    from stackoverflowner_spark.operators.validate import shacl_validate
+    rows = [("e1", "instance_of", "Library"), ("e1", "alias_of", "a")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    s = spark.createDataFrame(
+        [("s1", "Library", "alias_of", 1, 3, "^[a-z]+$", ["a"])],
+        SHAPE_SCHEMA)
+    plan = (shacl_validate(t, s)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
