@@ -149,6 +149,23 @@ draw; NO CartesianProduct/NestedLoop, no Python anywhere. The windows
 partition by walk_id, so their state is one walk's candidate list
 (bounded by max degree), never corpus-wide.
 """,
+    "bc_level": """## 16. Brandes betweenness forward level (graphalgo.betweenness, one BFS level)
+
+Checklist: the whole pivot batch advances in ONE exchange — the
+frontier joins the symmetrized edges on node = a, then ONE
+(s, node)-keyed partial-agg sum of sigma, then the visited anti-join
+on the same key. K pivots multiply ROWS inside the same jobs, never
+the job count; no Python, no CartesianProduct, no SinglePartition
+exchange.
+""",
+    "shacl": """## 17. SHACL shape validation (validate.shacl_validate)
+
+Checklist: the shapes table rides a BroadcastExchange (ontology-sized
+build side); focus selection and the cardinality/value checks shuffle
+ONLY on the focus entity; zero Python operators, no
+CartesianProduct/NestedLoop, and the instance_of projection is a
+pushed scan filter.
+""",
     "rank": """## 5. Two-pass word-mapping ids (partitioned_rank)
 
 Checklist: NO `Exchange SinglePartition` anywhere (the r02 scale flag) —
@@ -341,6 +358,40 @@ def main() -> None:
     n2v_plan = formatted(n2v_step)
     assert "Cartesian" not in n2v_plan and "PythonUDF" not in n2v_plan
     sections.append(HEADERS["n2v_step"] + "\n```\n" + n2v_plan[:4000]
+                    + "\n```\n")
+
+    # one forward-BFS level of source-parallel Brandes: the (s, node)
+    # frontier key is the whole scale story — capture it
+    from stackoverflowner_spark.operators.graphalgo import sample_pivots
+    sym = (edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+           .unionAll(edges.select(F.col("dst").alias("a"),
+                                  F.col("src").alias("b")))
+           .filter(F.col("a") != F.col("b")).distinct())
+    lvl0 = sample_pivots(edges, 16).select(
+        F.col("node").alias("s"), F.col("node"),
+        F.lit(1).cast("long").alias("sigma"))
+    visited0 = lvl0.select("s", "node")
+    bc_nxt = (lvl0.join(sym, F.col("node") == F.col("a"))
+              .select("s", F.col("b").alias("node"), "sigma")
+              .groupBy("s", "node").agg(F.sum("sigma").alias("sigma"))
+              .join(visited0, ["s", "node"], "left_anti"))
+    bc_plan = formatted(bc_nxt)
+    assert "Cartesian" not in bc_plan and "PythonUDF" not in bc_plan \
+        and "SinglePartition" not in bc_plan
+    sections.append(HEADERS["bc_level"] + "\n```\n" + bc_plan[:4000]
+                    + "\n```\n")
+
+    from stackoverflowner_spark.operators.validate import shacl_validate
+    shapes = spark.createDataFrame(
+        [("s1", "Library", "alias_of", 1, 3, "^[a-z]+$", ["a", "b"])],
+        "shape_id string, target_class string, path string, "
+        "min_count long, max_count long, pattern string, "
+        "in_list array<string>")
+    shacl_plan = formatted(shacl_validate(tri, shapes))
+    assert ("BroadcastExchange" in shacl_plan
+            and "Cartesian" not in shacl_plan
+            and "PythonUDF" not in shacl_plan)
+    sections.append(HEADERS["shacl"] + "\n```\n" + shacl_plan[:4000]
                     + "\n```\n")
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
