@@ -204,3 +204,47 @@ def exact_harmonic(edges: List[Tuple[str, str]],
             frontier = nxt
         out[v] = sum(1.0 / d for u, d in dist.items() if d > 0)
     return out
+
+
+def effective_diameter(balls: DataFrame, q: float = 0.9) -> DataFrame:
+    """-> one row (q, eff_diameter double, max_radius, nf_max): the
+    standard web-graph distance summary — the smallest radius at which
+    the neighborhood function reaches a fraction ``q`` of its final
+    value, with the textbook linear interpolation between the two
+    straddling radii (Palmer et al. 2002; the number reported as
+    "effective diameter" in the web/social-graph literature). Input is
+    the ``hyperball`` output; the whole computation is two bounded aggs
+    over the (radius)-sized neighborhood function — driver cost O(max
+    radius), nothing corpus-scale.
+
+    Interpolation: with N(r-1) < q*N(max) <= N(r),
+    eff = (r-1) + (q*N(max) - N(r-1)) / (N(r) - N(r-1)); radius 0
+    (the self-pairs) anchors the curve's left end. A truncated
+    ``max_radius`` that stopped before convergence yields the
+    truncation-relative value — same caveat as the harmonic tail,
+    documented on ``hyperball``.
+    """
+    if not (0.0 < q <= 1.0):
+        raise ValueError("q must be in (0, 1]")
+    nf = neighborhood_function(balls).collect()  # O(max radius) rows
+    if not nf:
+        raise ValueError("empty hyperball output")
+    rad = {int(r.radius): float(r.nf) for r in nf}
+    rmax = max(rad)
+    target = q * rad[rmax]
+    eff = float(rmax)
+    prev_r, prev_n = 0, rad.get(0, 0.0)
+    for r in range(0, rmax + 1):
+        if r not in rad:
+            continue
+        if rad[r] >= target:
+            if r == 0 or rad[r] == prev_n:
+                eff = float(r)
+            else:
+                eff = prev_r + (target - prev_n) / (rad[r] - prev_n)
+            break
+        prev_r, prev_n = r, rad[r]
+    spark = balls.sparkSession
+    return spark.createDataFrame(
+        [(float(q), float(eff), int(rmax), float(rad[rmax]))],
+        "q double, eff_diameter double, max_radius int, nf_max double")

@@ -162,3 +162,45 @@ def test_deterministic_across_runs(spark):
     b_ = sorted(map(tuple, hyperball(_edges_df(spark, edges), max_radius=30,
                                      b=8).collect()))
     assert a == b_
+
+
+# ---- effective diameter (r5o) ----
+
+def test_effective_diameter_path_graph(spark):
+    # directed path 0->1->2->3->4 (b large enough that HLL is exact via
+    # linear counting at these cardinalities): N(r) grows linearly, and
+    # the q=1.0 effective diameter is the true diameter 4
+    from stackoverflowner_spark.operators.hyperball import (
+        effective_diameter, hyperball)
+    edges = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(4)], "src string, dst string")
+    balls = hyperball(edges, max_radius=8, b=8)
+    row = effective_diameter(balls, q=1.0).collect()[0]
+    assert row.max_radius == 4 and row.eff_diameter == 4.0
+
+
+def test_effective_diameter_interpolates(spark):
+    from stackoverflowner_spark.operators.hyperball import (
+        effective_diameter, hyperball, neighborhood_function)
+    edges = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(9)], "src string, dst string")
+    balls = hyperball(edges, max_radius=16, b=8)
+    nf = {int(r.radius): r.nf
+          for r in neighborhood_function(balls).collect()}
+    row = effective_diameter(balls, q=0.9).collect()[0]
+    rmax = row.max_radius
+    target = 0.9 * nf[rmax]
+    below = max(r for r in nf if nf[r] < target)
+    assert below < row.eff_diameter <= below + 1
+    # exact interpolation formula replayed
+    want = below + (target - nf[below]) / (nf[below + 1] - nf[below])
+    assert row.eff_diameter == pytest.approx(want, abs=1e-12)
+
+
+def test_effective_diameter_q_validation(spark):
+    from stackoverflowner_spark.operators.hyperball import (
+        effective_diameter, hyperball)
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    balls = hyperball(edges, max_radius=4, b=6)
+    with pytest.raises(ValueError, match="q must"):
+        effective_diameter(balls, q=1.5)
