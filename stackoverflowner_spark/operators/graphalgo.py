@@ -369,7 +369,8 @@ def betweenness(edges: DataFrame, sources: DataFrame = None,
     return bc
 
 
-def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def modularity(edges: DataFrame, labels: DataFrame,
+               weight_col: str = None) -> DataFrame:
     """Newman modularity of a community assignment -> one row
     (m, communities, q): the quality score for the partitions
     ``lpa_communities`` (or components/dedup clustering) emit.
@@ -385,12 +386,29 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     ``labels`` count as their own singleton community (coalesce to the
     node id).
 
+    ``weight_col`` gives the WEIGHTED generalization (integer weights
+    >= 1 — the co-mention graph's evidence counts): m becomes the total
+    weight W, e_c the internal weight, d_c the strength (weighted
+    degree) sum — the same exact-integer numerator, so still
+    bit-stable. Parallel/bidirectional duplicates SUM their weights
+    into one undirected edge (a multigraph reading; the unweighted
+    path keeps its set-of-edges reading).
+
     Scale shape: two broadcast-or-shuffle joins edge->label (the label
     table is node-sized), one degree agg, two community-keyed aggs —
     all partial-agg friendly, nothing pair-quadratic.
     """
-    und = _undirected(edges).localCheckpoint()
-    m = und.count()
+    if weight_col is None:
+        und = _undirected(edges).withColumn("w", F.lit(1).cast("long"))
+    else:
+        u = F.least(F.col("src"), F.col("dst"))
+        v = F.greatest(F.col("src"), F.col("dst"))
+        und = (edges.select(u.alias("u"), v.alias("v"),
+                            F.col(weight_col).cast("long").alias("w"))
+               .filter(F.col("u") != F.col("v"))
+               .groupBy("u", "v").agg(F.sum("w").alias("w")))
+    und = und.localCheckpoint()
+    m = (und.agg(F.sum("w")).collect()[0][0] or 0)
     lab = labels.select(F.col("node"), F.col("community"))
     if m == 0:
         from pyspark.sql.types import (LongType, DoubleType, StructField,
@@ -406,14 +424,15 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     lv = lab.select(F.col("node").alias("v"), F.col("community").alias("cv"))
     tagged = (und.join(lu, "u", "left").join(lv, "v", "left")
               .select(F.coalesce(F.col("cu"), F.col("u")).alias("cu"),
-                      F.coalesce(F.col("cv"), F.col("v")).alias("cv")))
+                      F.coalesce(F.col("cv"), F.col("v")).alias("cv"),
+                      "w"))
     e_c = (tagged.filter(F.col("cu") == F.col("cv"))
            .groupBy(F.col("cu").alias("community"))
-           .agg(F.count("*").alias("e_in")))
+           .agg(F.sum("w").alias("e_in")))
 
-    deg = (und.select(F.col("u").alias("node"))
-           .unionAll(und.select(F.col("v").alias("node")))
-           .groupBy("node").agg(F.count("*").alias("d")))
+    deg = (und.select(F.col("u").alias("node"), "w")
+           .unionAll(und.select(F.col("v").alias("node"), "w"))
+           .groupBy("node").agg(F.sum("w").alias("d")))
     d_c = (deg.join(lab, "node", "left")
            .select(F.coalesce(F.col("community"), F.col("node"))
                    .alias("community"), "d")
