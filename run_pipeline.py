@@ -181,8 +181,8 @@ def main(argv=None) -> int:
         from pyspark.sql import functions as F2
 
         from stackoverflowner_spark.operators.graphalgo import (
-            betweenness, kcore, lpa_communities, sample_pivots,
-            triangle_count)
+            betweenness, kcore, lpa_communities, modularity,
+            sample_pivots, triangle_count)
         from stackoverflowner_spark.operators.hyperball import (
             harmonic_centrality_est, hyperball)
         from stackoverflowner_spark.operators.pagerank import entity_pagerank
@@ -223,6 +223,9 @@ def main(argv=None) -> int:
                 args.analytics + "/harmonic").count(),
             "betweenness_rows": spark.read.parquet(
                 args.analytics + "/betweenness").count(),
+            "modularity": modularity(
+                edges, spark.read.parquet(args.analytics + "/communities"))
+                .collect()[0].q,
         }
         print(json.dumps({"analytics": stats, "dir": args.analytics}))
     if args.embeddings and args.embed_model == "sgns":

@@ -259,6 +259,8 @@ def test_cli_analytics_flag(spark, tmp_path, capsys):
     bc = spark.read.parquet(ana + "/betweenness")
     assert bc.count() == stats["betweenness_rows"] > 0
     assert bc.columns == ["node", "bc"]
+    assert isinstance(stats["modularity"], float)
+    assert -0.5 <= stats["modularity"] <= 1.0  # Newman Q's range
 
 
 # ---------------------------------------------------------------- LPA --- #
