@@ -908,6 +908,7 @@ def construct(triples: DataFrame, patterns: Sequence[Sequence[str]],
                                      Sequence[Sequence[Optional[str]]]]] = None,
               bind: Optional[Sequence[Tuple[str, str]]] = None,
               filters: Optional[Sequence[str]] = None,
+              subselects: Optional[Sequence[DataFrame]] = None,
               graph: Optional[str] = None,
               graph_col: str = "url",
               distinct: bool = True) -> DataFrame:
@@ -935,6 +936,7 @@ def construct(triples: DataFrame, patterns: Sequence[Sequence[str]],
                     not_exists=not_exists, exists=exists,
                     minus=minus, values=values,
                     bind=bind, filters=filters,
+                    subselects=subselects,
                     graph=graph, graph_col=graph_col, distinct=False)
     out = _instantiate(sol, template)
     return out.distinct() if distinct else out
@@ -981,6 +983,7 @@ def update_triples(triples: DataFrame, where: Sequence[Sequence[str]],
                    = None,
                    bind: Optional[Sequence[Tuple[str, str]]] = None,
                    filters: Optional[Sequence[str]] = None,
+                   subselects: Optional[Sequence[DataFrame]] = None,
                    graph: Optional[str] = None,
                    graph_col: str = "url") -> DataFrame:
     """SPARQL 1.1 UPDATE's ``DELETE { } INSERT { } WHERE { }`` as a pure
@@ -1016,6 +1019,7 @@ def update_triples(triples: DataFrame, where: Sequence[Sequence[str]],
                     not_exists=not_exists, exists=exists,
                     minus=minus, values=values,
                     bind=bind, filters=filters,
+                    subselects=subselects,
                     graph=graph, graph_col=graph_col,
                     distinct=False)
     if delete and insert:
@@ -1040,6 +1044,7 @@ def ask(triples: DataFrame, patterns: Sequence[Sequence[str]],
         bind: Optional[Sequence[Tuple[str, str]]] = None,
         filters: Optional[Sequence[str]] = None,
         exists: Optional[Sequence[Sequence[str]]] = None,
+        subselects: Optional[Sequence[DataFrame]] = None,
         graph: Optional[str] = None,
         graph_col: str = "url") -> bool:
     """SPARQL ``ASK { BGP }``: True iff the pattern has >= 1 solution.
@@ -1049,6 +1054,7 @@ def ask(triples: DataFrame, patterns: Sequence[Sequence[str]],
                     not_exists=not_exists, exists=exists,
                     minus=minus, values=values,
                     bind=bind, filters=filters,
+                    subselects=subselects,
                     graph=graph, graph_col=graph_col, distinct=False)
     return sol.limit(1).count() > 0
 
@@ -1063,6 +1069,7 @@ def describe(triples: DataFrame, patterns: Sequence[Sequence[str]],
              bind: Optional[Sequence[Tuple[str, str]]] = None,
              filters: Optional[Sequence[str]] = None,
              exists: Optional[Sequence[Sequence[str]]] = None,
+             subselects: Optional[Sequence[DataFrame]] = None,
              graph: Optional[str] = None,
              graph_col: str = "url") -> DataFrame:
     """SPARQL ``DESCRIBE ?var WHERE { BGP }``: every triple whose subject

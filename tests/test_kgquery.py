@@ -1519,3 +1519,28 @@ def test_subselect_through_bgp_agg(spark):
     # numpy (d1, d2) and python (d1, d3) each have 2 mentions; pandas 1
     assert {(r.t, r.k) for r in out.collect()} == {
         ("Library", 1), ("Language", 1)}
+
+
+def test_subselect_through_construct_and_update(spark):
+    from stackoverflowner_spark.operators.kgquery import (bgp_agg,
+                                                          construct,
+                                                          update_triples)
+    tri = _df(spark)
+    counts = bgp_agg(tri, [("?x", "mentioned_in", "?d")],
+                     group_by=["x"], aggs=[("count", "d", "n")])
+    # CONSTRUCT a popularity marker for well-mentioned entities
+    out = construct(tri, [("?x", "instance_of", "?t")],
+                    template=[("?x", "well_mentioned", "?t")],
+                    subselects=[counts], filters=["n >= 2"])
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert got == {("numpy", "well_mentioned", "Library"),
+                   ("python", "well_mentioned", "Language")}
+    # UPDATE: retype them, keyed by the same subquery
+    upd = update_triples(tri, [("?x", "instance_of", "?t")],
+                         subselects=[counts], filters=["n >= 2"],
+                         delete=[("?x", "instance_of", "?t")],
+                         insert=[("?x", "instance_of", "Popular")])
+    g2 = {(r.subj, r.pred, r.obj) for r in upd.collect()}
+    assert ("numpy", "instance_of", "Popular") in g2
+    assert ("numpy", "instance_of", "Library") not in g2
+    assert ("pandas", "instance_of", "Library") in g2  # n=1: untouched
