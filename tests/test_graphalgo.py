@@ -696,3 +696,30 @@ def test_modularity_weighted_parallel_edges_sum(spark):
     want = _brute_modularity_w(
         [("a", "b", 5), ("b", "c", 1)], [("a", "g"), ("b", "g"), ("c", "h")])
     assert row.m == 6 and row.q == pytest.approx(want, abs=1e-15)
+
+
+def test_betweenness_batched_equals_single_batch(spark):
+    from stackoverflowner_spark.operators.graphalgo import (
+        betweenness, betweenness_batched, sample_pivots)
+    edges = _random_graph(n=30, m=70, seed=29)
+    df = spark.createDataFrame(
+        [(str(u), str(v)) for u, v in edges], "src string, dst string")
+    one = {r.node: r.bc
+           for r in betweenness(df, sources=sample_pivots(df, 9)).collect()}
+    many = {r.node: r.bc
+            for r in betweenness_batched(df, k=9, batch=2).collect()}
+    assert set(one) == set(many)
+    for n in one:
+        assert many[n] == pytest.approx(one[n], rel=1e-12, abs=1e-12)
+
+
+def test_betweenness_batched_scale_uses_full_k(spark):
+    from stackoverflowner_spark.operators.graphalgo import (
+        betweenness, betweenness_batched, sample_pivots)
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    scaled_one = {r.node: r.bc for r in betweenness(
+        df, sources=sample_pivots(df, 3), scale=True).collect()}
+    scaled_many = {r.node: r.bc for r in betweenness_batched(
+        df, k=3, batch=1, scale=True).collect()}
+    assert scaled_many == pytest.approx(scaled_one)
