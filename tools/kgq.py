@@ -68,7 +68,14 @@ def parse_patterns(s: str):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("triples", help="triples parquet path (subj, pred, obj)")
-    ap.add_argument("where", help="BGP: '?s pred ?o . ?s pred2 lit'")
+    ap.add_argument("where", nargs="?", default=None,
+                    help="BGP: '?s pred ?o . ?s pred2 lit' "
+                         "(omit when using --sparql)")
+    ap.add_argument("--sparql", default=None, metavar="QUERY",
+                    help="run a full SPARQL query string instead of the "
+                         "mini-syntax (operators/sparql.py: SELECT/ASK/"
+                         "CONSTRUCT/DESCRIBE/DELETE-INSERT, FILTER/BIND/"
+                         "OPTIONAL/VALUES/UNION/GROUP BY, property paths)")
     ap.add_argument("--select", help="comma-separated output variables")
     ap.add_argument("--optional", default=None,
                     help="OPTIONAL block, same mini-syntax")
@@ -136,6 +143,9 @@ def main(argv=None) -> int:
                          "(parsed with operators/triples.parse_ntriples)")
     ap.add_argument("--master", default="local[8]")
     args = ap.parse_args(argv)
+    if (args.where is None) == (args.sparql is None):
+        ap.error("provide exactly one of a WHERE pattern string or "
+                 "--sparql QUERY")
     if args.construct and (args.group_by is not None or args.ask):
         ap.error("--construct is exclusive with --group-by/--ask")
     if (args.delete or args.insert) and (args.construct or args.ask
@@ -173,6 +183,18 @@ def main(argv=None) -> int:
         tri = parse_ntriples(spark.read.text(args.triples))
     else:
         tri = spark.read.parquet(args.triples)
+    if args.sparql:
+        from stackoverflowner_spark.operators.sparql import run_sparql
+        res = run_sparql(tri, args.sparql)
+        if isinstance(res, bool):
+            print(json.dumps({"ask": res}))
+            return 0
+        rows = res.limit(args.limit).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), sort_keys=True))
+        print(json.dumps({"rows": len(rows), "limit": args.limit}),
+              file=sys.stderr)
+        return 0
     optional = parse_patterns(args.optional) if args.optional else None
     not_exists = (parse_patterns(args.not_exists)
                   if args.not_exists else None)
