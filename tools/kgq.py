@@ -23,7 +23,10 @@ is an alternative path; a leading ``!`` negates the set (``!p``,
 ``!p1|p2``); ``p1/p2`` is a sequence path (each step may use the other
 operators — note ``/`` splits FIRST here, so ``a|b/c`` = ``(a|b)/c``).
 ``--ntriples`` reads the input as N-Triples text instead of parquet,
-so an exported KG queries directly.
+so an exported KG queries directly. ``--sparql "SELECT ... WHERE
+{ ... }"`` bypasses the mini-syntax entirely and runs a full SPARQL
+query string through ``operators/sparql.py`` (all query forms, FILTER/
+OPTIONAL/VALUES/UNION/GROUP BY, property paths, PREFIX).
 ``--construct`` emits new
 (subj, pred, obj) rows from each solution; ``--delete``/``--insert``
 run SPARQL UPDATE's DELETE/INSERT WHERE and print the UPDATED graph
