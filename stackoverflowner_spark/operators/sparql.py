@@ -36,10 +36,15 @@ through to Spark SQL verbatim, so the supported expression surface is
 the (large) SPARQL ∩ Spark-SQL intersection; unsupported builtins fail
 at analysis with Spark's own error, never silently.
 
-Out of scope (explicit errors or absent): SERVICE federation, nested
-subqueries IN TEXT (the Python API's ``subselects`` covers the
-aggregate-join idiom), blank-node syntax, datatyped/lang-tagged
-literal semantics, property paths inside parentheses.
+Nested ``{ SELECT ... }`` subqueries are supported: each evaluates
+bottom-up to a solution DataFrame and joins the enclosing block on
+shared variables (the kgquery ``subselects`` mechanism), to arbitrary
+nesting depth. The bare predicate ``a`` maps to this KG's type
+predicate ``instance_of`` (SPARQL's rdf:type keyword, engine mapping).
+
+Out of scope (explicit errors or absent): SERVICE federation,
+blank-node syntax, datatyped/lang-tagged literal semantics, property
+paths inside parentheses.
 
 Scale: parsing is driver-side string work on a query-sized input;
 execution is entirely the kgquery operators' documented plans.
@@ -197,7 +202,8 @@ class _Parser:
         self.expect("lbrace")
         g: Dict = {"patterns": [], "filters": [], "binds": [],
                    "optional": [], "not_exists": None, "exists": None,
-                   "minus": None, "values": None, "graph": None}
+                   "minus": None, "values": None, "graph": None,
+                   "subqueries": []}
         while True:
             k, v = self.peek()
             if k == "rbrace":
@@ -208,6 +214,15 @@ class _Parser:
                 continue
             if k == "eof":
                 raise SparqlSyntaxError("unterminated { block")
+            if (k == "lbrace" and self.peek(1)[0] == "word"
+                    and self.peek(1)[1].upper() == "SELECT"):
+                # SPARQL 1.1 subquery: { SELECT ... } evaluated
+                # bottom-up, joined on shared vars (kgquery subselects)
+                self.next()
+                self.next()
+                g["subqueries"].append(self.select_query())
+                self.expect("rbrace")
+                continue
             if self.at_word("FILTER"):
                 self.next()
                 if self.at_word("NOT"):
@@ -270,6 +285,8 @@ class _Parser:
             s = self.term()
             while True:
                 p = self.term()
+                if p == "a":  # SPARQL's rdf:type keyword -> the KG's
+                    p = "instance_of"  # type predicate (engine mapping)
                 while True:
                     o = self.term()
                     g["patterns"].append((s, p, o))
@@ -411,6 +428,20 @@ class _Parser:
                 break
         return mods
 
+    def select_query(self) -> Dict:
+        """SELECT body (the SELECT keyword already consumed) — shared
+        by the top-level form and nested ``{ SELECT ... }`` subqueries."""
+        distinct, star, items = self.select_clause()
+        if self.at_word("WHERE"):
+            self.next()
+        blocks = [self.group()]
+        while self.at_word("UNION"):
+            self.next()
+            blocks.append(self.group())
+        mods = self.modifiers()
+        return {"form": "select", "distinct": distinct, "star": star,
+                "items": items, "blocks": blocks, **mods}
+
     # ---- top level -------------------------------------------------------
     def parse(self) -> Dict:
         while self.at_word("PREFIX", "BASE"):
@@ -426,17 +457,9 @@ class _Parser:
 
         if self.at_word("SELECT"):
             self.next()
-            distinct, star, items = self.select_clause()
-            if self.at_word("WHERE"):
-                self.next()
-            blocks = [self.group()]
-            while self.at_word("UNION"):
-                self.next()
-                blocks.append(self.group())
-            mods = self.modifiers()
+            spec = self.select_query()
             self.expect("eof")
-            return {"form": "select", "distinct": distinct, "star": star,
-                    "items": items, "blocks": blocks, **mods}
+            return spec
         if self.at_word("ASK"):
             self.next()
             if self.at_word("WHERE"):
@@ -514,17 +537,30 @@ def _block_kwargs(g: Dict) -> Dict:
                 graph=g["graph"])
 
 
+def _resolve_subs(triples: DataFrame, g: Dict,
+                  extra: Optional[Sequence[DataFrame]]):
+    """Nested ``{ SELECT ... }`` subqueries evaluate bottom-up to
+    solution DataFrames; merge with caller-supplied subselects."""
+    subs = [_run_select(triples, sq, None)
+            for sq in g.get("subqueries", [])]
+    if extra:
+        subs.extend(extra)
+    return subs or None
+
+
 def run_sparql(triples: DataFrame, text: str,
                subselects: Optional[Sequence[DataFrame]] = None):
     """Execute a SPARQL string against a (subj, pred, obj[, url]) triple
     DataFrame. Returns a DataFrame for SELECT/CONSTRUCT/DESCRIBE/
     DELETE-INSERT, a bool for ASK. ``subselects`` (Python-side solution
-    DataFrames) join the WHERE block as in ``bgp_match``."""
-    from .kgquery import (ask, bgp_agg, bgp_match, construct, describe,
-                          union_bgp, update_triples)
+    DataFrames) join the WHERE block as in ``bgp_match``; nested
+    ``{ SELECT ... }`` blocks in the text compile to the same mechanism
+    recursively."""
+    from .kgquery import ask, construct, describe, update_triples
     q = parse_query(text)
     if q["form"] == "ask":
         g = q["group"]
+        subselects = _resolve_subs(triples, g, subselects)
         # all-literal patterns are existence tests the BGP compiler
         # rejects by design; their truth factorizes out of the
         # conjunction (they bind nothing), so check them directly
@@ -546,18 +582,26 @@ def run_sparql(triples: DataFrame, text: str,
     if q["form"] == "construct":
         g = q["group"]
         return construct(triples, g["patterns"], template=q["template"],
-                         subselects=subselects, **_block_kwargs(g))
+                         subselects=_resolve_subs(triples, g, subselects),
+                         **_block_kwargs(g))
     if q["form"] == "describe":
         g = q["group"]
         return describe(triples, g["patterns"], var=q["var"],
-                        subselects=subselects, **_block_kwargs(g))
+                        subselects=_resolve_subs(triples, g, subselects),
+                        **_block_kwargs(g))
     if q["form"] == "update":
         g = q["group"]
         return update_triples(triples, g["patterns"], delete=q["delete"],
-                              insert=q["insert"], subselects=subselects,
+                              insert=q["insert"],
+                              subselects=_resolve_subs(triples, g,
+                                                       subselects),
                               **_block_kwargs(g))
+    return _run_select(triples, q, subselects)
 
-    # SELECT
+
+def _run_select(triples: DataFrame, q: Dict,
+                subselects: Optional[Sequence[DataFrame]]):
+    from .kgquery import bgp_agg, bgp_match, union_bgp
     blocks = q["blocks"]
     aggs = [it for it in q["items"] if it[0] == "agg"]
     sel_vars = [it[1] for it in q["items"] if it[0] == "var"]
@@ -568,13 +612,14 @@ def run_sparql(triples: DataFrame, text: str,
         for b in blocks:
             if (b["filters"] or b["binds"] or b["optional"]
                     or b["not_exists"] or b["exists"] or b["minus"]
-                    or b["values"] or b["graph"]):
+                    or b["values"] or b["graph"] or b["subqueries"]):
                 raise SparqlSyntaxError(
                     "UNION blocks support plain triple patterns "
                     "(no OPTIONAL/FILTER/etc inside)")
         return union_bgp(triples, [b["patterns"] for b in blocks],
                          select=sel_vars or None)
     g = blocks[0]
+    subselects = _resolve_subs(triples, g, subselects)
     if not aggs and (q["group_by"] or q["having"]):
         raise SparqlSyntaxError(
             "GROUP BY / HAVING require an aggregate in SELECT")

@@ -245,3 +245,39 @@ def test_kgq_cli_requires_exactly_one_mode(spark, tmp_path):
     with pytest.raises(SystemExit):
         main([p, "?x p ?y", "--sparql", "ASK { a p b }",
               "--master", "local[2]"])              # both
+
+
+def test_nested_subquery_in_text(spark):
+    # the full SPARQL 1.1 nested-SELECT idiom, parsed from text
+    out = run_sparql(_df(spark), """
+        SELECT DISTINCT ?x ?n WHERE {
+          ?x instance_of Library .
+          { SELECT ?x (COUNT(?d) AS ?n) WHERE { ?x mentioned_in ?d }
+            GROUP BY ?x }
+          FILTER(?n >= 2)
+        }""")
+    assert [(r.x, r.n) for r in out.collect()] == [("numpy", 2)]
+
+
+def test_nested_subquery_in_update(spark):
+    out = run_sparql(_df(spark), """
+        DELETE { ?x instance_of ?t } INSERT { ?x instance_of Popular }
+        WHERE {
+          ?x instance_of ?t .
+          { SELECT ?x (COUNT(?d) AS ?n) WHERE { ?x mentioned_in ?d }
+            GROUP BY ?x }
+          FILTER(?n >= 2)
+        }""")
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert ("numpy", "instance_of", "Popular") in got
+    assert ("numpy", "instance_of", "Library") not in got
+    assert ("pandas", "instance_of", "Library") in got
+
+
+def test_rdf_type_a_keyword(spark):
+    out = run_sparql(_df(spark), "SELECT DISTINCT ?x WHERE { ?x a Library }")
+    assert sorted(r.x for r in out.collect()) == ["numpy", "pandas"]
+    # 'a' in subject/object position stays a plain term
+    rows = [("a", "p", "b")]
+    out2 = run_sparql(_df(spark, rows), "SELECT ?y WHERE { a p ?y }")
+    assert [r.y for r in out2.collect()] == ["b"]
