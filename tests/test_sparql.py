@@ -281,3 +281,26 @@ def test_rdf_type_a_keyword(spark):
     rows = [("a", "p", "b")]
     out2 = run_sparql(_df(spark, rows), "SELECT ?y WHERE { a p ?y }")
     assert [r.y for r in out2.collect()] == ["b"]
+
+
+def test_kgq_cli_srj_format(spark, tmp_path, capsys):
+    import json
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.kgq import main
+
+    p = str(tmp_path / "tri_srj.parquet")
+    _df(spark).write.parquet(p)
+    assert main([p, "--sparql",
+                 "SELECT DISTINCT ?x WHERE { ?x a Library } ORDER BY ?x",
+                 "--format", "srj", "--master", "local[2]"]) == 0
+    doc = json.loads(capsys.readouterr().out.strip())
+    assert doc["head"]["vars"] == ["x"]
+    assert [b["x"]["value"] for b in doc["results"]["bindings"]] == [
+        "numpy", "pandas"]
+    assert all(b["x"]["type"] == "literal"
+               for b in doc["results"]["bindings"])
+    assert main([p, "--sparql", "ASK { numpy a Library }",
+                 "--format", "srj", "--master", "local[2]"]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == {
+        "head": {}, "boolean": True}

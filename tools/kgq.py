@@ -144,6 +144,12 @@ def main(argv=None) -> int:
     ap.add_argument("--ntriples", action="store_true",
                     help="input path is N-Triples text, not parquet "
                          "(parsed with operators/triples.parse_ntriples)")
+    ap.add_argument("--format", default="jsonl",
+                    choices=["jsonl", "srj"],
+                    help="output format for --sparql results: jsonl "
+                         "(one JSON object per binding, default) or "
+                         "srj (the W3C application/sparql-results+json "
+                         "envelope; ASK maps to its boolean form)")
     ap.add_argument("--master", default="local[8]")
     args = ap.parse_args(argv)
     if (args.where is None) == (args.sparql is None):
@@ -190,11 +196,24 @@ def main(argv=None) -> int:
         from stackoverflowner_spark.operators.sparql import run_sparql
         res = run_sparql(tri, args.sparql)
         if isinstance(res, bool):
-            print(json.dumps({"ask": res}))
+            if args.format == "srj":
+                print(json.dumps({"head": {}, "boolean": res}))
+            else:
+                print(json.dumps({"ask": res}))
             return 0
         rows = res.limit(args.limit).collect()
-        for r in rows:
-            print(json.dumps(r.asDict(), sort_keys=True))
+        if args.format == "srj":
+            cols = res.columns
+            bindings = [
+                {k: {"type": "literal", "value": str(v)}
+                 for k, v in r.asDict().items() if v is not None}
+                for r in rows]
+            print(json.dumps({"head": {"vars": cols},
+                              "results": {"bindings": bindings}},
+                             sort_keys=True))
+        else:
+            for r in rows:
+                print(json.dumps(r.asDict(), sort_keys=True))
         print(json.dumps({"rows": len(rows), "limit": args.limit}),
               file=sys.stderr)
         return 0
