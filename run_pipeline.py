@@ -182,7 +182,7 @@ def main(argv=None) -> int:
 
         from stackoverflowner_spark.operators.graphalgo import (
             betweenness, kcore, lpa_communities, modularity,
-            sample_pivots, triangle_count)
+            refine_communities, sample_pivots, triangle_count)
         from stackoverflowner_spark.operators.hyperball import (
             harmonic_centrality_est, hyperball)
         from stackoverflowner_spark.operators.pagerank import entity_pagerank
@@ -200,8 +200,9 @@ def main(argv=None) -> int:
             args.analytics + "/triangles")
         kcore(edges, k=2).write.mode("overwrite").parquet(
             args.analytics + "/kcore2")
-        lpa_communities(edges).write.mode("overwrite").parquet(
-            args.analytics + "/communities")
+        refine_communities(edges, lpa_communities(edges)) \
+            .write.mode("overwrite").parquet(
+                args.analytics + "/communities")
         harmonic_centrality_est(
             hyperball(edges, max_radius=8, b=6, direction="in")) \
             .write.mode("overwrite").parquet(args.analytics + "/harmonic")

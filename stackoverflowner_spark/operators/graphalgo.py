@@ -558,3 +558,118 @@ def betweenness_batched(edges: DataFrame, k: int, batch: int = 32,
                                       * F.lit(nodes_n / len(rows)))
                              .alias("bc"))
     return acc
+
+
+def refine_communities(edges: DataFrame, labels: DataFrame,
+                       max_rounds: int = 5) -> DataFrame:
+    """Greedy modularity refinement of a community assignment — the
+    Louvain local-move phase (Blondel et al. 2008), made deterministic
+    and exact: every node simultaneously evaluates moving to each
+    neighboring community, the gain comparison runs in EXACT integers,
+    and a round of moves is accepted only if the exact global
+    modularity numerator strictly increases. Input/output shape matches
+    ``lpa_communities`` (node, community); feed it LPA output (or any
+    partition) and get a Q-no-worse partition back.
+
+    Exact arithmetic: moving v from community a to b changes Q by
+    delta = (e_vb - e_va)/m - [2 d_v (S_b - S_a) + 2 d_v^2] / (4 m^2);
+    scaled by 4m^2 this is the INTEGER
+    delta' = 4m(e_vb - e_va) - 2 d_v (S_b - S_a + d_v),
+    so per-node argmax (tie-break: smallest community id) and the
+    global accept test (numerator N = sum_c 4m*e_c - S_c^2, compared
+    as integers round over round) are bit-exact — no float anywhere,
+    the ``modularity`` discipline extended to the OPTIMIZER. Synchronous
+    application means a round can overshoot (the classic simultaneous-
+    moves pathology); the exact accept gate makes the sequence of
+    ACCEPTED partitions strictly Q-increasing and terminating — on
+    rejection the previous labels return unchanged.
+
+    Scale shape per round: one (node, nbr_community) count agg over the
+    symmetrized edges (the dominant shuffle, O(E)), community-keyed
+    strength sums, a per-node max_by argmax — all partial-agg friendly;
+    ``localCheckpoint`` truncates the round lineage.
+    """
+    und = _undirected(edges).localCheckpoint()
+    m = und.count()
+    if m == 0:
+        return labels.select("node", "community")
+    both = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+            .unionAll(und.select(F.col("v").alias("node"),
+                                 F.col("u").alias("nbr")))
+            .localCheckpoint())
+    deg = both.groupBy("node").agg(F.count("*").alias("d"))
+    nodes = both.select("node").distinct()
+    cur = (nodes.join(labels.select("node", "community"), "node", "left")
+           .select("node", F.coalesce(F.col("community"), F.col("node"))
+                   .alias("community"))
+           .localCheckpoint())
+
+    def _numerator(lab: DataFrame) -> int:
+        lu = lab.select(F.col("node").alias("u"),
+                        F.col("community").alias("cu"))
+        lv = lab.select(F.col("node").alias("v"),
+                        F.col("community").alias("cv"))
+        e_c = (und.join(lu, "u").join(lv, "v")
+               .filter(F.col("cu") == F.col("cv"))
+               .groupBy(F.col("cu").alias("community"))
+               .agg(F.count("*").alias("e_in")))
+        s_c = (deg.join(lab, "node")
+               .groupBy("community").agg(F.sum("d").alias("s")))
+        dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+        row = (s_c.join(e_c, "community", "left")
+               .select(F.coalesce(F.col("e_in"), F.lit(0)).alias("e_in"),
+                       "s")
+               .agg(F.sum(F.lit(4 * m).cast("decimal(38,0)")
+                          * dec("e_in") - dec("s") * dec("s"))
+                    .alias("n")).collect()[0])
+        return int(row.n)
+
+    best_n = _numerator(cur)
+    for _ in range(max_rounds):
+        s_c = (deg.join(cur, "node")
+               .groupBy("community").agg(F.sum("d").alias("s")))
+        # e_{v,c}: edges from v into each neighboring community c
+        evc = (both.join(cur.withColumnRenamed("node", "nbr")
+                         .withColumnRenamed("community", "nbr_comm"),
+                         "nbr")
+               .groupBy("node", "nbr_comm")
+               .agg(F.count("*").alias("e_vc")))
+        own = (cur.join(evc, (cur.node == evc.node)
+                        & (cur.community == evc.nbr_comm), "left")
+               .select(cur.node, cur.community,
+                       F.coalesce(F.col("e_vc"), F.lit(0)).alias("e_va")))
+        cand = (evc.join(own.withColumnRenamed("node", "n2"),
+                         evc.node == F.col("n2"))
+                .filter(F.col("nbr_comm") != F.col("community"))
+                .join(deg, "node")
+                .join(s_c.select(F.col("community").alias("nbr_comm"),
+                                 F.col("s").alias("s_b")), "nbr_comm")
+                .join(s_c.select(F.col("community").alias("community"),
+                                 F.col("s").alias("s_a")), "community")
+                .select("node", "nbr_comm",
+                        (F.lit(4 * m) * (F.col("e_vc") - F.col("e_va"))
+                         - F.lit(2) * F.col("d")
+                         * (F.col("s_b") - F.col("s_a") + F.col("d")))
+                        .cast("long").alias("gain")))
+        # deterministic argmax: (gain desc, community asc) tie-break,
+        # node-partitioned window — no single-partition stage
+        from pyspark.sql import Window
+        w = (Window.partitionBy("node")
+             .orderBy(F.col("gain").desc(), F.col("nbr_comm").asc()))
+        moves = (cand.filter(F.col("gain") > 0)
+                 .withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") == 1)
+                 .select("node", F.col("nbr_comm").alias("community")))
+        if moves.isEmpty():
+            break
+        nxt = (cur.join(moves.withColumnRenamed("community", "newc"),
+                        "node", "left")
+               .select("node", F.coalesce(F.col("newc"),
+                                          F.col("community"))
+                       .alias("community"))
+               .localCheckpoint())
+        n2 = _numerator(nxt)
+        if n2 <= best_n:  # synchronous overshoot: reject and stop
+            break
+        cur, best_n = nxt, n2
+    return cur

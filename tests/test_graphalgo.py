@@ -723,3 +723,113 @@ def test_betweenness_batched_scale_uses_full_k(spark):
     scaled_many = {r.node: r.bc for r in betweenness_batched(
         df, k=3, batch=1, scale=True).collect()}
     assert scaled_many == pytest.approx(scaled_one)
+
+
+# ---- greedy modularity refinement (r5o) ----
+
+def _brute_delta_best(edges, labels, node):
+    """Exact best single-move gain for one node via Fractions."""
+    from fractions import Fraction
+    base = _brute_modularity(edges, list(labels.items()))
+    best = (Fraction(0), labels[node])
+    nbr_comms = set()
+    for u, v in edges:
+        if u == node:
+            nbr_comms.add(labels.get(v, v))
+        if v == node:
+            nbr_comms.add(labels.get(u, u))
+    for c in sorted(nbr_comms, key=str):
+        if c == labels[node]:
+            continue
+        trial = dict(labels)
+        trial[node] = c
+        gain = Fraction(_brute_modularity(
+            edges, list(trial.items()))).limit_denominator(10**15) \
+            - Fraction(base).limit_denominator(10**15)
+        if gain > best[0]:
+            best = (gain, c)
+    return best
+
+
+def test_refine_fixes_mislabeled_node(spark):
+    from stackoverflowner_spark.operators.graphalgo import (
+        modularity, refine_communities)
+    # two 4-cliques + bridge; a0 deliberately mislabeled into B
+    edges = ([("a%d" % i, "a%d" % j) for i in range(4)
+              for j in range(i + 1, 4)]
+             + [("b%d" % i, "b%d" % j) for i in range(4)
+                for j in range(i + 1, 4)]
+             + [("a0", "b0")])
+    df = spark.createDataFrame(edges, "src string, dst string")
+    wrong = spark.createDataFrame(
+        [("a0", "B")] + [("a%d" % i, "A") for i in range(1, 4)]
+        + [("b%d" % i, "B") for i in range(4)],
+        "node string, community string")
+    fixed = refine_communities(df, wrong)
+    got = {r.node: r.community for r in fixed.collect()}
+    assert got["a0"] == "A"
+    q_before = modularity(df, wrong).collect()[0].q
+    q_after = modularity(df, fixed).collect()[0].q
+    assert q_after > q_before
+
+
+def test_refine_optimal_partition_is_fixpoint(spark):
+    from stackoverflowner_spark.operators.graphalgo import refine_communities
+    edges = ([("a%d" % i, "a%d" % j) for i in range(4)
+              for j in range(i + 1, 4)]
+             + [("b%d" % i, "b%d" % j) for i in range(4)
+                for j in range(i + 1, 4)]
+             + [("a0", "b0")])
+    df = spark.createDataFrame(edges, "src string, dst string")
+    good = spark.createDataFrame(
+        [("a%d" % i, "A") for i in range(4)]
+        + [("b%d" % i, "B") for i in range(4)],
+        "node string, community string")
+    out = {(r.node, r.community)
+           for r in refine_communities(df, good).collect()}
+    assert out == {(r.node, r.community) for r in good.collect()}
+
+
+def test_refine_never_decreases_q(spark):
+    from stackoverflowner_spark.operators.graphalgo import (
+        lpa_communities, modularity, refine_communities)
+    for seed in (3, 19):
+        edges = _random_graph(n=24, m=60, seed=seed)
+        df = spark.createDataFrame(
+            [(str(u), str(v)) for u, v in edges], "src string, dst string")
+        lab = lpa_communities(df)
+        ref = refine_communities(df, lab, max_rounds=3)
+        q0 = modularity(df, lab).collect()[0].q
+        q1 = modularity(df, ref).collect()[0].q
+        assert q1 >= q0, seed
+
+
+def test_refine_partition_invariant(spark):
+    from stackoverflowner_spark.operators.graphalgo import (
+        lpa_communities, refine_communities)
+    edges = _random_graph(n=20, m=45, seed=6)
+    sedges = [(str(u), str(v)) for u, v in edges]
+    a = spark.createDataFrame(sedges, "src string, dst string")
+    b = spark.createDataFrame(list(reversed(sedges)),
+                              "src string, dst string").repartition(7)
+    la = refine_communities(a, lpa_communities(a))
+    lb = refine_communities(b, lpa_communities(b))
+    assert sorted(map(tuple, la.collect())) == sorted(map(tuple,
+                                                          lb.collect()))
+
+
+def test_refine_gain_formula_matches_fractions(spark):
+    # the exact-integer gain must pick the same move the Fraction-exact
+    # single-move search picks (strictly-positive-gain case)
+    from stackoverflowner_spark.operators.graphalgo import refine_communities
+    edges = [("x", "a1"), ("x", "a2"), ("a1", "a2"),
+             ("x", "b1"), ("b1", "b2")]
+    labels = {"x": "B", "a1": "A", "a2": "A", "b1": "B", "b2": "B"}
+    gain, comm = _brute_delta_best(edges, labels, "x")
+    assert gain > 0 and comm == "A"
+    df = spark.createDataFrame(edges, "src string, dst string")
+    lab = spark.createDataFrame(list(labels.items()),
+                                "node string, community string")
+    out = {r.node: r.community
+           for r in refine_communities(df, lab, max_rounds=1).collect()}
+    assert out["x"] == "A"
