@@ -561,7 +561,8 @@ def betweenness_batched(edges: DataFrame, k: int, batch: int = 32,
 
 
 def refine_communities(edges: DataFrame, labels: DataFrame,
-                       max_rounds: int = 5) -> DataFrame:
+                       max_rounds: int = 5,
+                       weight_col: str = None) -> DataFrame:
     """Greedy modularity refinement of a community assignment — the
     Louvain local-move phase (Blondel et al. 2008), made deterministic
     and exact: every node simultaneously evaluates moving to each
@@ -584,20 +585,36 @@ def refine_communities(edges: DataFrame, labels: DataFrame,
     ACCEPTED partitions strictly Q-increasing and terminating — on
     rejection the previous labels return unchanged.
 
+    ``weight_col`` refines against WEIGHTED modularity (integer weights
+    >= 1, the ``modularity`` weighted reading): m becomes total weight,
+    degrees become strengths, e_vb the weight into b — the identical
+    integer gain formula, still exact.
+
     Scale shape per round: one (node, nbr_community) count agg over the
     symmetrized edges (the dominant shuffle, O(E)), community-keyed
     strength sums, a per-node max_by argmax — all partial-agg friendly;
     ``localCheckpoint`` truncates the round lineage.
     """
-    und = _undirected(edges).localCheckpoint()
-    m = und.count()
+    if weight_col is None:
+        und = (_undirected(edges)
+               .withColumn("w", F.lit(1).cast("long")).localCheckpoint())
+    else:
+        uu = F.least(F.col("src"), F.col("dst"))
+        vv = F.greatest(F.col("src"), F.col("dst"))
+        und = (edges.select(uu.alias("u"), vv.alias("v"),
+                            F.col(weight_col).cast("long").alias("w"))
+               .filter(F.col("u") != F.col("v"))
+               .groupBy("u", "v").agg(F.sum("w").alias("w"))
+               .localCheckpoint())
+    m = int(und.agg(F.sum("w")).collect()[0][0] or 0)
     if m == 0:
         return labels.select("node", "community")
-    both = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+    both = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"),
+                       "w")
             .unionAll(und.select(F.col("v").alias("node"),
-                                 F.col("u").alias("nbr")))
+                                 F.col("u").alias("nbr"), "w"))
             .localCheckpoint())
-    deg = both.groupBy("node").agg(F.count("*").alias("d"))
+    deg = both.groupBy("node").agg(F.sum("w").alias("d"))
     nodes = both.select("node").distinct()
     cur = (nodes.join(labels.select("node", "community"), "node", "left")
            .select("node", F.coalesce(F.col("community"), F.col("node"))
@@ -612,7 +629,7 @@ def refine_communities(edges: DataFrame, labels: DataFrame,
         e_c = (und.join(lu, "u").join(lv, "v")
                .filter(F.col("cu") == F.col("cv"))
                .groupBy(F.col("cu").alias("community"))
-               .agg(F.count("*").alias("e_in")))
+               .agg(F.sum("w").alias("e_in")))
         s_c = (deg.join(lab, "node")
                .groupBy("community").agg(F.sum("d").alias("s")))
         dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
@@ -633,7 +650,7 @@ def refine_communities(edges: DataFrame, labels: DataFrame,
                          .withColumnRenamed("community", "nbr_comm"),
                          "nbr")
                .groupBy("node", "nbr_comm")
-               .agg(F.count("*").alias("e_vc")))
+               .agg(F.sum("w").alias("e_vc")))
         own = (cur.join(evc, (cur.node == evc.node)
                         & (cur.community == evc.nbr_comm), "left")
                .select(cur.node, cur.community,

@@ -833,3 +833,31 @@ def test_refine_gain_formula_matches_fractions(spark):
     out = {r.node: r.community
            for r in refine_communities(df, lab, max_rounds=1).collect()}
     assert out["x"] == "A"
+
+
+def test_refine_weighted_uses_weights(spark):
+    # x has 2 plain edges into A-clique and 1 HEAVY edge (w=10) to B:
+    # unweighted refinement pulls x to A, weighted keeps/pulls it to B
+    from stackoverflowner_spark.operators.graphalgo import (
+        modularity, refine_communities)
+    wedges = [("x", "a1", 1), ("x", "a2", 1), ("a1", "a2", 5),
+              ("x", "b1", 10), ("b1", "b2", 5)]
+    df = spark.createDataFrame(wedges, "src string, dst string, w long")
+    lab = spark.createDataFrame(
+        [("x", "A"), ("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B")],
+        "node string, community string")
+    out = {r.node: r.community
+           for r in refine_communities(df, lab, weight_col="w").collect()}
+    assert out["x"] == "B"
+    q0 = modularity(df, lab, weight_col="w").collect()[0].q
+    q1 = modularity(
+        df, spark.createDataFrame(list(out.items()),
+                                  "node string, community string"),
+        weight_col="w").collect()[0].q
+    assert q1 > q0
+    # the unweighted reading of the same topology keeps x in A
+    # (2 edges to A vs 1 to B)
+    plain = {r.node: r.community
+             for r in refine_communities(
+                 df.select("src", "dst"), lab).collect()}
+    assert plain["x"] == "A"
