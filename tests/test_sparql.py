@@ -304,3 +304,27 @@ def test_kgq_cli_srj_format(spark, tmp_path, capsys):
                  "--format", "srj", "--master", "local[2]"]) == 0
     assert json.loads(capsys.readouterr().out.strip()) == {
         "head": {}, "boolean": True}
+
+
+def test_kgq_cli_sparql_over_ntriples(spark, tmp_path, capsys):
+    # the two input/query modes compose: full SPARQL over the RDF text
+    # export round-trip
+    import json
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from stackoverflowner_spark.operators.triples import ntriples_lines
+    from tools.kgq import main
+
+    df = spark.createDataFrame(
+        [(s, p, o, "u") for s, p, o in TRIPLES],
+        "subj string, pred string, obj string, url string")
+    nt = str(tmp_path / "kg_sparql_nt")
+    ntriples_lines(df).write.text(nt)
+    assert main([nt, "--ntriples", "--sparql",
+                 "SELECT ?x (COUNT(?d) AS ?n) WHERE "
+                 "{ ?x mentioned_in ?d } GROUP BY ?x "
+                 "HAVING(?n >= 2) ORDER BY ?x",
+                 "--master", "local[2]"]) == 0
+    out = [json.loads(l) for l in
+           capsys.readouterr().out.strip().splitlines()]
+    assert [(r["x"], r["n"]) for r in out] == [("numpy", 2), ("python", 2)]
