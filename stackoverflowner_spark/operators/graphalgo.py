@@ -401,11 +401,16 @@ def modularity(edges: DataFrame, labels: DataFrame,
     if weight_col is None:
         und = _undirected(edges).withColumn("w", F.lit(1).cast("long"))
     else:
+        # self-loops are KEPT in the weighted reading (a contracted
+        # community graph carries intra-community weight as loops):
+        # one (v, v, w) row contributes w to m, w to its community's
+        # e_in, and 2w to the node's strength — exactly Newman's
+        # A_vv = 2*w_self convention, falling out of the symmetric
+        # degree union below with no special-casing
         u = F.least(F.col("src"), F.col("dst"))
         v = F.greatest(F.col("src"), F.col("dst"))
         und = (edges.select(u.alias("u"), v.alias("v"),
                             F.col(weight_col).cast("long").alias("w"))
-               .filter(F.col("u") != F.col("v"))
                .groupBy("u", "v").agg(F.sum("w").alias("w")))
     und = und.localCheckpoint()
     m = (und.agg(F.sum("w")).collect()[0][0] or 0)
@@ -598,15 +603,25 @@ def refine_communities(edges: DataFrame, labels: DataFrame,
     if weight_col is None:
         und = (_undirected(edges)
                .withColumn("w", F.lit(1).cast("long")).localCheckpoint())
+        selfw = und.limit(0).select(F.col("u").alias("node"),
+                                    F.col("w").alias("sw"))
     else:
+        # weighted reading keeps self-loops (contracted community
+        # graphs carry intra-community weight as loops): a loop adds w
+        # to m and to its community's e_in and 2w to the node's
+        # strength, but never to e_vc (it moves WITH the node, so it
+        # cancels out of every gain) — Newman's A_vv = 2*w_self
         uu = F.least(F.col("src"), F.col("dst"))
         vv = F.greatest(F.col("src"), F.col("dst"))
-        und = (edges.select(uu.alias("u"), vv.alias("v"),
-                            F.col(weight_col).cast("long").alias("w"))
-               .filter(F.col("u") != F.col("v"))
-               .groupBy("u", "v").agg(F.sum("w").alias("w"))
-               .localCheckpoint())
-    m = int(und.agg(F.sum("w")).collect()[0][0] or 0)
+        allw = (edges.select(uu.alias("u"), vv.alias("v"),
+                             F.col(weight_col).cast("long").alias("w"))
+                .groupBy("u", "v").agg(F.sum("w").alias("w")))
+        und = allw.filter(F.col("u") != F.col("v")).localCheckpoint()
+        selfw = (allw.filter(F.col("u") == F.col("v"))
+                 .select(F.col("u").alias("node"),
+                         F.col("w").alias("sw")).localCheckpoint())
+    m = int(und.agg(F.sum("w")).collect()[0][0] or 0) \
+        + int(selfw.agg(F.sum("sw")).collect()[0][0] or 0)
     if m == 0:
         return labels.select("node", "community")
     both = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"),
@@ -614,8 +629,13 @@ def refine_communities(edges: DataFrame, labels: DataFrame,
             .unionAll(und.select(F.col("v").alias("node"),
                                  F.col("u").alias("nbr"), "w"))
             .localCheckpoint())
-    deg = both.groupBy("node").agg(F.sum("w").alias("d"))
-    nodes = both.select("node").distinct()
+    pair_deg = both.groupBy("node").agg(F.sum("w").alias("pd"))
+    deg = (pair_deg.join(selfw, "node", "full")
+           .select("node", (F.coalesce(F.col("pd"), F.lit(0))
+                            + F.lit(2) * F.coalesce(F.col("sw"),
+                                                    F.lit(0)))
+                   .alias("d")))
+    nodes = deg.select("node").distinct()
     cur = (nodes.join(labels.select("node", "community"), "node", "left")
            .select("node", F.coalesce(F.col("community"), F.col("node"))
                    .alias("community"))
@@ -626,10 +646,17 @@ def refine_communities(edges: DataFrame, labels: DataFrame,
                         F.col("community").alias("cu"))
         lv = lab.select(F.col("node").alias("v"),
                         F.col("community").alias("cv"))
-        e_c = (und.join(lu, "u").join(lv, "v")
-               .filter(F.col("cu") == F.col("cv"))
-               .groupBy(F.col("cu").alias("community"))
-               .agg(F.sum("w").alias("e_in")))
+        e_pair = (und.join(lu, "u").join(lv, "v")
+                  .filter(F.col("cu") == F.col("cv"))
+                  .groupBy(F.col("cu").alias("community"))
+                  .agg(F.sum("w").alias("ep")))
+        e_self = (selfw.join(lab, "node")
+                  .groupBy("community").agg(F.sum("sw").alias("es")))
+        e_c = (e_pair.join(e_self, "community", "full")
+               .select("community",
+                       (F.coalesce(F.col("ep"), F.lit(0))
+                        + F.coalesce(F.col("es"), F.lit(0)))
+                       .alias("e_in")))
         s_c = (deg.join(lab, "node")
                .groupBy("community").agg(F.sum("d").alias("s")))
         dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
@@ -690,3 +717,86 @@ def refine_communities(edges: DataFrame, labels: DataFrame,
             break
         cur, best_n = nxt, n2
     return cur
+
+
+def contract_graph(edges: DataFrame, labels: DataFrame,
+                   weight_col: str = None) -> DataFrame:
+    """Louvain aggregation phase: collapse each community to one
+    supernode -> weighted edges (src, dst, w) where inter-community
+    weight sums onto one undirected edge and INTRA-community weight
+    becomes the supernode's self-loop — the exact information the
+    weighted ``modularity``/``refine_communities`` self-loop reading
+    consumes, so Q(contracted, identity) == Q(original, labels)
+    EXACTLY (gated in tests). Unlabeled nodes contract as singletons.
+
+    One label join per endpoint + one (community pair) sum — all
+    partial-agg; output is community-count-sized.
+    """
+    if weight_col is None:
+        base = _undirected(edges).withColumn("w", F.lit(1).cast("long"))
+    else:
+        uu = F.least(F.col("src"), F.col("dst"))
+        vv = F.greatest(F.col("src"), F.col("dst"))
+        base = (edges.select(uu.alias("u"), vv.alias("v"),
+                             F.col(weight_col).cast("long").alias("w"))
+                .groupBy("u", "v").agg(F.sum("w").alias("w")))
+    lab = labels.select("node", "community")
+    lu = lab.select(F.col("node").alias("u"), F.col("community").alias("cu"))
+    lv = lab.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    tagged = (base.join(lu, "u", "left").join(lv, "v", "left")
+              .select(F.coalesce(F.col("cu"), F.col("u")).alias("cu"),
+                      F.coalesce(F.col("cv"), F.col("v")).alias("cv"),
+                      "w"))
+    return (tagged.select(F.least("cu", "cv").alias("src"),
+                          F.greatest("cu", "cv").alias("dst"), "w")
+            .groupBy("src", "dst").agg(F.sum("w").alias("w")))
+
+
+def louvain(edges: DataFrame, max_levels: int = 3,
+            max_rounds: int = 5, weight_col: str = None) -> DataFrame:
+    """Full Louvain community detection (Blondel et al. 2008), in this
+    module's deterministic-exact discipline -> (node, community).
+
+    Level 1 refines an ``lpa_communities`` partition on the input graph
+    (the synchronous local-move phase needs a non-singleton start — see
+    ``refine_communities``; LPA is the deterministic initializer).
+    Each further level CONTRACTS the communities to supernodes
+    (``contract_graph``: inter-community weights summed, intra weight
+    as self-loops) and re-refines the weighted community graph from
+    its identity partition, then composes the mapping back to original
+    nodes. Stops early when a level makes no move. Every accepted step
+    strictly increases the ORIGINAL graph's exact modularity numerator
+    (the contraction preserves Q exactly — the self-loop reading — so
+    the per-level accept gates compose), making the whole pipeline
+    Q-monotone and deterministic.
+
+    Scale shape: level 1 dominates (the O(E) refine rounds); every
+    later level runs on a community-count-sized graph.
+    """
+    mapping = refine_communities(edges, lpa_communities(edges),
+                                 max_rounds=max_rounds,
+                                 weight_col=weight_col).localCheckpoint()
+    cur_edges, cur_w = edges, weight_col
+    lab_on_cur = mapping  # partition of cur_edges' node set
+    for _ in range(1, max_levels):
+        cg = contract_graph(cur_edges, lab_on_cur, cur_w).localCheckpoint()
+        ident = (cg.select(F.col("src").alias("node"))
+                 .unionAll(cg.select(F.col("dst").alias("node")))
+                 .distinct()
+                 .withColumn("community", F.col("node")))
+        lab2 = refine_communities(cg, ident, max_rounds=max_rounds,
+                                  weight_col="w")
+        no_moves = (lab2.filter(F.col("node") != F.col("community"))
+                    .isEmpty())
+        if no_moves:
+            break
+        mapping = (mapping
+                   .join(lab2.withColumnRenamed("node", "community")
+                         .withColumnRenamed("community", "newc"),
+                         "community", "left")
+                   .select("node", F.coalesce(F.col("newc"),
+                                              F.col("community"))
+                           .alias("community"))
+                   .localCheckpoint())
+        cur_edges, cur_w, lab_on_cur = cg, "w", lab2
+    return mapping

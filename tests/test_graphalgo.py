@@ -861,3 +861,77 @@ def test_refine_weighted_uses_weights(spark):
              for r in refine_communities(
                  df.select("src", "dst"), lab).collect()}
     assert plain["x"] == "A"
+
+
+# ---- contraction + full Louvain (r5o) ----
+
+def test_contract_preserves_q_exactly(spark):
+    # Q(original, labels) == Q(contracted, identity) bit for bit —
+    # the self-loop reading makes contraction lossless for modularity
+    from stackoverflowner_spark.operators.graphalgo import (
+        contract_graph, lpa_communities, modularity)
+    edges = _random_graph(n=24, m=55, seed=12)
+    df = spark.createDataFrame(
+        [(str(u), str(v)) for u, v in edges], "src string, dst string")
+    lab = lpa_communities(df)
+    q_orig = modularity(df, lab).collect()[0]
+    cg = contract_graph(df, lab)
+    ident = (cg.select(F.col("src").alias("node"))
+             .unionAll(cg.select(F.col("dst").alias("node"))).distinct()
+             .withColumn("community", F.col("node")))
+    q_con = modularity(cg, ident, weight_col="w").collect()[0]
+    assert q_orig.m == q_con.m
+    assert q_orig.q == q_con.q  # bitwise
+
+
+def test_contract_sums_and_loops(spark):
+    from stackoverflowner_spark.operators.graphalgo import contract_graph
+    edges = [("a1", "a2"), ("a2", "a3"), ("a1", "b1"), ("a2", "b1"),
+             ("b1", "b2")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    lab = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("a3", "A"), ("b1", "B"), ("b2", "B")],
+        "node string, community string")
+    got = {(r.src, r.dst): r.w for r in contract_graph(df, lab).collect()}
+    assert got == {("A", "A"): 2, ("B", "B"): 1, ("A", "B"): 2}
+
+
+def test_louvain_two_blocks(spark):
+    from stackoverflowner_spark.operators.graphalgo import louvain
+    edges = ([("a%d" % i, "a%d" % j) for i in range(5)
+              for j in range(i + 1, 5)]
+             + [("b%d" % i, "b%d" % j) for i in range(5)
+                for j in range(i + 1, 5)]
+             + [("a0", "b0")])
+    df = spark.createDataFrame(edges, "src string, dst string")
+    lab = {r.node: r.community for r in louvain(df).collect()}
+    a_comms = {lab["a%d" % i] for i in range(5)}
+    b_comms = {lab["b%d" % i] for i in range(5)}
+    assert len(a_comms) == 1 and len(b_comms) == 1
+    assert a_comms != b_comms
+
+
+def test_louvain_q_at_least_refined_lpa(spark):
+    from stackoverflowner_spark.operators.graphalgo import (
+        louvain, lpa_communities, modularity, refine_communities)
+    for seed in (4, 23):
+        edges = _random_graph(n=28, m=64, seed=seed)
+        df = spark.createDataFrame(
+            [(str(u), str(v)) for u, v in edges], "src string, dst string")
+        base = refine_communities(df, lpa_communities(df))
+        q_base = modularity(df, base).collect()[0].q
+        q_lv = modularity(df, louvain(df).select("node", "community")
+                          ).collect()[0].q
+        assert q_lv >= q_base, seed
+
+
+def test_louvain_partition_invariant(spark):
+    from stackoverflowner_spark.operators.graphalgo import louvain
+    edges = _random_graph(n=22, m=50, seed=31)
+    sedges = [(str(u), str(v)) for u, v in edges]
+    a = spark.createDataFrame(sedges, "src string, dst string")
+    b = spark.createDataFrame(list(reversed(sedges)),
+                              "src string, dst string").repartition(5)
+    la = sorted(map(tuple, louvain(a).collect()))
+    lb = sorted(map(tuple, louvain(b).collect()))
+    assert la == lb
