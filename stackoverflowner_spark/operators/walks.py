@@ -403,31 +403,94 @@ def merge_candidates(edges: DataFrame, min_jaccard_pct: int = 30,
     duplicates usually are not — the flag lets the curator split the
     queue without a second pass).
 
+    Execution: NEIGHBORHOOD-CLASS collapse before the wedge join. Every
+    score column above depends on a node only through its neighbor
+    multiset N(u), so nodes with identical (sorted) neighbor lists are
+    interchangeable: group them into classes, run the quadratic wedge
+    enumeration over CLASSES, and expand class pairs back to member
+    pairs at the end (the expansion is output-sized — those rows are the
+    required result either way). On graphs where hubs give many nodes
+    the same neighborhood (leaf documents attached to the same entity
+    set — the KG-projection case), the wedge fan-out drops by the
+    squared collapse ratio; in the worst case (all neighborhoods
+    distinct) every class is a singleton and the plan degenerates to the
+    classic wedge join plus one extra adjacency-sized aggregation.
+    ``max_degree`` still drops hub MIDPOINTS only (the filter runs on
+    the exploded class-neighbor rows by the midpoint's own degree);
+    member degrees are untouched. Strict-oracle-gated against the
+    classic formulation's DuckDB replay in tests/test_walks.py.
+
     The edge list is localCheckpoint'ed first (eager): the plan
-    references it six times (two wedge branches, two degree joins, the
-    connected join, plus the degree build), and without the lineage cut
-    Spark re-executes the caller's full upstream DAG per reference —
-    the operators/components.py r4 lesson. Each recompute after the cut
-    is edge-list-sized."""
+    references it twice (adjacency build + connected probe) and without
+    the lineage cut Spark re-executes the caller's full upstream DAG per
+    reference — the operators/components.py r4 lesson."""
     e = edges.select("src", "dst").localCheckpoint()
     und = (e.select(F.col("src").alias("v"), F.col("dst").alias("n"))
            .unionAll(e.select(F.col("dst").alias("v"),
                               F.col("src").alias("n"))))
-    deg = und.groupBy("v").agg(F.count("*").alias("d"))
-    mid = und.join(deg, "v")
+    # per-node sorted neighbor list; identical lists -> one class
+    # (md5(to_json(...)) is an unambiguous array fingerprint)
+    nbrs = (und.groupBy("v")
+            .agg(F.sort_array(F.collect_list("n")).alias("ns"))
+            .select("v", "ns", F.size("ns").alias("d"),
+                    F.md5(F.to_json("ns")).alias("cid")))
+    classes = (nbrs.groupBy("cid")
+               .agg(F.sort_array(F.collect_list("v")).alias("mem"),
+                    F.any_value("ns").alias("ns"),  # identical within class
+                    F.any_value("d").alias("deg"))
+               .localCheckpoint())
+    und_c = classes.select("cid", F.explode("ns").alias("x"))
     if max_degree is not None:
-        mid = mid.filter(F.col("d") <= max_degree)
-    a = mid.select("v", F.col("n").alias("u"))
-    b = mid.select("v", F.col("n").alias("w"))
-    pairs = (a.join(b, "v").filter(F.col("u") < F.col("w"))
-             .groupBy("u", "w")
-             .agg(F.count("*").cast("long").alias("common"))
-             .filter(F.col("common") >= min_common))
-    du = deg.select(F.col("v").alias("u"), F.col("d").alias("du"))
-    dw = deg.select(F.col("v").alias("w"), F.col("d").alias("dw"))
-    out = (pairs.join(du, "u").join(dw, "w")
-           .join(e.select(F.col("src").alias("u"), F.col("dst").alias("w"),
-                          F.lit(1).alias("_c")), ["u", "w"], "left"))
+        degx = nbrs.select(F.col("v").alias("x"), F.col("d").alias("dx"))
+        und_c = (und_c.join(degx, "x").filter(F.col("dx") <= max_degree)
+                 .select("cid", "x"))
+    a = und_c.select(F.col("cid").alias("ca"), "x")
+    b = und_c.select(F.col("cid").alias("cb"), "x")
+    # class-level wedge count: common(c1, c2) = sum over midpoints x of
+    # mult_{c1}(x) * mult_{c2}(x) == the classic per-pair wedge count of
+    # any (u in c1, w in c2); the (c, c) diagonal row carries the
+    # within-class pair count the same way
+    cpairs = (a.join(b, "x").filter(F.col("ca") <= F.col("cb"))
+              .groupBy("ca", "cb")
+              .agg(F.count("*").cast("long").alias("common"))
+              .filter(F.col("common") >= min_common))
+    meta_a = classes.select(F.col("cid").alias("ca"),
+                            F.col("mem").alias("mem_a"),
+                            F.col("deg").alias("da"))
+    meta_b = classes.select(F.col("cid").alias("cb"),
+                            F.col("mem").alias("mem_b"),
+                            F.col("deg").alias("db"))
+    cp = cpairs.join(meta_a, "ca").join(meta_b, "cb")
+    # expansion: cross-class pairs orient per member pair (class order is
+    # md5 order, not member order); within-class pairs are the sorted
+    # member combinations (mem is sorted asc, so u < w by construction)
+    diff = (cp.filter(F.col("ca") != F.col("cb"))
+            .select("common", "da", "db", "mem_b",
+                    F.explode("mem_a").alias("u0"))
+            .select("common", "da", "db", "u0",
+                    F.explode("mem_b").alias("w0"))
+            .select(F.least("u0", "w0").alias("u"),
+                    F.greatest("u0", "w0").alias("w"),
+                    "common",
+                    F.when(F.col("u0") < F.col("w0"), F.col("da"))
+                    .otherwise(F.col("db")).alias("du"),
+                    F.when(F.col("u0") < F.col("w0"), F.col("db"))
+                    .otherwise(F.col("da")).alias("dw")))
+    combos = F.flatten(F.transform(
+        F.col("mem_a"),
+        lambda x, i: F.transform(
+            F.slice(F.col("mem_a"), i + F.lit(2), F.size(F.col("mem_a"))),
+            lambda y: F.struct(x.alias("u"), y.alias("w")))))
+    same = (cp.filter((F.col("ca") == F.col("cb"))
+                      & (F.size("mem_a") >= 2))
+            .select("common", "da", F.explode(combos).alias("p"))
+            .select(F.col("p.u").alias("u"), F.col("p.w").alias("w"),
+                    "common", F.col("da").alias("du"),
+                    F.col("da").alias("dw")))
+    allp = diff.unionByName(same)
+    out = allp.join(
+        e.select(F.col("src").alias("u"), F.col("dst").alias("w"),
+                 F.lit(1).alias("_c")), ["u", "w"], "left")
     uni = F.col("du") + F.col("dw") - F.col("common")
     return out.select(
         "u", "w", "common",

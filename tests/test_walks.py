@@ -233,3 +233,37 @@ def test_merge_candidates_strict_oracle_random_graphs(spark, seed):
         want = con.execute(merge_candidates_sql(esql, 40, md, 1)).df()
         assert len(got) > 0
         assert compare(f"mc-{seed}-{md}", got, want, strict=True) == []
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_merge_candidates_class_collapse_strict_oracle(spark, seed):
+    # Non-vacuous neighborhood-class coverage for the collapsed wedge
+    # plan: a hub-leaf graph where many leaves share one neighborhood
+    # (multi-member classes, within-class diagonal expansion) on top of
+    # a random core (singleton classes, cross-class expansion) — every
+    # class shape compared strictly against the classic DuckDB replay.
+    rng = random.Random(seed)
+    core = random_graph(seed, 8, 14)
+    hubs = ["n00", "n01", "n02"]
+    edges = set(core)
+    for i in range(12):  # leaves attached to a random hub PAIR:
+        h1, h2 = rng.sample(hubs, 2)  # several leaves repeat a pair ->
+        leaf = f"leaf{i:02d}"         # guaranteed multi-member classes
+        edges.add((min(h1, leaf), max(h1, leaf)))
+        edges.add((min(h2, leaf), max(h2, leaf)))
+    edges = sorted(edges)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    con, esql = _duck(edges)
+    # sanity: the fixture really exercises a multi-member class
+    from collections import Counter
+    nbr = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    sizes = Counter(frozenset(v) for v in nbr.values())
+    assert max(sizes.values()) >= 2
+    for md, mc in ((None, 1), (None, 2), (4, 1)):
+        got = merge_candidates(df, 40, md, mc).toPandas()
+        want = con.execute(merge_candidates_sql(esql, 40, md, mc)).df()
+        assert len(got) > 0
+        assert compare(f"mcc-{seed}-{md}-{mc}", got, want, strict=True) == []
