@@ -72,14 +72,18 @@ def with_contamination(docs: DataFrame, bench: DataFrame,
     """
     bg = F.broadcast(benchmark_grams(bench, text_col, n))
     toks = norm_tokens(text_col)
-    base = docs.select(F.col(id_col),
-                       ngrams(toks, n).alias("_grams"))
-    hits = (base.select(id_col, F.explode("_grams").alias("gram"))
+    hits = (docs.select(F.col(id_col),
+                        F.explode(ngrams(toks, n)).alias("gram"))
             .join(bg, "gram")
             .groupBy(id_col)
             .agg(F.countDistinct("gram").alias("hit_ngrams")))
-    return (base
-            .select(F.col(id_col), F.size("_grams").cast("long")
+    # total_ngrams is just max(0, n_tokens - (n-1)) — counting does not
+    # need the gram strings, so this branch skips building them (the
+    # string-building scan otherwise ran twice, once per branch)
+    n_toks = F.size(toks)
+    total = F.when(n_toks >= n, n_toks - (n - 1)).otherwise(F.lit(0))
+    return (docs
+            .select(F.col(id_col), total.cast("long")
                     .alias("total_ngrams"))
             .join(F.broadcast(hits), id_col, "left")
             .withColumn("hit_ngrams",

@@ -64,7 +64,7 @@ from typing import List, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .sketch import RHO_MAX, estimate_constant, hll_sketch
+from .sketch import RHO_MAX, estimate_constant, hll_sketch, rho_column
 
 
 def _ball_estimate(regs: DataFrame, b: int) -> DataFrame:
@@ -85,6 +85,24 @@ def _ball_estimate(regs: DataFrame, b: int) -> DataFrame:
     return agg.select("node", est.alias("est"))
 
 
+def _dense_estimate(dense: DataFrame, b: int) -> DataFrame:
+    """Row-local twin of ``_ball_estimate`` over the dense counter rows
+    (node, regs array<int>[m], 0 = empty register): no groupBy at all.
+    An empty register's z term is shiftleft(1, RHO_MAX - 0) == the
+    zeros * 2^RHO_MAX term of the sparse estimator, so one aggregate fold
+    over the array IS the exact z_num; the division and linear-counting
+    branch are the identical expressions — bitwise-equal output."""
+    m = 1 << b
+    c = estimate_constant(b)
+    z_num = F.expr(
+        f"aggregate(regs, 0L, (acc, x) -> acc + shiftleft(1L, {RHO_MAX} - x))")
+    zeros = F.size(F.filter("regs", lambda x: x == 0)).cast("long")
+    raw = F.lit(c) / z_num.cast("double")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((zeros > 0) & (raw <= F.lit(2.5 * m)), lc).otherwise(raw)
+    return dense.select("node", est.alias("est"))
+
+
 def hyperball(edges: DataFrame, max_radius: int = 16, b: int = 8,
               direction: str = "out") -> DataFrame:
     """-> (node, radius int, est double): estimated ball size |B_r(node)|
@@ -98,12 +116,14 @@ def hyperball(edges: DataFrame, max_radius: int = 16, b: int = 8,
 
     Estimates are monotone nondecreasing in r per node (registers only
     grow and the estimator is monotone in the registers), so downstream
-    deltas are nonnegative by construction.
+    deltas are nonnegative by construction. Runs on the dense counter
+    representation (see ``_iterate_dense``), so each radius's estimate is
+    a row-local fold — no per-radius aggregation jobs.
     """
     est_tables: List[DataFrame] = [
-        _ball_estimate(regs, b).select("node", F.lit(r).alias("radius"),
-                                       "est")
-        for r, regs in iterate_registers(edges, max_radius, b, direction)]
+        _dense_estimate(dense, b).select("node", F.lit(r).alias("radius"),
+                                         "est")
+        for r, dense in _iterate_dense(edges, max_radius, b, direction)]
     out = est_tables[0]
     for t in est_tables[1:]:
         out = out.unionByName(t)
@@ -114,13 +134,34 @@ def iterate_registers(edges: DataFrame, max_radius: int, b: int,
                       direction: str = "out"):
     """Yield (radius, register-table) per HyperBall round, starting at
     radius 0 (each node's own sketch) and stopping at the exact fixed
-    point (no register changed — detected by the (row count, sum(rho))
-    pair, which registers-only-grow makes a sound change signature) or
-    ``max_radius``. The per-radius register tables are BITWISE equal to
-    ``hll_sketch`` of each node's exact BFS ball (HLL merge is exact) —
-    the property tests/test_hyperball.py gates."""
+    point (no register changed) or ``max_radius``. The per-radius
+    register tables are BITWISE equal to ``hll_sketch`` of each node's
+    exact BFS ball (HLL merge is exact) — the property
+    tests/test_hyperball.py gates. Thin sparse view over the dense
+    iteration: one posexplode + empty-register filter per yield."""
+    for r, dense in _iterate_dense(edges, max_radius, b, direction):
+        rows = (dense.select("node", F.posexplode("regs")
+                             .alias("reg", "rho"))
+                .filter(F.col("rho") > 0))
+        yield r, rows
+
+
+def _iterate_dense(edges: DataFrame, max_radius: int, b: int,
+                   direction: str = "out"):
+    """Yield (radius, dense counter table (node, regs array<int>[m])) per
+    HyperBall round — ``regs[i]`` is register i's rho, 0 when empty.
+
+    One dense row per node instead of one row per occupied register cuts
+    the per-round shuffle to O(nodes) rows (the merge is m parallel
+    max() aggregates, partial-agg friendly) — the in-core counter-array
+    layout of the published HyperBall, kept exactly register-compatible
+    with ``hll_sketch`` (the sparse view is the bitwise-gated contract).
+    Convergence: registers only grow, so the (present count, rho sum)
+    pair is a sound fixed-point signature, computed as one tiny agg over
+    the checkpointed round state."""
     if direction not in ("out", "in"):
         raise ValueError(f"direction must be 'out' or 'in', got {direction!r}")
+    m = 1 << b
     e = edges.select(F.col("src").cast("string").alias("src"),
                      F.col("dst").cast("string").alias("dst"))
     if direction == "in":
@@ -128,22 +169,53 @@ def iterate_registers(edges: DataFrame, max_radius: int, b: int,
     e = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node"))).distinct())
-    regs = hll_sketch(nodes, ["node"], "node", b).localCheckpoint()
-    yield 0, regs
-    sig = regs.agg(F.count("*"), F.sum("rho")).collect()[0]
-    state: Tuple[int, int] = (sig[0], sig[1])
+    h = F.md5(F.col("node").cast("string"))
+    reg0 = F.conv(F.substring(h, 1, b // 4), 16, 10).cast("int")
+    rho0 = rho_column(h, b)
+    init = F.transform(F.sequence(F.lit(0), F.lit(m - 1)),
+                       lambda i: F.when(i == reg0, rho0)
+                       .otherwise(F.lit(0)))
+
+    # convergence signature (present count, rho sum) rides an observe()
+    # on the SAME job that materializes the round's checkpoint — zero
+    # extra jobs per round (the one-pass curation_report discipline)
+    from pyspark.sql import Observation
+
+    def _checkpointed_with_sig(d):
+        obs = Observation()
+        d = d.observe(
+            obs,
+            F.sum(F.size(F.filter("regs", lambda x: x > 0)))
+            .alias("present"),
+            F.sum(F.expr("aggregate(regs, 0L, (acc, x) -> acc + x)"))
+            .alias("rhosum"))
+        ck = d.localCheckpoint()  # eager: fires the observation
+        got = obs.get
+        return ck, (got["present"], got["rhosum"])
+
+    dense, state = _checkpointed_with_sig(
+        nodes.select("node", init.alias("regs")))
+    yield 0, dense
+
+    # unpack -> m max() aggregates -> repack: elementwise register max
+    # with ordinary partial aggregation (no per-node buffering)
+    unpacked = [F.element_at("regs", i + 1).alias(f"_r{i}")
+                for i in range(m)]
+    maxes = [F.max(f"_r{i}").alias(f"_r{i}") for i in range(m)]
+    repack = F.array(*[F.col(f"_r{i}") for i in range(m)]).alias("regs")
+
     for r in range(1, max_radius + 1):
-        prop = (regs.join(e, regs.node == e.dst)
-                .select(F.col("src").alias("node"), "reg", "rho"))
-        regs = (regs.unionByName(prop)
-                .groupBy("node", "reg").agg(F.max("rho").alias("rho"))
-                .localCheckpoint())
-        sig = regs.agg(F.count("*"), F.sum("rho")).collect()[0]
-        new_state = (sig[0], sig[1])
+        prop = (dense.join(e, dense.node == e.dst)
+                .select(F.col("src").alias("node"), "regs"))
+        dense, new_state = _checkpointed_with_sig(
+            dense.unionByName(prop)
+            .select("node", *unpacked)
+            .groupBy("node").agg(*maxes)
+            .select("node", repack))
         if new_state == state:  # exact fixed point: no register changed
             break
         state = new_state
-        yield r, regs
+        yield r, dense
 
 
 def neighborhood_function(balls: DataFrame) -> DataFrame:

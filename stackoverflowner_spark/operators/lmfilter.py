@@ -63,8 +63,11 @@ def train_bigram_lm(ref_docs: DataFrame, text_col: str = "text"
     LEFT positions so probabilities normalize exactly; vocab_size over
     all tokens. Each output is vocab-sized (broadcast side downstream)."""
     bg = _bigrams(ref_docs, text_col)
-    uni = bg.groupBy("w1").agg(F.count("*").alias("c1"))
     big = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # c1 is the bigram-left-position count = sum of c12 over w2, so the
+    # unigram table folds out of the bigram table (vocab-sized input)
+    # instead of re-exploding the reference corpus a second time
+    uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (ref_docs
              .select(F.explode(norm_tokens(text_col)).alias("w"))
              .agg(F.countDistinct("w"))

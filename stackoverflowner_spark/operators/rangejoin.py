@@ -70,9 +70,21 @@ def interval_point_counts(points: DataFrame, intervals: DataFrame,
                           bin_width: int,
                           interval_keys: Sequence[str]) -> DataFrame:
     """Points-per-interval rollup: ``interval_keys + n_points`` for every
-    interval with >= 1 contained point. The count aggregates map-side
-    before the final shuffle on the interval key (dimension-sized)."""
-    j = point_in_interval_join(points, intervals, pt_col, start_col,
+    interval with >= 1 contained point.
+
+    The count never needs point identity, only how many points sit at
+    each value — so points are pre-aggregated to (value, multiplicity)
+    BEFORE the bin join and the rollup sums multiplicities (guide-§2.3
+    aggregate-before-you-shuffle). For continuous timestamps this is a
+    no-op passthrough; for discrete points (dates, bucketed times — the
+    common case at corpus scale) it collapses the join's probe side and
+    its fan-out by the multiplicity factor. Result identical to counting
+    raw join rows: each contained point contributes its multiplicity
+    exactly once (the bin join meets every (point-value, interval) pair
+    exactly once)."""
+    pvals = points.select(pt_col).groupBy(pt_col).agg(
+        F.count("*").alias("__mult"))
+    j = point_in_interval_join(pvals, intervals, pt_col, start_col,
                                end_col, bin_width)
     return (j.groupBy(*interval_keys)
-            .agg(F.count("*").alias("n_points")))
+            .agg(F.sum("__mult").alias("n_points")))

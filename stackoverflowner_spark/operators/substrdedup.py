@@ -83,13 +83,15 @@ def repeated_spans(docs: DataFrame, n: int, stride: int = 1,
     to the corpus for a keep/scrub decision; absence == clean).
     """
     w = window_hashes(docs, n, stride, key_col, text_col)
-    dup = (w.groupBy("whash")
-           .agg(F.count("*").alias("cnt"))
-           .filter(F.col("cnt") >= min_count)
-           .select("whash"))
-    # equi-join on the hash the groupBy just partitioned by — AQE reuses
-    # the partitioning; output is duplicated-window-sized from here on
-    hits = w.join(dup, "whash").select(key_col, "start")
+    # corpus-wide occurrence count as ONE count-over-partition window
+    # instead of groupBy + self-join: the former dup-set join computed the
+    # exploded md5 window table TWICE (aggregate side + probe side) and
+    # shuffled both; this shuffles the table once on whash and filters in
+    # place — same rows out (guide §2.4: remove shuffles outright)
+    hits = (w.withColumn("__cnt", F.count("*").over(
+                Window.partitionBy("whash")))
+            .filter(F.col("__cnt") >= min_count)
+            .select(key_col, "start"))
     prev_end = F.max(F.col("start") + n).over(
         Window.partitionBy(key_col).orderBy("start")
         .rowsBetween(Window.unboundedPreceding, -1))
@@ -171,9 +173,11 @@ def scrub_repeated(docs: DataFrame, n: int, stride: int = 1,
     are per-document output-sized (bounded by n_tokens / n), never a
     corpus-sized broadcast."""
     w = window_hashes(docs, n, stride, key_col, text_col)
-    dup = (w.groupBy("whash").agg(F.count("*").alias("cnt"))
-           .filter(F.col("cnt") >= min_count).select("whash"))
-    hits = w.join(dup, "whash").select(key_col, "start")
+    # same one-pass count-over-partition rewrite as repeated_spans
+    hits = (w.withColumn("__cnt", F.count("*").over(
+                Window.partitionBy("whash")))
+            .filter(F.col("__cnt") >= min_count)
+            .select(key_col, "start"))
     # per-document sorted starts; merge to [s, e) spans row-locally
     agg = hits.groupBy(key_col).agg(
         F.array_sort(F.collect_list("start")).alias("starts"))

@@ -94,18 +94,24 @@ def test_no_corpus_shuffle_before_broadcast_join(spark):
     # walk up from the corpus-side explode (Generate): no Exchange may sit
     # between it and the BroadcastHashJoin above it
     lines = plan.splitlines()
-    # the corpus-side explode reads the named _grams column; the benchmark
-    # side (whose eval-set-sized distinct Exchange is fine) inlines the
-    # transform expression instead
-    gen_idxs = [i for i, l in enumerate(lines)
-                if "Generate explode(_grams" in l]
+    # both sides now inline the gram transform, so identify the corpus
+    # explode STRUCTURALLY: at least one Generate must reach a
+    # BroadcastHashJoin walking up without crossing any Exchange. The
+    # benchmark-side Generate hits its distinct aggregate's Exchange
+    # first (fine — eval-set sized); if the corpus side ever regresses to
+    # a shuffle, no Generate satisfies the condition and the gate fails.
+    gen_idxs = [i for i, l in enumerate(lines) if "Generate explode(" in l]
     assert gen_idxs, plan
-    for gi in gen_idxs:
-        above = lines[:gi][::-1]
-        for l in above:
-            if "BroadcastHashJoin" in l or "BroadcastExchange" in l:
-                break
-            assert "Exchange hashpartitioning" not in l, plan
+
+    def _feeds_join_unshuffled(gi):
+        for l in lines[:gi][::-1]:
+            if "BroadcastHashJoin" in l:
+                return True
+            if "Exchange hashpartitioning" in l or "BroadcastExchange" in l:
+                return False
+        return False
+
+    assert any(_feeds_join_unshuffled(gi) for gi in gen_idxs), plan
 
 
 def test_driver_oracle_strict(spark):
