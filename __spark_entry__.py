@@ -324,8 +324,11 @@ def q_link_graph(spark, sf):
     src_raw = F.concat(
         F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM:443//d//"),
         sid, F.lit("/?utm_source=feed&ref=rss&z=1&id="), sid, F.lit("#frag"))
+    # canonicalize the per-doc src BEFORE the 8x token explode — the
+    # regex-heavy canonicalization otherwise re-runs on 8 identical
+    # copies of each source URL (same canonical string either way)
     toks = docs.select(
-        src_raw.alias("src_raw"),
+        canonicalize_url(src_raw).alias("src"),
         F.explode(F.slice(norm_tokens("text"), 1, 8)).alias("tok"))
     tid = (F.conv(F.substring(F.md5(F.col("tok")), 1, 6), 16, 10)
            .cast("long") % 120)
@@ -334,8 +337,7 @@ def q_link_graph(spark, sf):
         F.when(tid % 5 == 0, F.lit(":8080")).otherwise(F.lit(":80")),
         F.lit("/p//"), tid.cast("string"),
         F.lit("?utm_campaign=x&q="), (tid % 3).cast("string"))
-    edges = toks.select(canonicalize_url("src_raw").alias("src"),
-                        canonicalize_url(dst_raw).alias("dst"))
+    edges = toks.select("src", canonicalize_url(dst_raw).alias("dst"))
     return link_graph(edges)
 
 
@@ -662,10 +664,14 @@ def q_cm_freq(spark, sf):
     from stackoverflowner_spark.operators.sketch import cm_estimate, cm_sketch
     docs = _t(spark, sf, "documents")
     toks = docs.select("source", F.explode(norm_tokens("text")).alias("tok"))
-    sk = cm_sketch(toks, ["source"], "tok")
-    exact = (toks.groupBy("source", "tok")
-             .agg(F.count("*").alias("exact"))
-             .filter(F.col("exact") >= 50))
+    # tokenize + count ONCE (vocab-sized, checkpoint-cheap), then build
+    # the sketch from the counted table (cnt = sum of multiplicities ==
+    # counting raw occurrences) and take the exact probes from the same
+    # table — the corpus was previously tokenized and shuffled twice
+    cnt = (toks.groupBy("source", "tok")
+           .agg(F.count("*").alias("exact")).localCheckpoint())
+    sk = cm_sketch(cnt, ["source"], "tok", weight_col="exact")
+    exact = cnt.filter(F.col("exact") >= 50)
     est = cm_estimate(sk, exact.select("source", "tok"), "tok",
                       keys=["source"])
     return (exact.join(est, ["source", "tok"])

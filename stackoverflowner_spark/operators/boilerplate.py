@@ -91,13 +91,21 @@ def flag_lines(docs: DataFrame, text_col: str = "text",
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2 (a 1-of-1 line is 100% "
                          "of its host)")
+    from pyspark.sql import Window
     lines = doc_lines(docs, text_col=text_col, host_col=host_col)
-    stats = line_doc_freq(lines)
+    # per-line document frequency as a window pair over ONE shuffle of
+    # the exploded lines (dense_rank-max == count distinct doc_id, the
+    # sort-based form that spills instead of buffering a set): the old
+    # groupBy + self-join computed and shuffled the line explode twice
+    g = Window.partitionBy("host", "lhash")
+    dr = F.dense_rank().over(g.orderBy("doc_id"))
     hd = host_doc_counts(docs, host_col=host_col)
     bp = ((F.col("n_docs") >= min_docs)
           & (F.col("n_docs") * 10 > max_ratio_x10 * F.col("host_docs")))
     return (lines
-            .join(stats, ["host", "lhash"])
+            .withColumn("_dr", dr)
+            .withColumn("n_docs", F.max("_dr").over(g).cast("long"))
+            .drop("_dr")
             .join(F.broadcast(hd), "host")
             .withColumn("keep", (~bp).cast("long")))
 

@@ -42,8 +42,13 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
 
 def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  n: int = 3) -> DataFrame:
+                  n: int = 3, distinct: bool = False) -> DataFrame:
     """Explode n-word shingles of the normalized text.
+
+    ``distinct=True`` drops within-document repeats row-locally
+    (``array_distinct`` — no shuffle) BEFORE the explode: correct for
+    consumers whose aggregate is idempotent over repeats (MinHash's min,
+    Jaccard's set semantics) and saves the per-occurrence hash CPU.
 
     Parallelism note: shingling fans out ~50x per row, so the INPUT must
     arrive splittable — at 100 TB the scan has thousands of row-group
@@ -58,6 +63,8 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
+    if distinct:
+        sh = F.array_distinct(sh)
     return df.select(F.col(id_col), F.explode(sh).alias("shingle"))
 
 
@@ -65,7 +72,9 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3, k: int = 8
                        ) -> DataFrame:
     """(doc, seed, min md5(shingle:seed)) -> one row per doc per hash seed."""
-    shingles = word_shingles(df, id_col, text_col, n)
+    # distinct shingles per doc: min() is idempotent over repeats, so
+    # the k seeded hashes run once per distinct shingle, not occurrence
+    shingles = word_shingles(df, id_col, text_col, n, distinct=True)
     seeded = shingles.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
     return (
         seeded.withColumn(
@@ -83,7 +92,7 @@ def minhash_signatures_fast(df: DataFrame, id_col: str = "doc_id",
     string passes (~4x less CPU, 8-byte min-agg keys instead of 32-char
     strings). Same (doc, seed, minhash) shape; minhash is a LONG. The md5
     variant remains the cross-engine-oracle path (r01 trade, documented)."""
-    shingles = word_shingles(df, id_col, text_col, n)
+    shingles = word_shingles(df, id_col, text_col, n, distinct=True)
     seeded = shingles.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
     return (
         seeded.withColumn("h", F.xxhash64("shingle", "seed"))
@@ -114,7 +123,9 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.7) -> DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard similarity."""
-    sh = word_shingles(df, id_col, text_col, n).distinct()
+    # row-local array_distinct == distinct on (id, shingle), minus the
+    # corpus-wide Exchange the old .distinct() paid
+    sh = word_shingles(df, id_col, text_col, n, distinct=True)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
     inter = (

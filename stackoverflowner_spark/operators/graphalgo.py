@@ -112,15 +112,22 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame,
             .withColumn("dist", F.lit(0)).localCheckpoint())
     frontier = dist.select("node")
 
+    # frontier-emptiness rides an observe() on the checkpoint job (no
+    # second action per level) and ``dist`` stays a lazy union of the
+    # checkpointed levels — the anti-join reads the same blocks either
+    # way, and the per-level union+materialize job disappears
+    from pyspark.sql import Observation
     for i in range(1, max_iter + 1):
+        obs = Observation()
         nxt = (sym.join(frontier, sym.a == frontier.node)
                .select(F.col("b").alias("node")).distinct()
                .join(dist, "node", "left_anti")
                .withColumn("dist", F.lit(i))
+               .observe(obs, F.count(F.lit(1)).alias("n"))
                .localCheckpoint())
-        if nxt.isEmpty():
+        if int(obs.get["n"]) == 0:
             break
-        dist = dist.unionByName(nxt).localCheckpoint()
+        dist = dist.unionByName(nxt)
         frontier = nxt.select("node")
     return dist
 
@@ -172,20 +179,25 @@ def weighted_sssp(edges: DataFrame, seeds: DataFrame, max_cost: int,
             .withColumn("cost", F.lit(0).cast("long")).localCheckpoint())
     frontier = dist
 
+    # improvement-emptiness rides an observe() on the checkpoint job —
+    # no second isEmpty action per relaxation round
+    from pyspark.sql import Observation
     for _ in range(max_iter):
         cand = (es.join(frontier, es.a == frontier.node)
                 .select(F.col("b").alias("node"),
                         (F.col("cost") + F.col("w")).alias("cost"))
                 .filter(F.col("cost") <= max_cost)
                 .groupBy("node").agg(F.min("cost").alias("cost")))
+        obs = Observation()
         improved = (cand.join(dist.select(F.col("node"),
                                           F.col("cost").alias("_old")),
                               "node", "left")
                     .filter(F.col("_old").isNull()
                             | (F.col("cost") < F.col("_old")))
                     .select("node", "cost")
+                    .observe(obs, F.count(F.lit(1)).alias("n"))
                     .localCheckpoint())
-        if improved.isEmpty():
+        if int(obs.get["n"]) == 0:
             break
         dist = (dist.join(improved.select("node"), "node", "left_anti")
                 .unionByName(improved).localCheckpoint())
@@ -309,24 +321,31 @@ def betweenness(edges: DataFrame, sources: DataFrame = None,
         pivots = (sources.select("node").distinct()
                   .join(nodes, "node", "left_semi"))
 
-    # forward BFS: levels[d] = (s, node, sigma) at hop distance d
+    # forward BFS: levels[d] = (s, node, sigma) at hop distance d.
+    # The frontier-emptiness check rides an observe() on the SAME job
+    # that materializes the level's checkpoint (no second action), and
+    # ``visited`` stays a lazy union of the already-checkpointed levels
+    # (one union node per level, no per-level materialization job — the
+    # anti-join reads the same checkpointed blocks either way).
+    from pyspark.sql import Observation
     lvl = (pivots.select(F.col("node").alias("s"),
                          F.col("node"),
                          F.lit(1).cast("long").alias("sigma"))
            .localCheckpoint())
     levels = [lvl]
-    visited = lvl.select("s", "node").localCheckpoint()
+    visited = lvl.select("s", "node")
     for _ in range(max_iter):
+        obs = Observation()
         nxt = (levels[-1].join(sym, F.col("node") == F.col("a"))
                .select("s", F.col("b").alias("node"), "sigma")
                .groupBy("s", "node").agg(F.sum("sigma").alias("sigma"))
                .join(visited, ["s", "node"], "left_anti")
+               .observe(obs, F.count(F.lit(1)).alias("n"))
                .localCheckpoint())
-        if nxt.isEmpty():
+        if int(obs.get["n"]) == 0:
             break
         levels.append(nxt)
-        visited = visited.unionByName(nxt.select("s", "node")) \
-            .localCheckpoint()
+        visited = visited.unionByName(nxt.select("s", "node"))
 
     # backward sweep: delta at the deepest level is 0; each level pulls
     # (1 + delta_w) / sigma_w from its successors along graph edges,

@@ -157,16 +157,26 @@ def cm_bucket(value: Column, depth: Column, w: int = CM_WIDTH) -> Column:
 
 
 def cm_sketch(df: DataFrame, keys: list[str], value: str,
-              d: int = CM_DEPTH, w: int = CM_WIDTH) -> DataFrame:
+              d: int = CM_DEPTH, w: int = CM_WIDTH,
+              weight_col: str | None = None) -> DataFrame:
     """-> (keys..., depth int, bucket int, cnt long): the counter table,
-    one row per non-zero (key, depth, bucket) cell."""
+    one row per non-zero (key, depth, bucket) cell.
+
+    ``weight_col`` builds from PRE-AGGREGATED (value, multiplicity) rows:
+    cnt = sum(weight) — counters are plain sums, so sketching counted
+    distinct values equals sketching the raw occurrences bit-for-bit
+    while hashing each distinct value d times instead of each occurrence
+    (gated in tests/test_sketch.py)."""
     depth = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("depth")
-    cells = df.select(*keys, F.col(value).alias("_v"), depth)
+    wcols = [F.col(weight_col).alias("_w")] if weight_col else []
+    cells = df.select(*keys, F.col(value).alias("_v"), *wcols, depth)
+    cnt = (F.sum(F.col("_w").cast("long")) if weight_col
+           else F.count("*"))
     return (cells.select(*keys, "depth",
                          cm_bucket(F.col("_v"), F.col("depth"), w)
-                         .alias("bucket"))
+                         .alias("bucket"), *(["_w"] if weight_col else []))
             .groupBy(*keys, "depth", "bucket")
-            .agg(F.count("*").alias("cnt")))
+            .agg(cnt.alias("cnt")))
 
 
 def cm_merge(*sketches: DataFrame) -> DataFrame:

@@ -308,3 +308,18 @@ def test_alpha_small_m(spark):
     assert regs.agg(F.max("reg")).first()[0] <= 15
     est = hll_estimate(regs, b=4).collect()[0].est
     assert abs(est - 2000) / 2000 < 0.6  # m=16: ~26% std err
+
+
+def test_cm_weighted_build_equals_raw_build(spark):
+    # the weighted (pre-counted) build path must be cell-for-cell equal
+    # to sketching the raw occurrence stream: counters are plain sums
+    rows = _zipf(80)
+    raw = spark.createDataFrame(rows, "key string, val string")
+    counted = raw.groupBy("key", "val").agg(F.count("*").alias("n"))
+    a = (cm_sketch(raw, ["key"], "val")
+         .toPandas().sort_values(["key", "depth", "bucket"])
+         .reset_index(drop=True))
+    b = (cm_sketch(counted, ["key"], "val", weight_col="n")
+         .toPandas().sort_values(["key", "depth", "bucket"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
