@@ -1699,8 +1699,11 @@ def q_kg_bgp(spark, sf):
     m = pages_to_mentions_fused(pages, GazetteerTagger(alias_map=_doc_alias_map()),
                                 lang_filter="en")
     linked = link_broadcast(m, dictionary_df(spark, _DOC_EXTRA_ENTITIES))
+    # materialize the triple table once: bgp_match scans it once per
+    # pattern (4 here), and without the lineage cut each scan replays
+    # the whole Python-kernel extraction chain
     tri = (triples_from_linked(linked)
-           .select("subj", "pred", "obj").distinct())
+           .select("subj", "pred", "obj").distinct().localCheckpoint())
     return bgp_match(tri, [
         ("?algo", "instance_of", "Algorithm"),
         ("?algo", "mentioned_in", "?url"),

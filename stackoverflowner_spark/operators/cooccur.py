@@ -88,15 +88,25 @@ def comention_edges(mentions: DataFrame, doc_col: str = "doc_id",
     near-zero evidential value). One distinct shuffle, one doc-keyed
     join, one groupBy(src, dst) shuffle; never all-pairs across docs.
     """
-    d = mentions.select(F.col(doc_col).alias("_d"),
-                        F.col(ent_col).alias("_e")).distinct()
+    # one groupBy(doc) collects each doc's distinct entity set (partial-
+    # agg set union), the mega-doc guard is a row-local size() filter,
+    # and the src < dst pairs fall out of sorted-array combinations —
+    # replacing the old distinct + count-agg + semi-join + doc-keyed
+    # self-join (4 exchanges) with 2 exchanges and zero joins. Per-doc
+    # pair fan-out is unchanged (combinations of the distinct set).
+    per_doc = (mentions
+               .groupBy(F.col(doc_col).alias("_d"))
+               .agg(F.sort_array(F.collect_set(F.col(ent_col)))
+                    .alias("_es")))
     if max_per_doc is not None:
-        ok = (d.groupBy("_d").agg(F.count("*").alias("_k"))
-              .filter(F.col("_k") <= max_per_doc).select("_d"))
-        d = d.join(ok, "_d", "left_semi")
-    a = d.select(F.col("_d"), F.col("_e").alias("src"))
-    b = d.select(F.col("_d"), F.col("_e").alias("dst"))
-    return (a.join(b, "_d")
-            .filter(F.col("src") < F.col("dst"))
+        per_doc = per_doc.filter(F.size("_es") <= max_per_doc)
+    es = F.col("_es")
+    combos = F.flatten(F.transform(
+        es,
+        lambda x, i: F.transform(
+            F.slice(es, i + F.lit(2), F.size(es)),
+            lambda y: F.struct(x.alias("src"), y.alias("dst")))))
+    return (per_doc.select(F.explode(combos).alias("p"))
+            .select("p.src", "p.dst")
             .groupBy("src", "dst")
             .agg(F.count("*").cast("long").alias("w")))

@@ -73,14 +73,26 @@ def _pick(salt: str, step: int) -> F.Column:
 
 def random_walks(edges: DataFrame, walks_per_node: int = 2,
                  walk_len: int = 5, salt: str = "walk",
-                 start_bucket: Optional[str] = "0") -> DataFrame:
+                 start_bucket: Optional[str] = "0",
+                 checkpoint_every: int = 4) -> DataFrame:
     """(walk_id, step, node): ``walks_per_node`` deterministic uniform
     random walks of ``walk_len`` steps from every start node.
 
     ``start_bucket`` keeps the corpus bounded on huge graphs: only nodes
     whose md5 first hex char equals it start walks (1/16 of nodes);
     ``None`` starts from every node. Walks traverse the WHOLE graph
-    either way. walk_id = "<node>#<i>"."""
+    either way. walk_id = "<node>#<i>".
+
+    ``checkpoint_every`` cuts the step lineage every k steps instead of
+    every step: between cuts a step's frontier is recomputed lazily by
+    the branches that reference it (at most k-1 extra frontier-sized
+    joins against the checkpointed adjacency — frontiers are O(starts),
+    never edge-sized), trading that bounded recompute for k-1 fewer
+    eager materialization barriers per k steps. Values are pure md5
+    functions of (salt, walk_id, step), so the plan shape cannot change
+    a single output bit (the strict DuckDB oracle gates this)."""
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     adj = _adjacency(edges).localCheckpoint()
     nodes = adj.select("v").distinct()
     if start_bucket is not None:
@@ -99,8 +111,9 @@ def random_walks(edges: DataFrame, walks_per_node: int = 2,
         frontier = (frontier.join(adj, frontier.node == adj.v)
                     .filter(F.col("rnk") == _pick(salt, s))
                     .select("walk_id", F.lit(s).cast("long").alias("step"),
-                            F.col("n").alias("node"))
-                    .localCheckpoint())
+                            F.col("n").alias("node")))
+        if s % checkpoint_every == 0:
+            frontier = frontier.localCheckpoint()
         out = out.unionByName(frontier)
     return out
 
