@@ -459,6 +459,20 @@ class StructuredPerceptron:
         chans = []
         for _ in range(8):
             chans.append(({}, [np.zeros(L, dtype=_DECODE_DTYPE)], []))  # index, vecs, ids
+        # unrolled channel blocks: each channel's (index, vecs, ids, get)
+        # binds to locals once and the probe logic is inlined — no
+        # per-token dispatch-tuple construction, no per-probe function
+        # call. Identical ids in identical order, so the accumulated
+        # floats cannot move a bit (tag-equality gated in tests).
+        (pw_ix, pw_vs, pw_id), (nw_ix, nw_vs, nw_id) = chans[0], chans[1]
+        (pw2_ix, pw2_vs, pw2_id) = chans[2]
+        (nw2_ix, nw2_vs, nw2_id) = chans[3]
+        (md_ix, md_vs, md_id), (gz_ix, gz_vs, gz_id) = chans[4], chans[5]
+        (pww_ix, pww_vs, pww_id) = chans[6]
+        (nww_ix, nww_vs, nww_id) = chans[7]
+        _m = object()
+        sids_append = sids.append
+        sindex_get = sindex.get
         for words, mds, gazs in inputs:
             n = len(words)
             lws = [w.lower() for w in words]
@@ -467,32 +481,105 @@ class StructuredPerceptron:
                 lw = lws[i]
                 prev_w = lws[i - 1] if i else "<S>"
                 next_w = lws[i + 1] if i + 1 < n else "</S>"
-                prev_w2 = lws[i - 2] if i > 1 else "<S>"
-                next_w2 = lws[i + 2] if i + 2 < n else "</S>"
-                j = sindex.get(w)
-                if j is None:
+                j = sindex_get(w, _m)
+                if j is _m:
                     j = sindex[w] = len(svecs)
                     svecs.append(self._static_vec(w))
-                sids.append(j)
-                for (index, vecs, ids), get, key in (
-                        (chans[0], pw_g, prev_w),
-                        (chans[1], nw_g, next_w),
-                        (chans[2], pw2_g, prev_w + "|" + lw),
-                        (chans[3], nw2_g, lw + "|" + next_w),
-                        (chans[4], md_g, mds[i]),
-                        (chans[5], gaz_g, gazs[i]),
-                        (chans[6], pww_g, prev_w2),
-                        (chans[7], nww_g, next_w2)):
-                    jj = index.get(key)
-                    if jj is None:
-                        v = get(key)
-                        if v is None:
-                            jj = 0
-                        else:
-                            jj = len(vecs)
-                            vecs.append(v)
-                        index[key] = jj
-                    ids.append(jj)
+                sids_append(j)
+
+                jj = pw_ix.get(prev_w, _m)
+                if jj is _m:
+                    v = pw_g(prev_w)
+                    if v is None:
+                        jj = 0
+                    else:
+                        jj = len(pw_vs)
+                        pw_vs.append(v)
+                    pw_ix[prev_w] = jj
+                pw_id.append(jj)
+
+                jj = nw_ix.get(next_w, _m)
+                if jj is _m:
+                    v = nw_g(next_w)
+                    if v is None:
+                        jj = 0
+                    else:
+                        jj = len(nw_vs)
+                        nw_vs.append(v)
+                    nw_ix[next_w] = jj
+                nw_id.append(jj)
+
+                key = prev_w + "|" + lw
+                jj = pw2_ix.get(key, _m)
+                if jj is _m:
+                    v = pw2_g(key)
+                    if v is None:
+                        jj = 0
+                    else:
+                        jj = len(pw2_vs)
+                        pw2_vs.append(v)
+                    pw2_ix[key] = jj
+                pw2_id.append(jj)
+
+                key = lw + "|" + next_w
+                jj = nw2_ix.get(key, _m)
+                if jj is _m:
+                    v = nw2_g(key)
+                    if v is None:
+                        jj = 0
+                    else:
+                        jj = len(nw2_vs)
+                        nw2_vs.append(v)
+                    nw2_ix[key] = jj
+                nw2_id.append(jj)
+
+                key = mds[i]
+                jj = md_ix.get(key, _m)
+                if jj is _m:
+                    v = md_g(key)
+                    if v is None:
+                        jj = 0
+                    else:
+                        jj = len(md_vs)
+                        md_vs.append(v)
+                    md_ix[key] = jj
+                md_id.append(jj)
+
+                key = gazs[i]
+                jj = gz_ix.get(key, _m)
+                if jj is _m:
+                    v = gaz_g(key)
+                    if v is None:
+                        jj = 0
+                    else:
+                        jj = len(gz_vs)
+                        gz_vs.append(v)
+                    gz_ix[key] = jj
+                gz_id.append(jj)
+
+                key = lws[i - 2] if i > 1 else "<S>"
+                jj = pww_ix.get(key, _m)
+                if jj is _m:
+                    v = pww_g(key)
+                    if v is None:
+                        jj = 0
+                    else:
+                        jj = len(pww_vs)
+                        pww_vs.append(v)
+                    pww_ix[key] = jj
+                pww_id.append(jj)
+
+                key = lws[i + 2] if i + 2 < n else "</S>"
+                jj = nww_ix.get(key, _m)
+                if jj is _m:
+                    v = nww_g(key)
+                    if v is None:
+                        jj = 0
+                    else:
+                        jj = len(nww_vs)
+                        nww_vs.append(v)
+                    nww_ix[key] = jj
+                nww_id.append(jj)
         sv = np.asarray(svecs)
         sid_arr = np.asarray(sids)
         mats = [(np.asarray(vecs), np.asarray(ids))

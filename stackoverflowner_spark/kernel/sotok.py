@@ -268,6 +268,12 @@ def _balanced_paren_words(line: str) -> List[str]:
     found = []
     for word in line.split():
         n_open = word.count("(") + word.count("{") + word.count("[")
+        # fast path: no opener means the word can never be appended (no
+        # opener + no closer -> seen stays False; a closer without its
+        # opener hits the mismatch continues below) — skip the per-char
+        # stack walk the common bracket-less word otherwise pays
+        if n_open == 0:
+            continue
         # precedence quirk kept: `a or b and c` == `a or (b and c)`
         if n_open <= 1 and (word[0] == "(" or (word[0] == "{" and word[0] == "[")):
             continue
@@ -303,7 +309,8 @@ def _mask_protected_words(text: str) -> Tuple[Dict[str, str], str]:
         key = _MASK_BASE + str(counter)
         masks[key] = w
         text = text.replace(w, key)
-    balanced = _balanced_paren_words(text)
+    # set membership: the list scan was O(words x balanced)
+    balanced = set(_balanced_paren_words(text))
     pieces = []
     for word in text.split():
         if word in balanced:
