@@ -249,12 +249,13 @@ def bloom_pos(value: Column, j: Column, m: int = BLOOM_BITS) -> Column:
 def bloom_build(df: DataFrame, value: str, k: int = BLOOM_K,
                 m: int = BLOOM_BITS) -> DataFrame:
     """-> (block int, bits long): the packed filter, one row per
-    non-empty 63-bit block. One bounded shuffle: distinct positions
-    (<= build_rows·k, map-side combined) then bit_or per block."""
+    non-empty 63-bit block. ONE bounded shuffle: bit_or is idempotent,
+    so duplicate positions need no distinct pass — the groupBy's
+    map-side combine already collapses each partition to <= ceil(m/63)
+    block rows before the exchange."""
     j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
     pos = (df.select(F.col(value).alias("_v"), j)
-           .select(bloom_pos(F.col("_v"), F.col("j"), m).alias("pos"))
-           .distinct())
+           .select(bloom_pos(F.col("_v"), F.col("j"), m).alias("pos")))
     return (pos.select((F.col("pos") / 63).cast("int").alias("block"),
                        (F.col("pos") % 63).cast("int").alias("bit"))
             .groupBy("block")

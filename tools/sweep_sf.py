@@ -48,7 +48,9 @@ def main() -> int:
                       shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
 
-    res = run_all(spark, sf)
+    # strict=True: the driver's criterion is bitwise — a tolerance-mode
+    # sweep here recreated the r4 blind spot (VERDICT r5 What's-wrong #2)
+    res = run_all(spark, sf, strict=True)
     bad = {k: v for k, v in res.items() if v}
     print(f"driver surface @ {sf}: TOTAL {len(res)} FAIL {len(bad)}")
 
