@@ -82,6 +82,44 @@ def _relabel(rows: List[Optional[list]], spans: Sequence[Standoff]) -> None:
         row[0] = tag
 
 
+def sentence_token_tags(final_text: str, spans: Sequence[Standoff]
+                        ) -> List[Tuple[int, List[str], List[str]]]:
+    """(sent_idx, tokens, tags) per non-empty sentence — the fused-kernel
+    variant of ``text_to_conll_rows`` that never builds per-token
+    ConllRow objects (the hot path only consumes the per-sentence
+    token/tag lists; the NamedTuple constructions were ~8% of the kernel
+    at corpus scale). Sentence numbering, token order and tags are
+    IDENTICAL to grouping ``text_to_conll_rows`` output by sent_idx —
+    gated by the fused-vs-modular equality tests."""
+    sentences = final_text.splitlines(keepends=True)
+    rows: List[Optional[list]] = []
+    offset = 0
+    for s in sentences:
+        for tok, pos in _tokenize_with_offsets(s):
+            if not tok.isspace():
+                rows.append(["O", pos + offset, pos + offset + len(tok), tok])
+        rows.append(None)
+        offset += len(s)
+
+    _relabel(rows, eliminate_overlaps(spans))
+
+    out: List[Tuple[int, List[str], List[str]]] = []
+    toks: List[str] = []
+    tags: List[str] = []
+    sent_idx = 0
+    for row in rows:
+        if row is None:
+            if toks:
+                out.append((sent_idx, toks, tags))
+                sent_idx += 1
+                toks = []
+                tags = []
+            continue
+        tags.append(row[0])
+        toks.append(row[3])
+    return out
+
+
 def text_to_conll_rows(final_text: str, spans: Sequence[Standoff]) -> List[ConllRow]:
     """Tokenize a post's final text line-wise and BIO-label sentinel spans.
 

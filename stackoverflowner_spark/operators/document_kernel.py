@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..kernel.bio import text_to_conll_rows
+from ..kernel.bio import sentence_token_tags, text_to_conll_rows
 from ..kernel.conlleval import extract_chunks
 from ..kernel.htmltext import ExtractionError, extract_text
 from ..kernel.sentencize import Standoff, sentencize
@@ -243,15 +243,15 @@ def pages_to_mentions_fused(pages: DataFrame, tagger,
                     else:
                         continue
                     final, anns = sentencize(extracted, url.rsplit("/", 1)[-1])
-                    conll = text_to_conll_rows(final, anns)
+                    # per-sentence arrays directly — no per-token row
+                    # objects, no regroup dict (bitwise-equal to the
+                    # text_to_conll_rows grouping, gated vs the modular
+                    # stage chain)
+                    per_sent = sentence_token_tags(final, anns)
                 except (ExtractionError, TokenizerGuardError):
                     continue
-                by_sent: dict = {}
-                for r in conll:
-                    by_sent.setdefault(r.sent_idx, []).append(r)
-                for sent_idx, rs in by_sent.items():
-                    sents.append((url, sent_idx, [r.token for r in rs],
-                                  [r.tag for r in rs]))
+                for sent_idx, toks, mds in per_sent:
+                    sents.append((url, sent_idx, toks, mds))
             # phase 2: tag (batched when supported — same outputs, gated)
             if batch_tag is not None:
                 all_tags = batch_tag([(toks, mds) for _, _, toks, mds in sents])

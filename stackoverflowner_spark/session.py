@@ -33,6 +33,15 @@ def get_spark(app_name: str = "stackoverflowner-spark",
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # prefer shuffled-hash over sort-merge when a per-partition build
+        # side fits (guide §3.1): skips both sort passes; AQE's local-map
+        # threshold lets it rewrite SMJ->SHJ at runtime from measured
+        # sizes. Right on clusters for the same reason (the sorts are
+        # pure overhead when the build side hashes in memory); SMJ still
+        # kicks in for genuinely large both-sides joins.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
