@@ -206,8 +206,19 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.explode(F.filter(F.split(normalized_text(text_col), " "),
                            lambda x: x != "")).alias("word"),
     ).withColumn("h", F.md5("word"))
+    # hex nibbles extracted once per word (16 instr calls), bits derived
+    # by shift/mod — same integers as _md5_bit's per-bit substring+instr
+    # (shiftright == the old floor division for nonnegative nibbles),
+    # ~4x fewer string ops per word and a much smaller codegen body
+    nibs = F.transform(
+        F.sequence(F.lit(1), F.lit(bits // 4)),
+        lambda c: F.instr(F.lit("123456789abcdef"),
+                          F.substring(F.col("h"), c, 1)))
+    toks = toks.withColumn("_nib", nibs)
     bit_cols = [
-        F.sum(F.when(_md5_bit(F.col("h"), b) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        F.sum(F.when(
+            F.shiftright(F.element_at("_nib", bits // 4 - b // 4),
+                         b % 4) % 2 == 1, 1).otherwise(-1)).alias(f"b{b}")
         for b in range(bits)
     ]
     agg = toks.groupBy(id_col).agg(*bit_cols)

@@ -76,7 +76,26 @@ def splittable_path(spark, path: str, fanout: bool = False) -> str:
     return out
 
 
+# (applicationId, path, fanout) -> DataFrame. A DataFrame is only a
+# query plan — this caches the driver-side file listing + parquet footer
+# schema read each spark.read.parquet() repeats (~30-100 ms per call,
+# and queries touch several tables), NOT any data or results: execution
+# still scans the parquet files every time. Stale-app entries pruned on
+# miss (the document_kernel._TAGGER_BC discipline).
+_DF_CACHE: dict = {}
+
+
 def read_fixture(spark, sf_dir: str, name: str, fanout: bool = False):
-    """Plain ``spark.read.parquet`` over a splittable path."""
-    return spark.read.parquet(
+    """Plain ``spark.read.parquet`` over a splittable path, with the
+    per-session plan (file index + schema) memoized."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, f"{sf_dir}/{name}.parquet", fanout)
+    hit = _DF_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in [k for k in _DF_CACHE if k[0] != app_id]:
+        _DF_CACHE.pop(k, None)
+    df = spark.read.parquet(
         splittable_path(spark, f"{sf_dir}/{name}.parquet", fanout=fanout))
+    _DF_CACHE[key] = df
+    return df
