@@ -631,6 +631,29 @@ class StructuredPerceptron:
             starts[k] = off
             off += len(sentences[k][0])
             by_len.setdefault(len(sentences[k][0]), []).append(k)
+        # native C kernel when available (kernel/viterbi_native.py):
+        # the identical float32 DP — same adds, same first-occurrence
+        # argmax tie-breaks, bitwise-equal paths (gated) — at ~7x the
+        # numpy lattice's tokens/s (numpy argmax over the L-sized
+        # candidate axis is a scalar loop; the C blend vectorizes). Falls
+        # through to the numpy tiles whenever the kernel is unavailable
+        # (no compiler) or the decode dtype is the float64 escape hatch.
+        native = None
+        if _DECODE_DTYPE is np.float32:
+            from .viterbi_native import viterbi_lib, viterbi_paths
+            native = viterbi_lib()
+        if native is not None:
+            NTILE = 1024  # bounds the (B, n, L) gather copy, not the DP
+            for n, idxs in by_len.items():
+                for t0 in range(0, len(idxs), NTILE):
+                    tile = idxs[t0:t0 + NTILE]
+                    row0 = np.asarray([starts[k] for k in tile])
+                    E = np.ascontiguousarray(
+                        E_flat[row0[:, None] + np.arange(n)])
+                    paths = viterbi_paths(native, E, T)
+                    for b, k in enumerate(tile):
+                        out[k] = [self.labels[j] for j in paths[b]]
+            return out  # type: ignore[return-value]
         # B-tiling keeps the per-step (B, L, L) lattice buffer L2-resident
         # (128*41*41*4 ≈ 860 KB): with thousands of equal-length sentences
         # per Arrow batch an untiled buffer is tens of MB and every DP step

@@ -202,16 +202,29 @@ def _iterate_dense(edges: DataFrame, max_radius: int, b: int,
     unpacked = [F.element_at("regs", i + 1).alias(f"_r{i}")
                 for i in range(m)]
     maxes = [F.max(f"_r{i}").alias(f"_r{i}") for i in range(m)]
-    repack = F.array(*[F.col(f"_r{i}") for i in range(m)]).alias("regs")
 
     for r in range(1, max_radius + 1):
         prop = (dense.join(e, dense.node == e.dst)
                 .select(F.col("src").alias("node"), "regs"))
-        dense, new_state = _checkpointed_with_sig(
-            dense.unionByName(prop)
-            .select("node", *unpacked)
-            .groupBy("node").agg(*maxes)
-            .select("node", repack))
+        # aggregate ONLY the propagated rows (edge-sized before the
+        # map-side combine), then fold them into the carried node state
+        # with a node-keyed left join — the old union+groupBy pushed the
+        # full O(nodes) state back through the exchange every round
+        # (guide §2.4 exchange reuse: dense leaves each round hash-
+        # partitioned on node and re-enters the next round's joins on
+        # node). zip_with/greatest over int registers is the identical
+        # elementwise max — bitwise-equal state per round.
+        agg = (prop.select("node", *unpacked)
+               .groupBy("node").agg(*maxes)
+               .select("node", F.array(*[F.col(f"_r{i}") for i in range(m)])
+                       .alias("pregs")))
+        merged = (dense.join(agg, "node", "left")
+                  .select("node",
+                          F.when(F.col("pregs").isNull(), F.col("regs"))
+                          .otherwise(F.zip_with("regs", "pregs",
+                                                lambda a, b: F.greatest(a, b)))
+                          .alias("regs")))
+        dense, new_state = _checkpointed_with_sig(merged)
         if new_state == state:  # exact fixed point: no register changed
             break
         state = new_state

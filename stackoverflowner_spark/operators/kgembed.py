@@ -102,16 +102,23 @@ def _grad_rows(joined: DataFrame, margin: float) -> DataFrame:
     g_hr = F.zip_with("pos", "neg", lambda p, n: two * (p - n))
     g_t = F.transform("pos", lambda p: -two * p)
     g_n = F.transform("neg", lambda n: two * n)
-    parts = []
-    for idc, kind, g in ((F.col("subj"), "e", g_hr),
-                         (F.col("pred"), "r", g_hr),
-                         (F.col("obj"), "e", g_t),
-                         (F.col("nid"), "e", g_n)):
-        parts.append(d.select(idc.alias("id"), F.lit(kind).alias("kind"),
-                              F.posexplode(g).alias("dim", "g")))
-    rows = parts[0]
-    for p in parts[1:]:
-        rows = rows.unionAll(p)
+    # one pass (guide §2.4): the old 4-branch union replayed the
+    # triple-side join subplan four times; emitting the four gradient
+    # contributions as a row-local 4-struct inline array keeps the
+    # contribution multiset — and every per-row float expression —
+    # identical while the upstream runs once
+    contrib = F.array(
+        F.struct(F.col("subj").alias("id"), F.lit("e").alias("kind"),
+                 g_hr.alias("gv")),
+        F.struct(F.col("pred").alias("id"), F.lit("r").alias("kind"),
+                 g_hr.alias("gv")),
+        F.struct(F.col("obj").alias("id"), F.lit("e").alias("kind"),
+                 g_t.alias("gv")),
+        F.struct(F.col("nid").alias("id"), F.lit("e").alias("kind"),
+                 g_n.alias("gv")))
+    rows = (d.select(F.explode(contrib).alias("c"))
+            .select("c.id", "c.kind",
+                    F.posexplode("c.gv").alias("dim", "g")))
     # truncate-toward-zero to 1e-9 long units BEFORE the sum: the shuffle
     # reduction below is then exact integer math, any partitioning
     return rows.select("id", "kind", "dim",

@@ -115,51 +115,57 @@ def sgns_grad_fp(pairs: DataFrame, emb_in: DataFrame, emb_out: DataFrame,
     v_k = out-vecs of k hash-drawn negatives):
     maximize log sig(u.v) + sum_k log sig(-u.v_k); gradient coefficients
     are (sig(u.v) - 1) for the positive and sig(u.v_k) for each
-    negative, applied to the OTHER side's vector."""
+    negative, applied to the OTHER side's vector.
+
+    Execution (guide §2.4, one pass): the positive arm rides the SAME
+    exploded stream as the negatives as arm k = -1 — the old 4-branch
+    union replayed the pair-join subplan four times (and the negative
+    chain twice). Per (pair, k) row the two gradient contributions
+    (center's in-side, partner's out-side) are emitted as a 2-struct
+    inline array. Identical contribution multiset, identical per-row
+    float expressions, and the reduction is the exact integer sum —
+    bit-for-bit the old output under any partitioning."""
     uin = emb_in.select(F.col("id").alias("_u"), F.col("vec").alias("uv"))
     vout = emb_out.select(F.col("id").alias("_v"), F.col("vec").alias("vv"))
     p = (pairs.join(uin, pairs.center == uin._u).drop("_u")
          .join(vout, pairs.ctx == vout._v).drop("_v"))
 
-    # positive arm
-    cpos = _sig(_dot("uv", "vv")) - F.lit(1.0)
-    pos = p.withColumn("coef", cpos)
-    pos_u = pos.select(F.col("center").alias("id"), F.lit("in").alias("kind"),
-                       F.posexplode(F.transform(
-                           "vv", lambda x: F.col("coef") * x))
-                       .alias("dim", "g"))
-    pos_v = pos.select(F.col("ctx").alias("id"), F.lit("out").alias("kind"),
-                       F.posexplode(F.transform(
-                           "uv", lambda x: F.col("coef") * x))
-                       .alias("dim", "g"))
-
-    # negative arm: k hash-drawn out-side nodes per pair occurrence
-    nidx = (F.conv(F.substring(
+    # arm k = -1 is the positive pair; k in [0, k_neg) are the hash-drawn
+    # negatives (nidx NULL on the positive arm, so the left joins leave it
+    # alone; the old inner joins matched every negative row and still do)
+    nidx = F.when(F.col("k") >= 0, (F.conv(F.substring(
         F.md5(F.concat_ws(":", F.lit("sgnsneg"), F.lit(str(seed)),
                           F.lit(str(epoch)), "walk_id",
                           F.col("s1").cast("string"),
                           F.col("s2").cast("string"),
                           F.col("k").cast("string"))),
-        1, 15), 16, 10).cast("long") % F.lit(n_nodes) + 1)
-    negs = (p.withColumn("k", F.explode(F.sequence(
-                F.lit(0), F.lit(k_neg - 1))))
+        1, 15), 16, 10).cast("long") % F.lit(n_nodes) + 1))
+    arms = (p.withColumn("k", F.explode(F.sequence(
+                F.lit(-1), F.lit(k_neg - 1))))
             .withColumn("nidx", nidx))
-    negs = (negs.join(node_idx, negs.nidx == node_idx.idx)
-            .drop("idx", "nidx").withColumnRenamed("id", "nid"))
+    arms = (arms.join(node_idx.select(F.col("id").alias("nid"), "idx"),
+                      arms.nidx == F.col("idx"), "left")
+            .drop("idx", "nidx"))
     nv = emb_out.select(F.col("id").alias("_n"), F.col("vec").alias("nv"))
-    negs = (negs.join(nv, negs.nid == nv._n).drop("_n")
-            .withColumn("coef", _sig(_dot("uv", "nv"))))
-    neg_u = negs.select(F.col("center").alias("id"),
-                        F.lit("in").alias("kind"),
-                        F.posexplode(F.transform(
-                            "nv", lambda x: F.col("coef") * x))
-                        .alias("dim", "g"))
-    neg_v = negs.select(F.col("nid").alias("id"), F.lit("out").alias("kind"),
-                        F.posexplode(F.transform(
-                            "uv", lambda x: F.col("coef") * x))
-                        .alias("dim", "g"))
-
-    rows = pos_u.unionAll(pos_v).unionAll(neg_u).unionAll(neg_v)
+    arms = arms.join(nv, arms.nid == nv._n, "left").drop("_n")
+    # per-arm coefficient and out-side partner — the identical float
+    # expressions the 4-branch form evaluated (cpos = sig(u.v) - 1 on the
+    # positive arm, cneg = sig(u.v_k) on negatives)
+    coef = F.when(F.col("k") < 0, _sig(_dot("uv", "vv")) - F.lit(1.0)) \
+        .otherwise(_sig(_dot("uv", "nv")))
+    pid = F.when(F.col("k") < 0, F.col("ctx")).otherwise(F.col("nid"))
+    pvec = F.when(F.col("k") < 0, F.col("vv")).otherwise(F.col("nv"))
+    contrib = F.array(
+        F.struct(F.col("center").alias("id"), F.lit("in").alias("kind"),
+                 F.transform(pvec, lambda x: F.col("coef") * x)
+                 .alias("gv")),
+        F.struct(pid.alias("id"), F.lit("out").alias("kind"),
+                 F.transform("uv", lambda x: F.col("coef") * x)
+                 .alias("gv")))
+    rows = (arms.withColumn("coef", coef)
+            .select(F.explode(contrib).alias("c"))
+            .select("c.id", "c.kind",
+                    F.posexplode("c.gv").alias("dim", "g")))
     # truncate-toward-zero to 1e-9 long units BEFORE the sum (exact
     # integer shuffle reduction, any partitioning)
     return (rows.select("id", "kind", "dim",
