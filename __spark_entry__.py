@@ -332,12 +332,22 @@ def q_link_graph(spark, sf):
         F.explode(F.slice(norm_tokens("text"), 1, 8)).alias("tok"))
     tid = (F.conv(F.substring(F.md5(F.col("tok")), 1, 6), 16, 10)
            .cast("long") % 120)
+    # dst is a pure function of tid with 120 possible values: canonicalize
+    # the 120 raw targets once and broadcast-join them onto the token
+    # stream, instead of re-running the regex-heavy canonicalization on
+    # every (doc, token) occurrence (guide §8: decide with small rows —
+    # identical dst strings either way)
+    tidc = F.col("id").cast("long")
     dst_raw = F.concat(
-        F.lit("http://H"), (tid % 7).cast("string"), F.lit(".Example.com"),
-        F.when(tid % 5 == 0, F.lit(":8080")).otherwise(F.lit(":80")),
-        F.lit("/p//"), tid.cast("string"),
-        F.lit("?utm_campaign=x&q="), (tid % 3).cast("string"))
-    edges = toks.select("src", canonicalize_url(dst_raw).alias("dst"))
+        F.lit("http://H"), (tidc % 7).cast("string"), F.lit(".Example.com"),
+        F.when(tidc % 5 == 0, F.lit(":8080")).otherwise(F.lit(":80")),
+        F.lit("/p//"), tidc.cast("string"),
+        F.lit("?utm_campaign=x&q="), (tidc % 3).cast("string"))
+    tmap = spark.range(120).select(tidc.alias("tid"),
+                                   canonicalize_url(dst_raw).alias("dst"))
+    edges = (toks.select("src", tid.alias("tid"))
+             .join(F.broadcast(tmap), "tid")
+             .select("src", "dst"))
     return link_graph(edges)
 
 

@@ -27,9 +27,15 @@ def _tokenize_with_offsets(sentence: str) -> Tuple[Tuple[str, int], ...]:
     sentences recur across documents, and both tokenization and the offset
     scan are pure functions of the sentence string (the document offset is
     additive). Deterministic: cache hits return the identical value the
-    cold path would compute."""
+    cold path would compute.
+
+    Whitespace tokens are dropped HERE (every consumer filtered them with
+    the identical ``isspace`` test per occurrence; doing it once per
+    distinct sentence yields the same token stream for free)."""
     tokens = tokenize(sentence)
-    return tuple(map_tokens_to_offsets(sentence, tokens, 0))
+    return tuple((tok, pos)
+                 for tok, pos in map_tokens_to_offsets(sentence, tokens, 0)
+                 if not tok.isspace())
 
 
 class ConllRow(NamedTuple):
@@ -64,6 +70,14 @@ def _relabel(rows: List[Optional[list]], spans: Sequence[Standoff]) -> None:
     for tb in spans:
         for i in range(tb.start, tb.end):
             offset_label[i] = tb
+    if not offset_label:
+        # no covered char anywhere: every row keeps its "O" and the
+        # prev_label chain never leaves None — the loop is a no-op
+        return
+    # tokens wholly outside the covered range can't probe a hit; the
+    # bound check skips their per-char dict scan (same labels)
+    lo = min(offset_label)
+    hi = max(offset_label) + 1
 
     prev_label: Optional[str] = None
     for row in rows:
@@ -72,10 +86,11 @@ def _relabel(rows: List[Optional[list]], spans: Sequence[Standoff]) -> None:
             continue
         tag, start, end, token = row
         label = None
-        for o in range(start, end):
-            if o in offset_label:
-                label = offset_label[o].type
-                break
+        if start < hi and end > lo:
+            for o in range(start, end):
+                if o in offset_label:
+                    label = offset_label[o].type
+                    break
         if label is not None:
             tag = ("I-" if label == prev_label else "B-") + label
         prev_label = label
@@ -96,8 +111,7 @@ def sentence_token_tags(final_text: str, spans: Sequence[Standoff]
     offset = 0
     for s in sentences:
         for tok, pos in _tokenize_with_offsets(s):
-            if not tok.isspace():
-                rows.append(["O", pos + offset, pos + offset + len(tok), tok])
+            rows.append(["O", pos + offset, pos + offset + len(tok), tok])
         rows.append(None)
         offset += len(s)
 
@@ -136,8 +150,7 @@ def text_to_conll_rows(final_text: str, spans: Sequence[Standoff]) -> List[Conll
     offset = 0
     for s in sentences:
         for tok, pos in _tokenize_with_offsets(s):
-            if not tok.isspace():
-                rows.append(["O", pos + offset, pos + offset + len(tok), tok])
+            rows.append(["O", pos + offset, pos + offset + len(tok), tok])
         rows.append(None)
         offset += len(s)
 

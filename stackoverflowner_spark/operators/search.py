@@ -53,6 +53,15 @@ def keyword_search(postings: DataFrame, queries: DataFrame,
     (score DESC, doc_id ASC)."""
     q = queries.select("qid", "term").distinct()
     n_terms = q.groupBy("qid").agg(F.count("*").alias("_nt"))
+    # broadcast SEMI join on the query-term set first: unlike the inner
+    # join below (which multiplies rows per qid and so cannot move), a
+    # left-semi on the grouping key is pushed below the caller's tf
+    # aggregation (PushDownLeftSemiAntiJoin), so a lazily-composed
+    # postings build only counts tf for queried terms — the classic
+    # inverted-index property that only query-term postings are touched.
+    # Identical result: semi-join then inner join on the same key set.
+    postings = postings.join(F.broadcast(q.select("term").distinct()),
+                             "term", "left_semi")
     hits = (postings.join(F.broadcast(q), "term")
             .groupBy("qid", "doc_id")
             .agg(F.count("*").alias("_matched"),
