@@ -59,8 +59,10 @@ def keyword_search(postings: DataFrame, queries: DataFrame,
     # aggregation (PushDownLeftSemiAntiJoin), so a lazily-composed
     # postings build only counts tf for queried terms — the classic
     # inverted-index property that only query-term postings are touched.
-    # Identical result: semi-join then inner join on the same key set.
-    postings = postings.join(F.broadcast(q.select("term").distinct()),
+    # Identical result: semi-join then inner join on the same key set
+    # (build-side duplicates are irrelevant to a semi join, so no
+    # distinct — one less exchange in the plan).
+    postings = postings.join(F.broadcast(q.select("term")),
                              "term", "left_semi")
     hits = (postings.join(F.broadcast(q), "term")
             .groupBy("qid", "doc_id")

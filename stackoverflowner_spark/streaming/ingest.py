@@ -52,7 +52,7 @@ def windowed_mention_counts(pages_stream: DataFrame, tagger=None,
     from ..kernel.conlleval import extract_chunks
     from ..kernel.htmltext import ExtractionError, extract_text
     from ..kernel.sentencize import sentencize
-    from ..kernel.bio import text_to_conll_rows
+    from ..kernel.bio import sentence_token_tags
     from ..kernel.sotok import TokenizerGuardError
 
     from ..operators.document_kernel import _tagger_broadcast
@@ -60,8 +60,13 @@ def windowed_mention_counts(pages_stream: DataFrame, tagger=None,
 
     def run(batches):
         tagger = bc.value
+        batch_tag = getattr(tagger, "tag_sentences", None)
         for pdf in batches:
-            out = []
+            # collect the micro-batch's sentences first so taggers with a
+            # batched decode (memoized batched Viterbi) amortize across the
+            # batch — the same phase structure as the fused batch kernel;
+            # per-sentence grouping and tags are identical (gated)
+            sents = []  # (url, ts, tokens, md_tags)
             for url, ts, html, text in zip(pdf["url"], pdf["warc_ts"],
                                            pdf["html"], pdf["text"]):
                 try:
@@ -77,17 +82,19 @@ def windowed_mention_counts(pages_stream: DataFrame, tagger=None,
                     else:
                         continue
                     final, anns = sentencize(extracted, url.rsplit("/", 1)[-1])
-                    conll = text_to_conll_rows(final, anns)
+                    per_sent = sentence_token_tags(final, anns)
                 except (ExtractionError, TokenizerGuardError):
                     continue
-                by_sent: dict = {}
-                for r in conll:
-                    by_sent.setdefault(r.sent_idx, []).append(r)
-                for _, rs in by_sent.items():
-                    tokens = [r.token for r in rs]
-                    tags = tagger.tag(tokens, [r.tag for r in rs])
-                    for typ, a, b in extract_chunks(tags):
-                        out.append((url, ts, " ".join(tokens[a:b]).lower()))
+                for _sent_idx, toks, mds in per_sent:
+                    sents.append((url, ts, toks, mds))
+            if batch_tag is not None:
+                all_tags = batch_tag([(t, m) for _, _, t, m in sents])
+            else:
+                all_tags = [tagger.tag(t, m) for _, _, t, m in sents]
+            out = []
+            for (url, ts, tokens, _mds), tags in zip(sents, all_tags):
+                for typ, a, b in extract_chunks(tags):
+                    out.append((url, ts, " ".join(tokens[a:b]).lower()))
             yield pd.DataFrame(out, columns=["url", "warc_ts", "surface_norm"])
 
     mentions_ts = pages_stream.select(
