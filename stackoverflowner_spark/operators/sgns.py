@@ -147,7 +147,12 @@ def sgns_grad_fp(pairs: DataFrame, emb_in: DataFrame, emb_out: DataFrame,
                       arms.nidx == F.col("idx"), "left")
             .drop("idx", "nidx"))
     nv = emb_out.select(F.col("id").alias("_n"), F.col("vec").alias("nv"))
-    arms = arms.join(nv, arms.nid == nv._n, "left").drop("_n")
+    arms = (arms.join(nv, arms.nid == nv._n, "left").drop("_n")
+            # the old inner joins dropped negative rows whose drawn id was
+            # missing from node_idx/emb_out; keep exactly that semantics
+            # (unreachable in the engine's call paths, where embeddings
+            # cover node_idx by construction)
+            .filter((F.col("k") < 0) | F.col("nv").isNotNull()))
     # per-arm coefficient and out-side partner — the identical float
     # expressions the 4-branch form evaluated (cpos = sig(u.v) - 1 on the
     # positive arm, cneg = sig(u.v_k) on negatives)
